@@ -128,6 +128,30 @@ def vocabulary() -> pd.DataFrame:
     return pd.DataFrame({"stem": stems, "cat": cat_col, "p": p})
 
 
+def indexable_stems_by_rank(n: int = 50, start_rank: int = 0) -> List[str]:
+    """The *n* highest-probability stems (from *start_rank*) that survive
+    the index filter — i.e. stems a realistic query would contain. Skips
+    stoplist pairs, non-indexed categories and over-long stems."""
+    from .tokenization import CATEGORIES_TO_INDEX, MAX_WORD_LEN, NOINDEX_PAIRS
+
+    noindex = {(s.lower(), c) for s, c in NOINDEX_PAIRS}
+    v = vocabulary()
+    out: List[str] = []
+    for i in range(start_rank, len(v)):
+        stem, cat = v["stem"].iloc[i], v["cat"].iloc[i]
+        if (
+            cat in CATEGORIES_TO_INDEX
+            and (stem, cat) not in noindex
+            and len(stem) <= MAX_WORD_LEN
+            and " " not in stem
+            and "-" not in stem
+        ):
+            out.append(stem)
+            if len(out) == n:
+                break
+    return out
+
+
 @lru_cache(maxsize=1)
 def _vocab_arrays() -> Tuple[np.ndarray, np.ndarray]:
     v = vocabulary()
