@@ -1,0 +1,325 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Four families (all over ``documents(doc_id, text, ...)``):
+
+* :func:`exact_duplicates` — content hash groupBy (md5; oracle-checkable).
+* :func:`ngram_jaccard_pairs` — word n-gram shingles + candidate join +
+  exact Jaccard verify. Fully relational (SQL-mirrorable); the candidate
+  generation joins only docs sharing a shingle, never the full cross
+  product.
+* :func:`minhash_lsh_pairs` — MinHash signatures (Arrow-vectorized NumPy)
+  banded into LSH buckets; candidates = bucket co-membership; verified
+  with exact Jaccard. The 10^12-doc scale path: cost is
+  O(docs x bands) rows shuffled, not O(docs^2).
+* :func:`simhash_fingerprints` / :func:`simhash_near_pairs` — 64-bit
+  SimHash; near-dup candidates via 16-bit chunk co-membership (any pair
+  within Hamming distance <= 3 shares at least one of 4 chunks by
+  pigeonhole), then exact Hamming verify.
+
+Hash material is md5-derived (stable across engines and runs); the
+MinHash family uses seeded multiplicative hashing over uint64.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from .textops import document_tokens
+
+__all__ = [
+    "exact_duplicates",
+    "ngram_shingles",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash_fingerprints",
+    "simhash_near_pairs",
+]
+
+
+# 60-bit stable term hash: first 15 hex chars of md5 (engine-portable)
+def _term_hash60(col):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """(text_md5, n_docs, min_doc_id) for every content-identical group.
+    The canonical keep-one rule is "keep min doc_id"."""
+    return (
+        docs.groupBy(F.md5("text").alias("text_md5"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+def ngram_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle): distinct word n-grams, built JVM-side from the
+    token array with transform/sequence (no Python)."""
+    from ..tokenization import MAX_WORD_LEN, TOKEN_SPLIT_RE
+
+    # Token array built directly from split+filter (never explode ->
+    # collect_list, whose order would depend on aggregation internals)
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower("text"), TOKEN_SPLIT_RE),
+            lambda x: (F.length(x) >= 1) & (F.length(x) <= MAX_WORD_LEN),
+        ).alias("toks"),
+    )
+    # n-grams: concat_ws over a sliding window expressed with transform
+    return (
+        toks.where(F.size("toks") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(
+                            F.lit(0), F.size("toks") - F.lit(n)
+                        ),
+                        lambda i: F.concat_ws(
+                            " ", F.slice("toks", i + 1, n)
+                        ),
+                    )
+                )
+            ).alias("shingle"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for pairs with n-gram Jaccard >= threshold.
+
+    Candidates come from an equi-join on shingle (docs sharing none are
+    never compared). Output jaccard is round(.,4) for oracle comparison.
+    """
+    sh = ngram_shingles(docs, n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("sz", "sz_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumnRenamed("sz", "sz_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                4,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+_MINHASH_H = 64           # signature length
+_MINHASH_BANDS = 16       # bands -> rows per band = H / BANDS
+_MINHASH_SEED = 42
+
+
+def _minhash_params() -> Tuple[np.ndarray, np.ndarray]:
+    rng = np.random.Generator(np.random.SFC64(_MINHASH_SEED))
+    a = rng.integers(1, 1 << 63, size=_MINHASH_H, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, 1 << 63, size=_MINHASH_H, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig array<long>): 64-perm MinHash over the token set.
+
+    Token hashes are computed JVM-side (md5-derived); the per-doc min
+    over 64 multiplicative-hash permutations runs as NumPy inside one
+    Arrow batch — O(tokens x 64) vectorized multiply-min, no Python loop
+    over tokens.
+    """
+    tok_hashes = (
+        document_tokens(docs)
+        .select("doc_id", _term_hash60(F.col("term")).alias("th"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("th").alias("ths"))
+    )
+    a, b = _minhash_params()
+
+    def sig_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids = pdf["doc_id"].to_numpy()
+            sigs = np.empty((len(pdf), _MINHASH_H), dtype=np.int64)
+            for i, ths in enumerate(pdf["ths"]):
+                x = np.asarray(ths, dtype=np.uint64)[:, None]   # (T,1)
+                h = x * a[None, :] + b[None, :]                  # mod 2^64 wrap
+                sigs[i] = (h.min(axis=0) >> np.uint64(1)).astype(np.int64)
+            yield pd.DataFrame(
+                {"doc_id": out_ids, "sig": [row.tolist() for row in sigs]}
+            )
+
+    return tok_hashes.mapInPandas(sig_batches, "doc_id long, sig array<long>")
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, threshold: float = 0.5, verify: bool = True,
+    bands: int = _MINHASH_BANDS,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash LSH.
+
+    (doc_a, doc_b, jaccard) where jaccard is the *exact* token-set Jaccard
+    of candidate pairs (verify=True), filtered at *threshold*. Candidate
+    generation: hash each band of the signature to a bucket, self-join on
+    (band, bucket). The band count sets the S-curve: 16 bands x 4 rows
+    crosses ~0.5, 8 bands x 8 rows ~0.75 — choose bands to match the
+    threshold so the candidate join stays linear in docs.
+    """
+    sigs = minhash_signatures(docs)
+    rows_per_band = _MINHASH_H // bands
+    band_rows = sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda band: F.struct(
+                    band.alias("band"),
+                    F.hash(
+                        F.slice("sig", band * rows_per_band + 1, rows_per_band)
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+    cands = (
+        band_rows.alias("a")
+        .join(band_rows.alias("b"), ["band", "bucket"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    if not verify:
+        return cands
+
+    tok = (
+        document_tokens(docs)
+        .select("doc_id", "term")
+        .distinct()
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
+    # Exact intersection computed only for candidate pairs: expand each
+    # pair's token set once (cands is tiny next to tok), never a full
+    # token self-join.
+    inter = (
+        cands.join(tok.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(tok.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "term"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("sz", "sz_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumnRenamed("sz", "sz_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                4,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 64-bit SimHash over tf-weighted token hashes.
+
+    Bit-vector accumulation is NumPy over Arrow batches: unpack each
+    token's 64 hash bits, weight by tf, sign of the column sums is the
+    fingerprint.
+    """
+    tok = (
+        document_tokens(docs)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .select("doc_id", _term_hash60(F.col("term")).alias("th"), "tf")
+        .groupBy("doc_id")
+        .agg(F.collect_list("th").alias("ths"), F.collect_list("tf").alias("tfs"))
+    )
+
+    def sim_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bitpos = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            out = np.empty(len(pdf), dtype=np.int64)
+            for i, (ths, tfs) in enumerate(zip(pdf["ths"], pdf["tfs"])):
+                h = np.asarray(ths, dtype=np.uint64)[:, None]
+                w = np.asarray(tfs, dtype=np.float64)[:, None]
+                bits = ((h >> bitpos[None, :]) & np.uint64(1)).astype(np.float64)
+                score = (w * (2.0 * bits - 1.0)).sum(axis=0)
+                fp = np.uint64(0)
+                for j in np.nonzero(score > 0)[0]:
+                    fp |= np.uint64(1) << np.uint64(j)
+                out[i] = np.int64(fp >> np.uint64(1))  # keep sign-safe 63 bits
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
+
+    return tok.mapInPandas(sim_batches, "doc_id long, simhash long")
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs within *max_hamming* bits.
+
+    Candidates: split the 64-bit fingerprint into 4 x 16-bit chunks; any
+    pair within Hamming distance 3 must agree on >= 1 chunk (pigeonhole),
+    so a join per chunk finds all such pairs in linear work.
+    """
+    fps = simhash_fingerprints(docs)
+    chunks = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda c: F.struct(
+                    c.alias("chunk"),
+                    F.shiftrightunsigned("simhash", c * 16)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("val"),
+                ),
+            )
+        ).alias("cv"),
+    ).select("doc_id", "simhash", "cv.chunk", "cv.val")
+    pairs = (
+        chunks.alias("a")
+        .join(chunks.alias("b"), ["chunk", "val"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return pairs

@@ -1,0 +1,190 @@
+"""Full-text operators over the generic ``documents`` table.
+
+Same engine semantics as the pages pipeline (tokenize -> postings ->
+stats -> BM25), but category-free (plain terms) and intentionally
+expressible 1:1 in ANSI SQL so DuckDB can oracle-check every step
+(the driver's correctness gate).
+
+Cross-engine determinism rules used throughout:
+* floats exposed to the oracle comparison are ``round(x, 4)`` (or 6),
+* every ordering uses the *rounded* value plus a total tie-break
+  (doc_id / term), so Spark and DuckDB produce identical rows,
+* averages are computed as exact-integer-sum / count.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..tokenization import MAX_WORD_LEN, TOKEN_SPLIT_RE
+
+__all__ = [
+    "load_documents",
+    "document_tokens",
+    "document_postings",
+    "document_term_stats",
+    "document_corpus_stats",
+    "bm25_documents_topk",
+    "quality_scores",
+    "document_fingerprints",
+    "TOKEN_SPLIT_RE",
+]
+
+K1 = 1.2
+B = 0.75
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def document_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, term): lower-cased regex tokens, 1..64 chars. JVM-side."""
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), TOKEN_SPLIT_RE)).alias("term"),
+        )
+        .where((F.length("term") >= 1) & (F.length("term") <= MAX_WORD_LEN))
+    )
+
+
+def document_postings(docs: DataFrame) -> DataFrame:
+    """(term, doc_id, tf) — map-side partial agg, then final hash agg."""
+    return (
+        document_tokens(docs)
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+
+def document_term_stats(docs: DataFrame, min_df: int = 3) -> DataFrame:
+    """(term, df, cf) with df >= min_df pruning (builder.py:176 analog)."""
+    return (
+        document_postings(docs)
+        .groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("cf"),
+        )
+        .where(F.col("df") >= min_df)
+    )
+
+
+def document_corpus_stats(docs: DataFrame) -> DataFrame:
+    """1 row (n_docs, avgdl): doc count and mean token length (round 6)."""
+    doclen = document_tokens(docs).groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("doclen")
+    )
+    return doclen.agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.sum("doclen").cast("double") / F.count("*"), 6).alias("avgdl"),
+    )
+
+
+def bm25_documents_topk(
+    docs: DataFrame, query_terms: Sequence[str], k: int = 20, min_df: int = 3
+) -> DataFrame:
+    """Oracle-safe BM25 top-k over documents: (rank, doc_id, score).
+
+    ``score`` is rounded to 4 decimals and the ordering uses the rounded
+    value, so DuckDB reproduces rows bit-for-bit. The rank-identity tests
+    against the NumPy oracle (unrounded, bit-exact) cover the precise
+    path; this variant exists for cross-engine comparison.
+    """
+    terms = sorted(set(query_terms))
+    postings = document_postings(docs)
+    doclen = postings.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("doclen")
+    )
+    corpus = doclen.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("doclen").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tstats = (
+        postings.groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+        .where(F.col("df") >= min_df)
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+        )
+    )
+    scored = (
+        postings.where(F.col("term").isin(terms))
+        .join(F.broadcast(tstats.where(F.col("term").isin(terms))), "term")
+        .join(doclen, "doc_id")
+        .withColumn(
+            "part",
+            F.col("idf")
+            * (F.col("tf") * (K1 + 1.0))
+            / (
+                F.col("tf")
+                + K1 * (1.0 - B + B * F.col("doclen") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("term", "part"))).alias("p")
+        )
+        .select(
+            "doc_id",
+            F.round(
+                F.aggregate("p", F.lit(0.0), lambda a, x: a + x["part"]), 4
+            ).alias("score"),
+        )
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("rank", "doc_id", "score")
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Per-doc quality features for training-data filtering:
+    (doc_id, n_tokens, n_unique, unique_ratio, avg_token_len).
+
+    The length/diversity heuristics used to score web text quality
+    (C4/Gopher-style rules), all JVM-side and SQL-mirrorable.
+    """
+    toks = document_tokens(docs)
+    return (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.countDistinct("term").cast("long").alias("n_unique"),
+            F.round(
+                F.countDistinct("term").cast("double") / F.count("*"), 4
+            ).alias("unique_ratio"),
+            F.round(
+                F.sum(F.length("term")).cast("double") / F.count("*"), 4
+            ).alias("avg_token_len"),
+        )
+    )
+
+
+def document_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fingerprint): md5 over the sorted distinct-token set —
+    an order-insensitive content fingerprint (bag-of-words identity).
+    md5 is identical across engines, so this is oracle-checkable,
+    unlike seeded xxhash fingerprints."""
+    toks = document_tokens(docs)
+    return (
+        toks.groupBy("doc_id")
+        .agg(
+            F.md5(
+                F.concat_ws(" ", F.array_sort(F.collect_set("term")))
+            ).alias("fingerprint")
+        )
+    )
