@@ -1,0 +1,181 @@
+"""Block-max pruned top-k BM25 over compressed segments.
+
+Distributed shape (SURVEY §3.3 "Spark shape"): the segment scan is
+filtered by ``term IN (query terms)`` (parquet row-group / partition
+pruning), matching blocks group by **shard** (doc-range partition), and
+each shard runs an exact block-max-pruned scorer over its blocks —
+embarrassingly parallel across shards, like Lucene segment search. The
+global answer is ``orderBy(score desc, doc_id asc).limit(k)`` over the
+per-shard top-k unions (a TakeOrderedAndProject over tiny inputs).
+
+Per-shard algorithm — Block-Max WAND re-expressed as a batched interval
+sweep (equivalent pruning, vectorizable):
+
+1. *Metadata pass* (no decoding): every block contributes its BM25 upper
+   bound ``block_max`` over its doc range [first_doc, last_doc]. A
+   boundary sweep yields elementary doc intervals with
+   ``ub(interval) = Σ block_max of covering blocks`` — exactly WAND's
+   pivot upper bound, computed for all pivots at once.
+2. *Pruned scoring*: intervals are processed in decreasing ub order;
+   only blocks overlapping a processed interval are ever decoded
+   (decode results cached). Docs in the interval are exact-scored
+   vectorized (term-sorted accumulation -> bit-identical to the exact
+   DataFrame scorer). The heap threshold θ is the running k-th best
+   exact score; processing stops at the first interval with ub < θ.
+   Any unseen doc d lies in an unprocessed interval, so
+   score(d) <= ub < θ — exactness holds, blocks below θ are skipped.
+
+This keeps WAND's skipping guarantee while replacing the per-doc pivot
+walk with NumPy batch operations — the right trade for a Python runtime
+(reference analog: argpartition top-k instead of a selection loop,
+vectors/simserver.py:349-356).
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from .segments import bm25_partial, decode_block
+
+__all__ = ["wand_topk", "shard_topk_pandas"]
+
+
+def shard_topk_pandas(
+    pdf: pd.DataFrame, k: int, avgdl: float
+) -> pd.DataFrame:
+    """Exact top-k over one shard's blocks via the interval-sweep
+    block-max pruning described in the module docstring."""
+    terms = sorted(pdf["term"].unique())
+    # per-term block tables, ordered by first_doc
+    per_term: Dict[str, pd.DataFrame] = {
+        t: g.sort_values("first_doc").reset_index(drop=True)
+        for t, g in pdf.groupby("term")
+    }
+
+    # ---- metadata sweep: elementary intervals with summed block_max
+    events: List[Tuple[int, float]] = []
+    for t in terms:
+        g = per_term[t]
+        for fd, ld, bm in zip(g["first_doc"], g["last_doc"], g["block_max"]):
+            events.append((int(fd), float(bm)))
+            events.append((int(ld) + 1, -float(bm)))
+    if not events:
+        return pd.DataFrame({"doc_id": [], "score": []})
+    ev = pd.DataFrame(events, columns=["x", "d"]).groupby("x")["d"].sum()
+    xs = ev.index.to_numpy()
+    ubs = np.cumsum(ev.to_numpy())
+    # elementary interval i = [xs[i], xs[i+1]) with upper bound ubs[i]
+    order = np.argsort(-ubs, kind="mergesort")
+
+    decoded: Dict[Tuple[str, int], Tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+
+    def blocks_overlapping(t: str, lo: int, hi: int) -> List[int]:
+        g = per_term[t]
+        fd = g["first_doc"].to_numpy()
+        ld = g["last_doc"].to_numpy()
+        idx = np.nonzero((fd < hi) & (ld >= lo))[0]
+        return idx.tolist()
+
+    heap: List[Tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
+    scored: set = set()
+
+    for oi in order:
+        lo = int(xs[oi])
+        hi = int(xs[oi + 1]) if oi + 1 < len(xs) else int(xs[-1]) + 1
+        ub = float(ubs[oi])
+        if ub <= 0:
+            break
+        if len(heap) >= k and ub < heap[0][0]:
+            break  # every remaining interval is below θ — WAND stop
+        # union of docs present in this interval
+        term_docs: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+        doc_union: List[np.ndarray] = []
+        for t in terms:
+            g = per_term[t]
+            arrs_d, arrs_p = [], []
+            for bi in blocks_overlapping(t, lo, hi):
+                key = (t, bi)
+                if key not in decoded:
+                    row = g.iloc[bi]
+                    d, tf, dl = decode_block(row["docs"], row["tfs"], row["dls"])
+                    decoded[key] = (
+                        d,
+                        bm25_partial(tf, dl, float(row["idf"]), avgdl),
+                        tf,
+                    )
+                d, part, _ = decoded[key]
+                m = (d >= lo) & (d < hi)
+                if m.any():
+                    arrs_d.append(d[m])
+                    arrs_p.append(part[m])
+            if arrs_d:
+                dd = np.concatenate(arrs_d)
+                pp = np.concatenate(arrs_p)
+                term_docs[t] = (dd, pp)
+                doc_union.append(dd)
+        if not doc_union:
+            continue
+        docs = np.unique(np.concatenate(doc_union))
+        new_mask = np.fromiter(
+            (int(d) not in scored for d in docs), bool, len(docs)
+        )
+        docs = docs[new_mask]
+        if docs.size == 0:
+            continue
+        acc = np.zeros(docs.size, dtype=np.float64)
+        for t in terms:  # term-sorted accumulation -> deterministic sums
+            if t not in term_docs:
+                continue
+            dd, pp = term_docs[t]
+            pos = np.searchsorted(docs, dd)
+            ok = (pos < docs.size) & (docs[np.minimum(pos, docs.size - 1)] == dd)
+            np.add.at(acc, pos[ok], pp[ok])
+        for d, s in zip(docs.tolist(), acc.tolist()):
+            scored.add(int(d))
+            if len(heap) < k:
+                heapq.heappush(heap, (s, -int(d)))
+            elif (s, -int(d)) > heap[0]:
+                heapq.heapreplace(heap, (s, -int(d)))
+
+    out = sorted(((s, -nd) for s, nd in heap), key=lambda x: (-x[0], x[1]))
+    return pd.DataFrame(
+        {"doc_id": [d for _, d in out], "score": [s for s, _ in out]}
+    )
+
+
+def wand_topk(
+    segments: DataFrame,
+    query_terms: Sequence[str],
+    corpus: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k (rank, doc_id, score) over the compressed segment store."""
+    terms = sorted(set(query_terms))
+    spark = segments.sparkSession
+    if not terms:
+        return spark.createDataFrame([], "rank long, doc_id long, score double")
+    crow = corpus.collect()[0]
+    avgdl = float(crow["avgdl"])
+
+    matched = segments.where(F.col("term").isin(terms))
+
+    def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        return shard_topk_pandas(pdf, k, avgdl)
+
+    shard_tops = matched.groupBy("shard").applyInPandas(
+        per_shard, "doc_id long, score double"
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        shard_tops.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("rank", "doc_id", "score")
+    )
