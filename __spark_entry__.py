@@ -87,6 +87,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": lambda s, d: T.bm25_documents_topk(
             _docs(s, d), _BM25_TERMS, k=20
         ),
+        # same oracle as bm25_topk, served through compressed segments + WAND
+        "bm25_wand_topk": lambda s, d: T.bm25_wand_documents_topk(
+            _docs(s, d), _BM25_TERMS, k=20
+        ),
         "term_stats_top100": lambda s, d: (
             T.document_term_stats(_docs(s, d), min_df=3)
             .orderBy(F.desc("df"), F.asc("term"))
@@ -127,7 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     terms_in = ", ".join(f"'{t}'" for t in _BM25_TERMS)
     count_in = ", ".join(f"'{t}'" for t in _COUNT_TERMS)
-    return {
+    out = {
         "bm25_topk": _TOK_CTE + f""",
 dl AS (SELECT doc_id, sum(tf)::BIGINT AS doclen FROM post GROUP BY 1),
 corp AS (SELECT count(*)::BIGINT AS n_docs,
@@ -290,3 +294,6 @@ FROM nation LEFT JOIN per_nation ON n_nationkey = c_nationkey
 ORDER BY n_name
 """,
     }
+    # the WAND-served query must match the same relational semantics
+    out["bm25_wand_topk"] = out["bm25_topk"]
+    return out

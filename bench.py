@@ -3,15 +3,23 @@
 local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Also the scaling-evidence tool: run with SPARK_GRAFT_CPUS=8 and =32 on the
-same input to measure throughput scaling efficiency (BASELINE.md), since a
-real multi-executor cluster isn't available in the sandbox.
+Structure mirrors the engine's real lifecycle:
+  * build: pages -> extraction -> postings -> compressed segments
+    (checkpointed store), reported as docs/sec,
+  * serve: block-max WAND top-k over the store, reported as per-query
+    p50/p99 latency,
+  * the training-data operator families over the driver's tables.
+
+Scaling evidence (BASELINE.md): run with SPARK_GRAFT_CPUS=8 and =32 on
+identical input; scripts/run_scaling.sh writes both runs to BENCH.md.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -24,23 +32,24 @@ if _REPO not in sys.path:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    out_extra = os.environ.get("SPARK_GRAFT_BENCH_META", "")
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
         sf = -1.0
-
-    from pyspark.sql import functions as F
 
     from greynirserver_spark.session import get_spark
     from greynirserver_spark.corpus import generate_pages, indexable_stems_by_rank
     from greynirserver_spark.operators import ann as N
     from greynirserver_spark.operators import dedup as D
     from greynirserver_spark.operators import textops as T
-    from greynirserver_spark.operators.bm25 import bm25_topk_exact
-    from greynirserver_spark.plans.pipeline import build_index, query_to_terms
+    from greynirserver_spark.operators.wand import wand_topk
+    from greynirserver_spark.plans.lineage import build_index_checkpointed
+    from greynirserver_spark.plans.pipeline import query_to_terms
 
+    n_cpus = int(cpus) if cpus.isdigit() else 32
     spark = get_spark(app_name="greynirserver-bench", master=f"local[{cpus}]",
-                      shuffle_partitions=int(cpus) if cpus.isdigit() else 32)
+                      shuffle_partitions=n_cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
@@ -55,35 +64,50 @@ def main() -> None:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     n_docs = docs.count()
 
-    # --- q1: full-text index build over documents (postings + stats) ---
-    def q1():
-        p = T.document_postings(docs)
-        s = T.document_term_stats(docs)
-        return p.count() + s.count()
-    timed("q1_index_build_documents", q1)
+    # --- q1: full index build (pages -> extract -> postings -> segments),
+    #         checkpointed store; throughput metric of the north rule
+    n_pages = int(
+        os.environ.get("SPARK_GRAFT_PAGES", max(1000, int(20000 * max(sf, 0.05))))
+    )
+    store_root = f"/tmp/bench-index-{os.getpid()}"
+    shutil.rmtree(store_root, ignore_errors=True)
+    pages = generate_pages(spark, n_pages).cache()
+    pages.count()  # materialize: generation cost excluded from build time
 
-    # --- q2: BM25 top-k queries (the serving path) ---
-    def q2():
+    def q1():
+        return build_index_checkpointed(
+            spark, pages, store_root, n_shards=n_cpus, min_df=3
+        )
+    store = timed(f"q1_index_build_{n_pages}pages", q1)
+    docs_per_sec = round(n_pages / timings[f"q1_index_build_{n_pages}pages"], 1)
+
+    # --- q2: WAND serving latency over the store (p50/p99) ---
+    segments = store.load_segments(spark).cache()
+    segments.count()
+    corpus = store.load(spark, "corpus").cache()
+    stems = indexable_stems_by_rank(24)
+    lat = []
+    for i in range(12):
+        qterms = query_to_terms(" ".join(stems[2 * (i % 6): 2 * (i % 6) + 2]))
+        t0 = time.perf_counter()
+        wand_topk(segments, qterms, corpus, 10).collect()
+        lat.append(time.perf_counter() - t0)
+    timings["q2_wand_query_p50"] = round(statistics.median(lat), 3)
+    timings["q2_wand_query_p99"] = round(
+        sorted(lat)[max(0, int(len(lat) * 0.99) - 1)], 3
+    )
+    timings["q2_wand_12_queries_total"] = round(sum(lat), 3)
+
+    # --- q3: exact BM25 over documents (relational path) ---
+    def q3():
         total = 0
         for terms in (["spark", "join"], ["window", "stream", "batch"],
                       ["hash", "table", "scan", "filter"]):
             total += T.bm25_documents_topk(docs, terms, k=20).count()
         return total
-    timed("q2_bm25_topk_x3", q2)
+    timed("q3_bm25_exact_x3", q3)
 
-    # --- q3: pages pipeline end-to-end (extract -> tokenize -> index -> query)
-    n_pages = max(1000, int(2000 * max(sf, 0.05) * 10))
-    def q3():
-        pages = generate_pages(spark, n_pages)
-        idx = build_index(spark, pages, min_df=3)
-        head = indexable_stems_by_rank(2)
-        terms = query_to_terms(" ".join(head))
-        return bm25_topk_exact(
-            idx.postings, idx.term_stats, idx.doc_stats, idx.corpus, terms, 20
-        ).count()
-    timed(f"q3_pages_pipeline_{n_pages}docs", q3)
-
-    # --- q4: dedup family ---
+    # --- q4-6: dedup family ---
     timed("q4_minhash_lsh", lambda: D.minhash_lsh_pairs(docs, 0.8, bands=8).count())
     timed("q5_simhash", lambda: D.simhash_fingerprints(docs).count())
     timed("q6_ngram_jaccard", lambda: D.ngram_jaccard_pairs(docs, 3, 0.2).count())
@@ -92,20 +116,27 @@ def main() -> None:
     qvec = [float(x) for x in emb.select("embedding").first()[0]]
     timed("q7_ann_bruteforce", lambda: N.cosine_topk_bruteforce(emb, qvec, 10).count())
 
-    # --- q8: analytics (quality + fingerprints) ---
+    # --- q8: quality scoring ---
     timed("q8_quality_scores", lambda: T.quality_scores(docs).count())
 
+    shutil.rmtree(store_root, ignore_errors=True)
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    result = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "cpus": int(cpus) if cpus.isdigit() else cpus,
+        "cpus": n_cpus,
         "n_documents": n_docs,
         "pages_docs": n_pages,
-    }))
+        "index_docs_per_sec": docs_per_sec,
+        "wand_p50_ms": round(timings["q2_wand_query_p50"] * 1000),
+        "wand_p99_ms": round(timings["q2_wand_query_p99"] * 1000),
+    }
+    if out_extra:
+        result["meta"] = out_extra
+    print(json.dumps(result))
     spark.stop()
 
 

@@ -66,14 +66,18 @@ SEGMENT_SCHEMA = (
 
 # --------------------------------------------------------------- codec
 
-def varint_encode(values: np.ndarray) -> bytes:
+def varint_encode_with_lengths(
+    values: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray]:
     """LEB128 varint encoding of a uint64 array, vectorized.
 
     O(10) full-array passes: byte j of every value is written in pass j.
+    Returns (uint8 buffer, per-value byte lengths) so callers can slice
+    per-segment byte ranges without re-encoding.
     """
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
     # bytes needed per value: ceil(bitlen / 7), min 1
     nbits = np.zeros(v.shape, dtype=np.int64)
     tmp = v.copy()
@@ -92,7 +96,13 @@ def varint_encode(values: np.ndarray) -> bytes:
         byte = ((v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
         cont = (nbytes[mask] - 1 > j).astype(np.uint8) << 7
         out[offsets[mask] + j] = byte | cont
-    return out.tobytes()
+    return out, nbytes
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128 varint encoding of a uint64 array -> bytes."""
+    buf, _ = varint_encode_with_lengths(values)
+    return buf.tobytes()
 
 
 def varint_decode(buf: bytes) -> np.ndarray:
@@ -183,36 +193,79 @@ def build_segments(
     cols = ["term", "shard", "block_id", "n_docs", "first_doc",
             "last_doc", "block_max", "idf", "docs", "tfs", "dls"]
 
-    def _encode_term_group(g: pd.DataFrame, rows: list) -> None:
-        """g: one (shard, term) group, already doc-sorted."""
-        doc = g["doc_id"].to_numpy(dtype=np.int64)
-        tf = g["tf"].to_numpy(dtype=np.int64)
-        dl = g["doclen"].to_numpy(dtype=np.int64)
-        idf = float(g["idf"].iloc[0])
-        term = g["term"].iloc[0]
-        shard = int(g["shard"].iloc[0])
+    def _encode_batch(b: pd.DataFrame) -> pd.DataFrame:
+        """Encode one sorted batch with NO per-group Python: group and
+        block boundaries, delta coding, block-max and the three varint
+        streams are all whole-batch NumPy; the only Python loop is the
+        final per-segment byte-buffer slicing (O(#segments))."""
+        shard = b["shard"].to_numpy(np.int64)
+        terms = b["term"].to_numpy()
+        doc = b["doc_id"].to_numpy(np.int64)
+        tf = b["tf"].to_numpy(np.int64)
+        dl = b["doclen"].to_numpy(np.int64)
+        idf = b["idf"].to_numpy(np.float64)
+        n = len(b)
+
+        grp_change = np.empty(n, dtype=bool)
+        grp_change[0] = True
+        grp_change[1:] = (terms[1:] != terms[:-1]) | (shard[1:] != shard[:-1])
+        grp_starts = np.nonzero(grp_change)[0]
+        grp_id = np.cumsum(grp_change) - 1
+        pos_in_grp = np.arange(n) - grp_starts[grp_id]
+        seg_change = (pos_in_grp % block_size) == 0
+        seg_starts = np.nonzero(seg_change)[0]
+        seg_ends = np.append(seg_starts[1:], n) - 1
+
+        deltas = doc.copy()
+        deltas[1:] -= doc[:-1]
+        deltas[seg_starts] = doc[seg_starts]
         parts = bm25_partial(tf, dl, idf, avgdl)
-        for b0 in range(0, len(doc), block_size):
-            sl = slice(b0, b0 + block_size)
-            d, t, l = doc[sl], tf[sl], dl[sl]
-            docs_b, tfs_b, dls_b = encode_block(d, t, l)
-            rows.append(
-                (
-                    term, shard, b0 // block_size, len(d),
-                    int(d[0]), int(d[-1]), float(parts[sl].max()), idf,
-                    docs_b, tfs_b, dls_b,
-                )
-            )
+
+        d_buf, d_len = varint_encode_with_lengths(deltas.astype(np.uint64))
+        t_buf, t_len = varint_encode_with_lengths(tf.astype(np.uint64))
+        l_buf, l_len = varint_encode_with_lengths(dl.astype(np.uint64))
+        d_off = np.concatenate(([0], np.cumsum(d_len)))
+        t_off = np.concatenate(([0], np.cumsum(t_len)))
+        l_off = np.concatenate(([0], np.cumsum(l_len)))
+
+        d_bytes = d_buf.tobytes()
+        t_bytes = t_buf.tobytes()
+        l_bytes = l_buf.tobytes()
+
+        return pd.DataFrame(
+            {
+                "term": terms[seg_starts],
+                "shard": shard[seg_starts].astype(np.int32),
+                "block_id": (pos_in_grp[seg_starts] // block_size).astype(
+                    np.int32
+                ),
+                "n_docs": (seg_ends - seg_starts + 1).astype(np.int32),
+                "first_doc": doc[seg_starts],
+                "last_doc": doc[seg_ends],
+                "block_max": np.maximum.reduceat(parts, seg_starts),
+                "idf": idf[seg_starts],
+                "docs": [
+                    d_bytes[d_off[s]: d_off[e + 1]]
+                    for s, e in zip(seg_starts, seg_ends)
+                ],
+                "tfs": [
+                    t_bytes[t_off[s]: t_off[e + 1]]
+                    for s, e in zip(seg_starts, seg_ends)
+                ],
+                "dls": [
+                    l_bytes[l_off[s]: l_off[e + 1]]
+                    for s, e in zip(seg_starts, seg_ends)
+                ],
+            }
+        )
 
     def encode_partition(
         batches: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
-        """One sorted partition (all rows of some shards, ordered by
-        (shard, term, doc_id)). Groups are processed per Arrow batch with
-        pandas groupby (C-speed); a group straddling a batch boundary is
-        carried forward — so the per-group Python overhead of
-        applyInPandas over millions of tiny (shard, term) groups is
-        avoided (observed 85k groups -> 85k Python calls at toy scale)."""
+        """One sorted partition (rows ordered by (shard, term, doc_id)).
+        Each Arrow batch is encoded whole-batch vectorized; a (shard,
+        term) group straddling a batch boundary is carried forward so
+        group/block boundaries are independent of batch size."""
         carry: pd.DataFrame | None = None
         for b in batches:
             if carry is not None and len(carry):
@@ -225,15 +278,9 @@ def build_segments(
             carry = b.loc[tail_mask]
             head = b.loc[~tail_mask]
             if len(head):
-                rows: list = []
-                for _, g in head.groupby(["shard", "term"], sort=False):
-                    _encode_term_group(g, rows)
-                if rows:
-                    yield pd.DataFrame(rows, columns=cols)
+                yield _encode_batch(head.reset_index(drop=True))
         if carry is not None and len(carry):
-            rows = []
-            _encode_term_group(carry, rows)
-            yield pd.DataFrame(rows, columns=cols)
+            yield _encode_batch(carry.reset_index(drop=True))
 
     return (
         enriched.repartition(n_shards, "shard")

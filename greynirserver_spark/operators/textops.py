@@ -151,6 +151,60 @@ def bm25_documents_topk(
     )
 
 
+def bm25_wand_documents_topk(
+    docs: DataFrame, query_terms: Sequence[str], k: int = 20,
+    min_df: int = 3, n_shards: int = 8,
+) -> DataFrame:
+    """Same result as :func:`bm25_documents_topk`, computed through the
+    compressed segment store + block-max WAND (the serving path). Used by
+    the driver gate with the *same* oracle SQL — proving the compressed
+    path end-to-end against DuckDB.
+
+    Raw WAND scores are exact float64; for the cross-engine comparison the
+    top-(k+50) raw results are re-ranked by (round(score,4) desc, doc_id)
+    — the slack absorbs boundary docs whose rounded scores tie.
+    """
+    from .segments import build_segments
+    from .wand import wand_topk
+    from pyspark.sql.window import Window as W
+
+    terms = sorted(set(query_terms))
+    postings = document_postings(docs)
+    doclen = postings.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("doclen")
+    )
+    corpus = doclen.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("doclen").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tstats = (
+        postings.groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+        .where(F.col("df") >= min_df)
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+        )
+        .select("term", "df", "idf")
+    )
+    segments = build_segments(
+        postings, tstats, doclen, corpus, n_shards=n_shards
+    )
+    raw = wand_topk(segments, terms, corpus, k + 50)
+    w = W.orderBy(F.desc("score_r"), F.asc("doc_id"))
+    return (
+        raw.withColumn("score_r", F.round("score", 4))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("rank", "doc_id", F.col("score_r").alias("score"))
+    )
+
+
 def quality_scores(docs: DataFrame) -> DataFrame:
     """Per-doc quality features for training-data filtering:
     (doc_id, n_tokens, n_unique, unique_ratio, avg_token_len).
