@@ -26,7 +26,7 @@ if _REPO not in sys.path:
 
 # ---------------------------------------------------------------- helpers
 
-_TOKEN_RE = "[^a-z0-9áðéíóúýþæö]+"
+_TOKEN_RE = "[^\\p{L}0-9]+"
 
 # Shared DuckDB CTE: the token pipeline over `documents`
 _TOK_CTE = f"""
@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from greynirserver_spark.operators import analytics as A
     from greynirserver_spark.operators import ann as N
     from greynirserver_spark.operators import dedup as D
+    from greynirserver_spark.operators import multimodal as M
     from greynirserver_spark.operators import textops as T
 
     return {
@@ -115,8 +116,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": lambda s, d: N.lsh_bucket_topk(
             _emb(s, d), _query_vec(s, d), k=10, exclude_vec_id=_ANN_QUERY_ID
         ),
+        # --- multimodal plumbing (rows-only: binary decode is stubbed) ---
+        "media_image_features": lambda s, d: M.extract_image_features(
+            M.synthesize_media(s, 120)
+        ),
+        "media_video_frames": lambda s, d: M.sample_video_frames(
+            M.synthesize_media(s, 120)
+        ),
         # --- analytics parity (reference query surface) ---
         "events_daily_spine": lambda s, d: A.events_daily_spine(s, d),
+        "events_weekly_by_type": lambda s, d: A.events_weekly_by_type(s, d),
+        "events_props_extract": lambda s, d: A.events_props_extract(s, d),
+        "top_events_per_user": lambda s, d: A.top_events_per_user(s, d),
+        "events_page": lambda s, d: A.events_page(s, d),
+        "term_autocomplete": lambda s, d: A.term_autocomplete(_docs(s, d), "s"),
+        "token_count_bpe": lambda s, d: A.token_count_bpe(_docs(s, d)),
         "latest_event_per_user": lambda s, d: A.latest_event_per_user(s, d),
         "top_users_by_active_days": lambda s, d: A.top_users_by_active_days(s, d),
         "related_terms": lambda s, d: A.related_terms(_docs(s, d), _RELATED_ROOT),
@@ -242,6 +256,51 @@ daily AS (SELECT ts::DATE AS day, count(*)::BIGINT AS cnt FROM events GROUP BY 1
 SELECT strftime(day, '%Y-%m-%d') AS day,
        coalesce(cnt, 0)::BIGINT AS n_events
 FROM spine LEFT JOIN daily USING (day)
+""",
+        "events_weekly_by_type": """
+SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error
+FROM events GROUP BY 1 ORDER BY week
+""",
+        "events_props_extract": """
+WITH e AS (
+  SELECT event_type,
+         CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, count(k)::BIGINT AS n,
+       round(sum(k)::DOUBLE / count(k), 4) AS avg_k
+FROM e GROUP BY event_type ORDER BY event_type
+""",
+        "top_events_per_user": """
+SELECT user_id, rn, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn <= 3
+""",
+        "events_page": """
+SELECT rn, event_id, user_id, event_type FROM (
+  SELECT event_id, user_id, event_type,
+         row_number() OVER (ORDER BY ts ASC, event_id ASC) AS rn
+  FROM events
+) WHERE rn > 50 AND rn <= 100
+""",
+        "term_autocomplete": _TOK_CTE + """
+SELECT term, count(*)::BIGINT AS df
+FROM post WHERE term LIKE 's%'
+GROUP BY term ORDER BY df DESC, term ASC LIMIT 10
+""",
+        "token_count_bpe": r"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '\p{L}+|[0-9]+|[^\s\p{L}0-9]'))::BIGINT
+         AS n_bpe_tokens
+FROM documents
 """,
         "latest_event_per_user": """
 SELECT user_id, event_id, ts, event_type FROM (

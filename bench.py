@@ -48,9 +48,22 @@ def main() -> None:
     from greynirserver_spark.plans.pipeline import query_to_terms
 
     n_cpus = int(cpus) if cpus.isdigit() else 32
-    spark = get_spark(app_name="greynirserver-bench", master=f"local[{cpus}]",
-                      shuffle_partitions=n_cpus)
+    # The job must be IDENTICAL at every parallelism level for the scaling
+    # measurement: fixed shard count and shuffle partitioning; only the
+    # cluster size varies. SPARK_GRAFT_MASTER can select
+    # local-cluster[W,C,M] — separate executor JVMs, the honest "N vs 4N
+    # executors" proxy — while the default stays local[cpus].
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    spark = get_spark(app_name="greynirserver-bench", master=master,
+                      shuffle_partitions=64)
     spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the Python UDF workers: their cold start (pandas/numpy import,
+    # one per executor thread) is a fixed per-session cost — a long-running
+    # cluster pays it once, so it must not pollute throughput timings.
+    spark.range(0, 256, 1, 256).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
 
@@ -71,12 +84,27 @@ def main() -> None:
     )
     store_root = f"/tmp/bench-index-{os.getpid()}"
     shutil.rmtree(store_root, ignore_errors=True)
-    pages = generate_pages(spark, n_pages).cache()
+    from pyspark import StorageLevel
+
+    # DISK_ONLY: the fixture corpus must not occupy the storage memory
+    # pool the measured job's execution side needs
+    pages = generate_pages(spark, n_pages).persist(StorageLevel.DISK_ONLY)
     pages.count()  # materialize: generation cost excluded from build time
+
+    # Warmup build on a slice: compiles the whole-stage-codegen classes,
+    # spins every Python worker, and gets the hot loops through C2 JIT.
+    # JIT/pool warmup is a per-session constant — long-running executors
+    # pay it once — so the throughput measurement uses the steady state.
+    warm_root = store_root + "-warm"
+    build_index_checkpointed(
+        spark, pages.limit(max(800, n_pages // 5)), warm_root,
+        n_shards=64, min_df=3,
+    )
+    shutil.rmtree(warm_root, ignore_errors=True)
 
     def q1():
         return build_index_checkpointed(
-            spark, pages, store_root, n_shards=n_cpus, min_df=3
+            spark, pages, store_root, n_shards=64, min_df=3
         )
     store = timed(f"q1_index_build_{n_pages}pages", q1)
     docs_per_sec = round(n_pages / timings[f"q1_index_build_{n_pages}pages"], 1)
@@ -97,6 +125,14 @@ def main() -> None:
         sorted(lat)[max(0, int(len(lat) * 0.99) - 1)], 3
     )
     timings["q2_wand_12_queries_total"] = round(sum(lat), 3)
+
+    scaling_only = os.environ.get("SPARK_GRAFT_SCALING_ONLY") == "1"
+    if scaling_only:
+        # scaling evidence mode: only the build + serve metrics
+        _emit(timings, sf, n_cpus, n_docs, n_pages, docs_per_sec, out_extra)
+        shutil.rmtree(store_root, ignore_errors=True)
+        spark.stop()
+        return
 
     # --- q3: exact BM25 over documents (relational path) ---
     def q3():
@@ -120,6 +156,11 @@ def main() -> None:
     timed("q8_quality_scores", lambda: T.quality_scores(docs).count())
 
     shutil.rmtree(store_root, ignore_errors=True)
+    _emit(timings, sf, n_cpus, n_docs, n_pages, docs_per_sec, out_extra)
+    spark.stop()
+
+
+def _emit(timings, sf, n_cpus, n_docs, n_pages, docs_per_sec, out_extra):
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline_suite_seconds",
@@ -137,7 +178,6 @@ def main() -> None:
     if out_extra:
         result["meta"] = out_extra
     print(json.dumps(result))
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -16,6 +16,12 @@ from .textops import document_postings
 
 __all__ = [
     "events_daily_spine",
+    "events_weekly_by_type",
+    "events_props_extract",
+    "top_events_per_user",
+    "events_page",
+    "term_autocomplete",
+    "token_count_bpe",
     "latest_event_per_user",
     "top_users_by_active_days",
     "related_terms",
@@ -116,6 +122,100 @@ def term_article_count(docs: DataFrame, terms: list) -> DataFrame:
     postings = document_postings(docs)
     return postings.where(F.col("term").isin(terms)).agg(
         F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+
+
+def events_weekly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly counts pivoted by event_type with conditional sums — the
+    reference's gender-pivot shape (db/sql.py:64-78) + IYYY-IW week
+    bucketing (db/sql.py:446-465). Pivot done with sum(when(...)) so the
+    column set is static and SQL-mirrorable."""
+    ev = _events(spark, sf_dir)
+    week = F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd")
+    agg = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+        .cast("long")
+        .alias(f"n_{t}")
+        for t in ("click", "view", "signup", "purchase", "error")
+    ]
+    return (
+        ev.groupBy(week.alias("week"))
+        .agg(*agg)
+        .orderBy("week")
+    )
+
+
+def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column extraction — the reference stores JSON payloads in
+    string columns and json.loads them in Python (article.py:258);
+    here it's get_json_object, fully JVM-side: per-type mean of props.k."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn(
+            "k", F.get_json_object("props", "$.k").cast("long")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("k").cast("long").alias("n"),
+            F.round(F.sum("k").cast("double") / F.count("k"), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def top_events_per_user(
+    spark: SparkSession, sf_dir: str, k: int = 3
+) -> DataFrame:
+    """Newest-k rows per key (reference: topic vectors of the newest 25
+    docs per term, db/sql.py:324-335) as a rank<=k window."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= k)
+        .select("user_id", "rn", "event_id", "event_type")
+    )
+
+
+def events_page(
+    spark: SparkSession, sf_dir: str, page_size: int = 50, page: int = 2
+) -> DataFrame:
+    """Keyset-free pagination via row_number — the reference paginates
+    with OFFSET/LIMIT (routes/news.py:98-102)."""
+    ev = _events(spark, sf_dir)
+    w = Window.orderBy(F.asc("ts"), F.asc("event_id"))
+    lo, hi = (page - 1) * page_size, page * page_size
+    return (
+        ev.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where((F.col("rn") > lo) & (F.col("rn") <= hi))
+        .select("rn", "event_id", "user_id", "event_type")
+    )
+
+
+def term_autocomplete(docs: DataFrame, prefix: str, limit: int = 10) -> DataFrame:
+    """Prefix autocomplete over the vocabulary, ordered by df — the
+    reference's ILIKE 'x%' autocomplete (routes/main.py:475-483);
+    startswith pushes down as a range predicate."""
+    from .textops import document_term_stats
+
+    return (
+        document_term_stats(docs, min_df=1)
+        .where(F.col("term").startswith(prefix))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(limit)
+        .select("term", "df")
+    )
+
+
+def token_count_bpe(docs: DataFrame) -> DataFrame:
+    """BPE-ish token counting for training-data budgeting: word pieces,
+    number runs and single punctuation each count as one token."""
+    pattern = "\\p{L}+|[0-9]+|[^\\s\\p{L}0-9]"
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(pattern), F.lit(0))
+        ).cast("long").alias("n_bpe_tokens"),
     )
 
 

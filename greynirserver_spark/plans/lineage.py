@@ -207,9 +207,14 @@ def build_index_checkpointed(
         texts = pages.where(F.col("lang") == "is").select(
             "url", "warc_ts", extract_text_udf()(F.col("html")).alias("text")
         )
-        # assign_doc_ids runs two actions (offset count + id map); cache so
-        # the extraction UDF executes once per row, not twice
-        texts = texts.cache()
+        # assign_doc_ids runs two actions (offset count + id map); persist
+        # so the extraction UDF executes once per row, not twice.
+        # DISK_ONLY: parking large text blocks in the storage pool starves
+        # the execution pool under high task concurrency (measured 3x
+        # slowdown at 32 threads); local disk re-read is cheap next to that.
+        from pyspark import StorageLevel
+
+        texts = texts.persist(StorageLevel.DISK_ONLY)
         try:
             docs = assign_doc_ids(texts, "url", num_partitions)
             b = _commit_table(docs, store.doc_map)
@@ -224,7 +229,13 @@ def build_index_checkpointed(
     # ---- stage 2: tokens -> postings --------------------------------
     def s_postings():
         vocab = spark.createDataFrame(vocabulary()[["stem", "cat"]])
-        tokens = tokenize_marked_text(docs.select("doc_id", "text"), vocab)
+        src = docs.select("doc_id", "text")
+        # explode-amplification guard: never tokenize on fewer partitions
+        # than the cluster has cores
+        min_par = spark.sparkContext.defaultParallelism
+        if src.rdd.getNumPartitions() < min_par:
+            src = src.repartition(min_par)
+        tokens = tokenize_marked_text(src, vocab)
         indexed = apply_index_filter(tokens, spark)
         p = build_postings(indexed.select("doc_id", "term"))
         b = _commit_table(p, store.postings)

@@ -108,14 +108,14 @@ def query_to_terms(qtext: str, default_cat: str = "entity") -> list[str]:
         CATEGORIES_TO_INDEX,
         MAX_WORD_LEN,
         NOINDEX_PAIRS,
-        TOKEN_SPLIT_RE,
+        PY_TOKEN_SPLIT_RE,
     )
 
     vocab = vocabulary()
     cat_map = dict(zip(vocab["stem"], vocab["cat"]))
     noindex = {(s.lower(), c) for s, c in NOINDEX_PAIRS}
     terms = []
-    for tok in re.split(TOKEN_SPLIT_RE, qtext.lower()):
+    for tok in re.split(PY_TOKEN_SPLIT_RE, qtext.lower()):
         if not tok or len(tok) > MAX_WORD_LEN:
             continue
         cat = cat_map.get(tok, default_cat)

@@ -28,6 +28,7 @@ __all__ = [
     "NOINDEX_PAIRS",
     "MAX_WORD_LEN",
     "TOKEN_SPLIT_RE",
+    "PY_TOKEN_SPLIT_RE",
     "normalized_term",
     "tokenize_marked_text",
     "tokenize_plain_text",
@@ -65,9 +66,20 @@ NOINDEX_PAIRS = tuple(
     + [(w, "kvk") for w in _NOINDEX_KVK]
 )
 
-# Icelandic letters + digits keep a token together; everything else splits.
-# Applied to lower-cased text, so only lower-case letters are listed.
-TOKEN_SPLIT_RE = "[^a-z0-9áðéíóúýþæö]+"
+# Any Unicode letter or ASCII digit keeps a token together; everything
+# else splits. \p{L} (not an explicit Icelandic char class) for two
+# reasons: web text carries every script, and Java's regex engine runs
+# predefined property classes ~35x faster than custom classes containing
+# non-ASCII chars (measured 0.9s vs 32.7s over 200MB of text). RE2
+# (DuckDB oracle) supports the same syntax.
+TOKEN_SPLIT_RE = r"[^\p{L}0-9]+"
+
+# Python's re module has no \p{L}; [\W_]+ is the equivalent splitter for
+# driver-side query parsing and the NumPy oracles (\w = unicode letters +
+# digits + underscore; we additionally split on '_'). Divergence is
+# possible only for non-ASCII digits, which the token pipeline never
+# emits.
+PY_TOKEN_SPLIT_RE = r"[\W_]+"
 
 # Paragraph markers are structure, not content: strip them before
 # tokenizing ([[...]] format produced by extraction.py)

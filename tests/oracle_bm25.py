@@ -20,13 +20,13 @@ from greynirserver_spark.tokenization import (
     CATEGORIES_TO_INDEX,
     MAX_WORD_LEN,
     NOINDEX_PAIRS,
-    TOKEN_SPLIT_RE,
+    PY_TOKEN_SPLIT_RE,
 )
 
 K1 = 1.2
 B = 0.75
 
-_SPLIT = re.compile(TOKEN_SPLIT_RE)
+_SPLIT = re.compile(PY_TOKEN_SPLIT_RE)
 
 
 def oracle_index(pages: pd.DataFrame, min_df: int = 3):
