@@ -79,6 +79,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from greynirserver_spark.operators import analytics as A
     from greynirserver_spark.operators import ann as N
+    from greynirserver_spark.operators import cleaning as C
     from greynirserver_spark.operators import dedup as D
     from greynirserver_spark.operators import multimodal as M
     from greynirserver_spark.operators import textops as T
@@ -115,6 +116,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ann_lsh_topk": lambda s, d: N.lsh_bucket_topk(
             _emb(s, d), _query_vec(s, d), k=10, exclude_vec_id=_ANN_QUERY_ID
+        ),
+        # --- corpus cleaning pipeline ---
+        "corpus_clean_status": lambda s, d: C.clean_corpus(
+            _docs(s, d), lang="en", min_tokens=20, min_unique_ratio=0.05
+        ),
+        "corpus_clean_summary": lambda s, d: C.clean_summary(
+            C.clean_corpus(_docs(s, d), lang="en", min_tokens=20,
+                           min_unique_ratio=0.05)
+        ),
+        # near-dup variant: MinHash internals -> rows-only check
+        "corpus_clean_with_neardup": lambda s, d: C.clean_summary(
+            C.clean_corpus(_docs(s, d), lang="en", min_tokens=20,
+                           min_unique_ratio=0.05, near_dup=True,
+                           near_dup_threshold=0.9)
         ),
         # --- multimodal plumbing (rows-only: binary decode is stubbed) ---
         "media_image_features": lambda s, d: M.extract_image_features(
@@ -256,6 +271,53 @@ daily AS (SELECT ts::DATE AS day, count(*)::BIGINT AS cnt FROM events GROUP BY 1
 SELECT strftime(day, '%Y-%m-%d') AS day,
        coalesce(cnt, 0)::BIGINT AS n_events
 FROM spine LEFT JOIN daily USING (day)
+""",
+        "corpus_clean_status": _TOK_CTE + """,
+stats AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         count(DISTINCT term)::BIGINT AS n_unique
+  FROM tokf GROUP BY doc_id
+),
+base AS (
+  SELECT d.doc_id, d.lang,
+         min(d.doc_id) OVER (PARTITION BY md5(d.text)) AS dup_min,
+         coalesce(s.n_tokens, 0) AS n_tokens,
+         coalesce(s.n_unique, 0) AS n_unique
+  FROM documents d LEFT JOIN stats s ON d.doc_id = s.doc_id
+)
+SELECT doc_id,
+       CASE WHEN lang <> 'en' THEN 'lang'
+            WHEN n_tokens < 20 THEN 'too_short'
+            WHEN n_tokens > 100000 THEN 'too_long'
+            WHEN n_unique < n_tokens * 0.05 THEN 'low_diversity'
+            WHEN dup_min <> doc_id THEN 'exact_dup'
+            ELSE 'kept' END AS status
+FROM base
+""",
+        "corpus_clean_summary": _TOK_CTE + """,
+stats AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         count(DISTINCT term)::BIGINT AS n_unique
+  FROM tokf GROUP BY doc_id
+),
+base AS (
+  SELECT d.doc_id, d.lang,
+         min(d.doc_id) OVER (PARTITION BY md5(d.text)) AS dup_min,
+         coalesce(s.n_tokens, 0) AS n_tokens,
+         coalesce(s.n_unique, 0) AS n_unique
+  FROM documents d LEFT JOIN stats s ON d.doc_id = s.doc_id
+),
+tagged AS (
+  SELECT CASE WHEN lang <> 'en' THEN 'lang'
+              WHEN n_tokens < 20 THEN 'too_short'
+              WHEN n_tokens > 100000 THEN 'too_long'
+              WHEN n_unique < n_tokens * 0.05 THEN 'low_diversity'
+              WHEN dup_min <> doc_id THEN 'exact_dup'
+              ELSE 'kept' END AS status
+  FROM base
+)
+SELECT status, count(*)::BIGINT AS n_docs FROM tagged
+GROUP BY status ORDER BY status
 """,
         "events_weekly_by_type": """
 SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,

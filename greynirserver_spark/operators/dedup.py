@@ -37,6 +37,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",
+    "bands_for_threshold",
     "simhash_fingerprints",
     "simhash_near_pairs",
 ]
@@ -175,9 +176,23 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     return tok_hashes.mapInPandas(sig_batches, "doc_id long, sig array<long>")
 
 
+def bands_for_threshold(threshold: float, n_hashes: int = _MINHASH_H) -> int:
+    """Pick the band count whose S-curve midpoint (1/b)^(r/H... i.e.
+    t = (1/b)^(1/r) with r = H/b) sits just below *threshold*, so pairs
+    at the threshold are found with high probability without flooding
+    the candidate join."""
+    best, best_t = 16, 0.0
+    for b in (4, 8, 16, 32):
+        r = n_hashes // b
+        t = (1.0 / b) ** (1.0 / r)
+        if t <= threshold * 0.85 and t > best_t:
+            best, best_t = b, t
+    return best
+
+
 def minhash_lsh_pairs(
     docs: DataFrame, threshold: float = 0.5, verify: bool = True,
-    bands: int = _MINHASH_BANDS,
+    bands: int = 0,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH.
 
@@ -188,6 +203,7 @@ def minhash_lsh_pairs(
     crosses ~0.5, 8 bands x 8 rows ~0.75 — choose bands to match the
     threshold so the candidate join stays linear in docs.
     """
+    bands = bands or bands_for_threshold(threshold)
     sigs = minhash_signatures(docs)
     rows_per_band = _MINHASH_H // bands
     band_rows = sigs.select(

@@ -1,0 +1,154 @@
+"""Query router: the reference's ``/query.api`` dispatch, Spark-side.
+
+The reference routes a query string through plain-text matchers and
+grammar nonterminals to a handler per query type (``_QFUNC`` map,
+queries/builtin.py:833-842; dispatch queries/__init__.py:1094-1205).
+The Earley grammar exists to parse free-form Icelandic; the engine
+surface it ultimately hits is small and relational:
+
+| qtype | reference handler | router target |
+|---|---|---|
+| Search ("skyld orð", free text) | launch_search -> simserver top-k (builtin.py:771-815) | :meth:`Router.search` — BM25 WAND over segments |
+| RelatedWords | RelatedWordsQuery (db/sql.py:287-316) | :meth:`Router.related` |
+| WordFrequency timeline | WordFrequencyQuery (db/sql.py:413-466) | :meth:`Router.word_frequency` |
+| ArticleCount | ArticleCountQuery (db/sql.py:338-366) | :meth:`Router.article_count` |
+| NewestArticles | ArticleListQuery (db/sql.py:369-410) | :meth:`Router.newest` |
+
+Plain-text pattern matching (the reference's regex matchers,
+queries/words.py:202-247) picks the qtype; everything else is a
+parameterized DataFrame plan over the index tables. Answers carry the
+reference's result caps (top-20 answers, <=5 urls — builtin.py:83-94).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.wand import wand_topk
+from ..plans.lineage import IndexStore
+from ..plans.pipeline import query_to_terms
+
+__all__ = ["Router", "Answer"]
+
+_MAXLEN_ANSWER = 20   # reference queries/builtin.py:84
+_MAX_URLS = 5         # reference queries/builtin.py:94
+
+# Plain-text qtype matchers (the reference's wake-word/regex layer,
+# queries/__init__.py:122-134 + queries/words.py:202-247, re-targeted
+# to the analytics the engine serves)
+_RELATED_RE = re.compile(r"^(?:skyld orð við|related words for)\s+(.+)$", re.I)
+_FREQ_RE = re.compile(r"^(?:tíðni orðsins|word frequency of)\s+(.+)$", re.I)
+_COUNT_RE = re.compile(r"^(?:hversu margar greinar um|article count for)\s+(.+)$", re.I)
+_NEWEST_RE = re.compile(r"^(?:nýjustu greinar|newest articles)\s*(.*)$", re.I)
+
+
+@dataclass
+class Answer:
+    qtype: str
+    df: DataFrame
+    terms: List[str] = field(default_factory=list)
+
+
+class Router:
+    """Routes query strings against a persisted :class:`IndexStore`."""
+
+    def __init__(self, spark: SparkSession, store: IndexStore) -> None:
+        self.spark = spark
+        self.store = store
+        self.segments = store.load_segments(spark)
+        self.corpus = store.load(spark, "corpus")
+        self.postings = store.load(spark, "postings")
+        self.doc_map = store.load(spark, "doc_map")
+
+    # ---------------------------------------------------------- dispatch
+
+    def execute(self, qtext: str, k: int = 10) -> Answer:
+        """Preprocess (strip trailing punctuation, reference
+        queries/__init__.py:393-408) and dispatch by plain-text pattern;
+        default qtype is Search."""
+        q = qtext.strip().rstrip("?!.").strip()
+        if m := _RELATED_RE.match(q):
+            return Answer("RelatedWords", self.related(m.group(1)))
+        if m := _FREQ_RE.match(q):
+            return Answer("WordFrequency", self.word_frequency(m.group(1)))
+        if m := _COUNT_RE.match(q):
+            return Answer("ArticleCount", self.article_count(m.group(1)))
+        if m := _NEWEST_RE.match(q):
+            return Answer("NewestArticles", self.newest())
+        terms = query_to_terms(q)
+        return Answer("Search", self.search(terms, k), terms)
+
+    # ---------------------------------------------------------- handlers
+
+    def search(self, terms: List[str], k: int = 10) -> DataFrame:
+        """BM25 top-k joined to urls — the reference's similarity answer
+        list (search.py:119-214), capped like _MAXLEN_SEARCH."""
+        k = min(k, _MAXLEN_ANSWER)
+        hits = wand_topk(self.segments, terms, self.corpus, k)
+        return (
+            hits.join(self.doc_map.select("doc_id", "url", "warc_ts"), "doc_id")
+            .orderBy("rank")
+            .select("rank", "doc_id", "url", "warc_ts", "score")
+        )
+
+    def related(self, word: str, limit: int = 21) -> DataFrame:
+        """Co-occurring terms, top-21 (db/sql.py:287-316)."""
+        terms = query_to_terms(word)
+        if not terms:
+            return self.spark.createDataFrame([], "term string, cnt long")
+        root = terms[0]
+        doc_set = self.postings.where(F.col("term") == root).select("doc_id")
+        return (
+            self.postings.join(doc_set, "doc_id", "left_semi")
+            .where(F.col("term") != root)
+            .groupBy("term")
+            .agg(F.sum("tf").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("term"))
+            .limit(limit)
+        )
+
+    def word_frequency(self, word: str) -> DataFrame:
+        """Daily occurrence counts with a zero-filled spine
+        (db/sql.py:413-466): postings ⋈ doc_map dates."""
+        terms = query_to_terms(word)
+        if not terms:
+            return self.spark.createDataFrame([], "day string, cnt long")
+        dated = (
+            self.postings.where(F.col("term").isin(terms))
+            .join(self.doc_map.select("doc_id", "warc_ts"), "doc_id")
+            .groupBy(F.to_date("warc_ts").alias("day"))
+            .agg(F.sum("tf").cast("long").alias("cnt"))
+        )
+        bounds = self.doc_map.agg(
+            F.min(F.to_date("warc_ts")).alias("d0"),
+            F.max(F.to_date("warc_ts")).alias("d1"),
+        )
+        spine = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+        return (
+            spine.join(dated, "day", "left")
+            .select(
+                F.date_format("day", "yyyy-MM-dd").alias("day"),
+                F.coalesce("cnt", F.lit(0)).alias("cnt"),
+            )
+            .orderBy("day")
+        )
+
+    def article_count(self, words: str) -> DataFrame:
+        """Distinct docs containing any of the words (db/sql.py:338-366)."""
+        terms = query_to_terms(words)
+        return self.postings.where(F.col("term").isin(terms or ["∅"])).agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs")
+        )
+
+    def newest(self, limit: int = _MAX_URLS) -> DataFrame:
+        """Newest articles (ArticleListQuery db/sql.py:369-410), capped
+        at the reference's _MAX_URLS."""
+        return (
+            self.doc_map.orderBy(F.desc("warc_ts"), F.asc("doc_id"))
+            .limit(limit)
+            .select("doc_id", "url", "warc_ts")
+        )

@@ -1,0 +1,117 @@
+"""Query router dispatch + corpus cleaning pipeline tests."""
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F
+
+from greynirserver_spark.corpus import generate_pages_pdf, indexable_stems_by_rank
+from greynirserver_spark.operators.cleaning import clean_corpus, clean_summary
+from greynirserver_spark.plans.lineage import build_index_checkpointed
+from greynirserver_spark.query.router import Router
+
+
+@pytest.fixture(scope="module")
+def router(spark, tmp_path_factory):
+    pages = spark.createDataFrame(generate_pages_pdf(200))
+    root = str(tmp_path_factory.mktemp("router") / "store")
+    store = build_index_checkpointed(spark, pages, root, n_shards=4,
+                                     block_size=32)
+    return Router(spark, store)
+
+
+def test_search_dispatch(router):
+    head = indexable_stems_by_rank(2)
+    ans = router.execute(f"{head[0]} {head[1]}?", k=10)
+    assert ans.qtype == "Search"
+    rows = ans.df.collect()
+    assert 0 < len(rows) <= 10
+    assert rows[0].rank == 1
+    assert rows[0].url.startswith("https://")
+    # caps: k is bounded by the reference _MAXLEN_ANSWER
+    big = router.execute(" ".join(head), k=500)
+    assert big.df.count() <= 20
+
+
+def test_related_dispatch(router):
+    head = indexable_stems_by_rank(1)[0]
+    ans = router.execute(f"skyld orð við {head}")
+    assert ans.qtype == "RelatedWords"
+    rows = ans.df.collect()
+    assert 0 < len(rows) <= 21
+    cnts = [r.cnt for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+
+
+def test_word_frequency_dispatch(router):
+    head = indexable_stems_by_rank(1)[0]
+    ans = router.execute(f"word frequency of {head}")
+    assert ans.qtype == "WordFrequency"
+    pdf = ans.df.toPandas()
+    # zero-filled contiguous date spine
+    assert (pdf["cnt"] >= 0).all()
+    assert len(pdf) >= 30  # 120-day corpus window -> long spine
+    assert pdf["day"].is_monotonic_increasing
+
+
+def test_article_count_and_newest(router):
+    head = indexable_stems_by_rank(1)[0]
+    ans = router.execute(f"article count for {head}")
+    assert ans.qtype == "ArticleCount"
+    assert ans.df.first()["n_docs"] > 0
+    ans2 = router.execute("newest articles")
+    assert ans2.qtype == "NewestArticles"
+    rows = ans2.df.collect()
+    assert len(rows) == 5  # reference _MAX_URLS cap
+    ts = [r.warc_ts for r in rows]
+    assert ts == sorted(ts, reverse=True)
+
+
+def test_stopword_search_is_empty(router):
+    ans = router.execute("vera hafa segja")
+    assert ans.qtype == "Search"
+    assert ans.terms == []
+    assert ans.df.count() == 0
+
+
+# ------------------------------------------------------------- cleaning
+
+def test_clean_corpus_statuses(spark):
+    rows = [
+        (1, "en", "alpha beta gamma delta " * 10),       # kept
+        (2, "de", "alpha beta gamma delta " * 10),       # lang
+        (3, "en", "tiny text"),                          # too_short
+        (4, "en", "spam " * 100),                        # low_diversity
+        (5, "en", "alpha beta gamma delta " * 10),       # exact dup of 1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r.doc_id: r.status for r in clean_corpus(
+        docs, lang="en", min_tokens=20, min_unique_ratio=0.05
+    ).collect()}
+    assert got == {1: "kept", 2: "lang", 3: "too_short",
+                   4: "low_diversity", 5: "exact_dup"}
+    summary = {r.status: r.n_docs for r in clean_summary(
+        clean_corpus(docs, lang="en", min_tokens=20, min_unique_ratio=0.05)
+    ).collect()}
+    assert summary["kept"] == 1 and summary["exact_dup"] == 1
+
+
+def test_clean_corpus_near_dup(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    rows = [
+        (1, "en", base),
+        (2, "en", base + " extra word here"),   # near-dup of 1 -> dropped
+        (3, "en", "completely different content " +
+         "about other things entirely " * 8),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r.doc_id: r.status for r in clean_corpus(
+        docs, lang="en", min_tokens=10, near_dup=True, near_dup_threshold=0.6
+    ).collect()}
+    assert got[1] == "kept"
+    assert got[2] == "near_dup"
+    assert got[3] == "kept"
