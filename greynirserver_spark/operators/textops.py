@@ -96,7 +96,10 @@ def bm25_documents_topk(
     path; this variant exists for cross-engine comparison.
     """
     terms = sorted(set(query_terms))
-    postings = document_postings(docs)
+    # postings feed three consumers (doclen, df stats, scoring); cache so
+    # the tokenize subtree runs once — the production serving path reads
+    # materialized segments instead (bm25_wand_documents_topk / wand.py)
+    postings = document_postings(docs).cache()
     doclen = postings.groupBy("doc_id").agg(
         F.sum("tf").cast("long").alias("doclen")
     )

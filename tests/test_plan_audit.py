@@ -1,0 +1,118 @@
+"""Physical-plan audits: the plans must be the ones that survive 100 TB.
+
+Each test asserts a property of the formatted Catalyst plan:
+pushdown reaching the scan, broadcast joins for dimensions, partial
+aggregation, TakeOrderedAndProject for top-k, bounded exchange counts,
+whole-stage codegen in the tokenizer.
+"""
+
+import io
+import sys
+from contextlib import redirect_stdout
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F
+
+from greynirserver_spark.corpus import generate_pages_pdf, vocabulary
+from greynirserver_spark.operators.postings import build_postings
+from greynirserver_spark.operators.textops import (
+    bm25_documents_topk,
+    document_postings,
+)
+from greynirserver_spark.tokenization import apply_index_filter, tokenize_marked_text
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def seg_store(spark, tmp_path_factory):
+    from greynirserver_spark.plans.lineage import build_index_checkpointed
+
+    pages = spark.createDataFrame(generate_pages_pdf(120))
+    root = str(tmp_path_factory.mktemp("plan") / "store")
+    return build_index_checkpointed(spark, pages, root, n_shards=4,
+                                    block_size=32)
+
+
+def test_term_filter_pushed_to_segment_scan(spark, seg_store):
+    segs = seg_store.load_segments(spark)
+    plan = _plan(segs.where(F.col("term").isin("a/hk", "b/kk")))
+    assert "PushedFilters: [In(term" in plan, plan
+    # column pruning: a metadata-only projection must not read postings
+    plan2 = _plan(
+        segs.where(F.col("term") == "a/hk").select("term", "block_max")
+    )
+    assert "ReadSchema" in plan2
+    read_schema = [l for l in plan2.splitlines() if "ReadSchema" in l][0]
+    assert "docs" not in read_schema and "tfs" not in read_schema, read_schema
+
+
+def test_shard_partition_pruning(spark, seg_store):
+    segs = seg_store.load_segments(spark)
+    plan = _plan(segs.where(F.col("shard") == 2))
+    # partition-column filter: pruned at planning, never a data filter
+    assert "PartitionFilters: [" in plan and "shard" in plan.split(
+        "PartitionFilters:"
+    )[1].split("]")[0], plan
+
+
+def test_vocab_join_is_broadcast(spark, docs):
+    vocab = spark.createDataFrame(vocabulary()[["stem", "cat"]])
+    toks = tokenize_marked_text(
+        docs.select(F.col("doc_id"), F.col("text")), vocab
+    )
+    plan = _plan(apply_index_filter(toks, spark))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan  # dims must never SMJ
+
+
+def test_postings_agg_is_partial_then_final(spark, docs):
+    plan = _plan(document_postings(docs))
+    # two HashAggregates around one exchange = map-side partial agg
+    assert "partial_count" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "hashpartitioning" in plan, plan
+
+
+def test_topk_is_take_ordered(spark, docs):
+    plan = _plan(
+        document_postings(docs)
+        .orderBy(F.desc("tf"), F.asc("doc_id"))
+        .limit(10)
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_tokenizer_is_whole_stage_codegen(spark, docs):
+    from greynirserver_spark.operators.textops import document_tokens
+
+    plan = _plan(document_tokens(docs))
+    assert "codegen id" in plan, plan  # the whole pipeline is one codegen stage
+    # and no Python evaluation node in the hot path
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_bm25_exchange_budget(spark, docs):
+    """The exact BM25 plan must keep dims broadcast (no SortMergeJoin
+    anywhere) and stay within a bounded exchange count. The static plan
+    shows the postings subtree under each consumer; at runtime the
+    cached postings cut it to one execution."""
+    plan = _plan(bm25_documents_topk(docs, ["spark", "join"], k=10))
+    assert "SortMergeJoin" not in plan, plan
+    n_exchange = plan.count(") Exchange")
+    assert n_exchange <= 12, f"{n_exchange} exchanges\n{plan}"
+    assert "BroadcastHashJoin" in plan  # term stats + corpus broadcast
