@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_page": lambda s, d: A.events_page(s, d),
         "term_autocomplete": lambda s, d: A.term_autocomplete(_docs(s, d), "s"),
         "token_count_bpe": lambda s, d: A.token_count_bpe(_docs(s, d)),
+        "word_trigrams": lambda s, d: A.word_trigrams(_docs(s, d)),
         "latest_event_per_user": lambda s, d: A.latest_event_per_user(s, d),
         "top_users_by_active_days": lambda s, d: A.top_users_by_active_days(s, d),
         "related_terms": lambda s, d: A.related_terms(_docs(s, d), _RELATED_ROOT),
@@ -363,6 +364,20 @@ SELECT doc_id,
        len(regexp_extract_all(lower(text), '\p{L}+|[0-9]+|[^\s\p{L}0-9]'))::BIGINT
          AS n_bpe_tokens
 FROM documents
+""",
+        "word_trigrams": f"""
+WITH tokarr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_TOKEN_RE}'),
+                     x -> length(x) BETWEEN 1 AND 64) AS toks
+  FROM documents
+), tri AS (
+  SELECT unnest(list_transform(range(1, len(toks) - 1),
+         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS trigram
+  FROM tokarr WHERE len(toks) >= 3
+)
+SELECT trigram, count(*)::BIGINT AS freq FROM tri
+GROUP BY trigram ORDER BY freq DESC, trigram ASC LIMIT 100
 """,
         "latest_event_per_user": """
 SELECT user_id, event_id, ts, event_type FROM (

@@ -126,6 +126,23 @@ def main() -> None:
     )
     timings["q2_wand_12_queries_total"] = round(sum(lat), 3)
 
+    # --- q2b: interactive Searcher (pruned-scan in-process scoring) ---
+    from greynirserver_spark.query.searcher import Searcher
+
+    searcher = Searcher(spark, store)
+    lat2 = []
+    for i in range(12):
+        qterms = query_to_terms(
+            " ".join(stems[2 * ((i + 3) % 6): 2 * ((i + 3) % 6) + 2])
+        )
+        t0 = time.perf_counter()
+        searcher.search(qterms, 10)
+        lat2.append(time.perf_counter() - t0)
+    timings["q2b_searcher_p50"] = round(statistics.median(lat2), 3)
+    timings["q2b_searcher_p99"] = round(
+        sorted(lat2)[max(0, int(len(lat2) * 0.99) - 1)], 3
+    )
+
     scaling_only = os.environ.get("SPARK_GRAFT_SCALING_ONLY") == "1"
     if scaling_only:
         # scaling evidence mode: only the build + serve metrics

@@ -22,6 +22,7 @@ __all__ = [
     "events_page",
     "term_autocomplete",
     "token_count_bpe",
+    "word_trigrams",
     "latest_event_per_user",
     "top_users_by_active_days",
     "related_terms",
@@ -216,6 +217,37 @@ def token_count_bpe(docs: DataFrame) -> DataFrame:
         F.size(
             F.regexp_extract_all(F.lower("text"), F.lit(pattern), F.lit(0))
         ).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def word_trigrams(docs: DataFrame, limit: int = 100) -> DataFrame:
+    """(trigram, freq): corpus-wide word-trigram counts, top-N.
+
+    Reference: the ``trigrams`` table with its server-side upsert
+    (db/models.py:566-617) — re-expressed as groupBy().count() over a
+    JVM-built sliding window (the append-then-MERGE pattern replaces
+    per-row ON CONFLICT at scale)."""
+    from ..tokenization import MAX_WORD_LEN, TOKEN_SPLIT_RE
+
+    toks = docs.select(
+        F.filter(
+            F.split(F.lower("text"), TOKEN_SPLIT_RE),
+            lambda x: (F.length(x) >= 1) & (F.length(x) <= MAX_WORD_LEN),
+        ).alias("toks")
+    )
+    tri = toks.where(F.size("toks") >= 3).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - F.lit(3)),
+                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, 3)),
+            )
+        ).alias("trigram")
+    )
+    return (
+        tri.groupBy("trigram")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("trigram"))
+        .limit(limit)
     )
 
 

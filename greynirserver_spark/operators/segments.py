@@ -42,10 +42,12 @@ from pyspark.sql import DataFrame, functions as F
 
 __all__ = [
     "varint_encode",
+    "varint_encode_with_lengths",
     "varint_decode",
     "encode_block",
     "decode_block",
     "build_segments",
+    "compact_segments",
     "write_segments",
     "read_segments",
     "K1",
@@ -173,9 +175,9 @@ def build_segments(
         term_stats side is pre-aggregated and small relative to postings;
         Catalyst broadcasts it when it fits),
       * shard = doc range bucket (skew-proof by construction),
-      * one shuffle: ``repartition(shard, term)`` then
-        ``applyInPandas`` per (shard, term) group sorts by doc_id,
-        splits into blocks, delta+varint encodes, computes block-max.
+      * one shuffle: ``repartition(shard)`` + in-partition sort by
+        (shard, term, doc_id), then a whole-batch vectorized encoder
+        under ``mapInPandas`` (no per-group Python calls).
 
     Terms absent from term_stats (df < min_df) are pruned here too —
     the segment store only contains scoreable terms.
@@ -286,6 +288,73 @@ def build_segments(
         enriched.repartition(n_shards, "shard")
         .sortWithinPartitions("shard", "term", "doc_id")
         .mapInPandas(encode_partition, SEGMENT_SCHEMA)
+    )
+
+
+def compact_segments(
+    segments: DataFrame,
+    corpus: DataFrame,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+) -> DataFrame:
+    """Merge under-full blocks per (shard, term) into full *block_size*
+    blocks — the segment-merge pass of a log-structured index
+    (incremental/streaming appends produce short tail blocks; compaction
+    restores read amplification). Decode -> concat -> re-encode per
+    group in doc order; block maxima recomputed from the postings, so
+    the result is rank-identical (tests assert it).
+    """
+    avgdl = float(corpus.collect()[0]["avgdl"])
+    cols = ["term", "shard", "block_id", "n_docs", "first_doc",
+            "last_doc", "block_max", "idf", "docs", "tfs", "dls"]
+
+    def compact_partition(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+
+        def emit(head: pd.DataFrame) -> pd.DataFrame:
+            rows: list = []
+            for _, g in head.groupby(["shard", "term"], sort=False):
+                g = g.sort_values("block_id", kind="mergesort")
+                parts = [decode_block(r.docs, r.tfs, r.dls)
+                         for r in g.itertuples(index=False)]
+                doc = np.concatenate([p[0] for p in parts])
+                tf = np.concatenate([p[1] for p in parts])
+                dl = np.concatenate([p[2] for p in parts])
+                idf = float(g["idf"].iloc[0])
+                term = g["term"].iloc[0]
+                shard = int(g["shard"].iloc[0])
+                pscore = bm25_partial(tf, dl, idf, avgdl)
+                for b0 in range(0, len(doc), block_size):
+                    sl = slice(b0, b0 + block_size)
+                    d, t, l = doc[sl], tf[sl], dl[sl]
+                    db, tb, lb = encode_block(d, t, l)
+                    rows.append(
+                        (term, shard, b0 // block_size, len(d), int(d[0]),
+                         int(d[-1]), float(pscore[sl].max()), idf,
+                         db, tb, lb)
+                    )
+            return pd.DataFrame(rows, columns=cols)
+
+        for b in batches:
+            if carry is not None and len(carry):
+                b = pd.concat([carry, b], ignore_index=True)
+            if not len(b):
+                continue
+            tail = (b["shard"] == b["shard"].iloc[-1]) & (
+                b["term"] == b["term"].iloc[-1]
+            )
+            carry = b.loc[tail]
+            head = b.loc[~tail]
+            if len(head):
+                yield emit(head.reset_index(drop=True))
+        if carry is not None and len(carry):
+            yield emit(carry.reset_index(drop=True))
+
+    return (
+        segments.repartition("shard")
+        .sortWithinPartitions("shard", "term", "block_id")
+        .mapInPandas(compact_partition, SEGMENT_SCHEMA)
     )
 
 
