@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from greynirserver_spark.operators import dedup as D
     from greynirserver_spark.operators import multimodal as M
     from greynirserver_spark.operators import textops as T
+    from greynirserver_spark.streaming import ingest as S
 
     return {
         # --- full-text engine core (documents table) ---
@@ -116,6 +117,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ann_lsh_topk": lambda s, d: N.lsh_bucket_topk(
             _emb(s, d), _query_vec(s, d), k=10, exclude_vec_id=_ANN_QUERY_ID
+        ),
+        "embedding_near_pairs": lambda s, d: N.cosine_near_pairs_exact(
+            _emb(s, d), threshold=0.35
+        ),
+        # streaming window agg run in batch mode (same plan both modes)
+        "windowed_event_counts": lambda s, d: S.windowed_event_counts(
+            s.read.parquet(f"{d}/events.parquet")
         ),
         # --- corpus cleaning pipeline ---
         "corpus_clean_status": lambda s, d: C.clean_corpus(
@@ -261,6 +269,27 @@ s AS (
 SELECT row_number() OVER (ORDER BY cosine DESC, vec_id ASC)::BIGINT AS rank,
        vec_id, cosine
 FROM s ORDER BY cosine DESC, vec_id ASC LIMIT 10
+""",
+        "embedding_near_pairs": """
+WITH n AS (
+  SELECT vec_id, embedding,
+         sqrt(list_aggregate(list_transform(embedding,
+              x -> x::DOUBLE * x::DOUBLE), 'sum')) AS nrm
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(
+           list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+               i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), 'sum')
+           / (a.nrm * b.nrm), 4) AS cosine
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.35
+""",
+        "windowed_event_counts": """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS w_start,
+       event_type, count(*)::BIGINT AS n_events
+FROM events GROUP BY 1, 2
 """,
         "events_daily_spine": """
 WITH b AS (SELECT min(ts::DATE) AS d0, max(ts::DATE) AS d1 FROM events),

@@ -79,8 +79,10 @@ def main() -> None:
 
     # --- q1: full index build (pages -> extract -> postings -> segments),
     #         checkpointed store; throughput metric of the north rule
+    # default sized so per-row work dominates job fixed costs: docs/sec
+    # at the default is a throughput number, not a scheduling number
     n_pages = int(
-        os.environ.get("SPARK_GRAFT_PAGES", max(1000, int(20000 * max(sf, 0.05))))
+        os.environ.get("SPARK_GRAFT_PAGES", max(2000, int(200000 * max(sf, 0.01))))
     )
     store_root = f"/tmp/bench-index-{os.getpid()}"
     shutil.rmtree(store_root, ignore_errors=True)

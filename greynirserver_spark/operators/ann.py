@@ -30,6 +30,7 @@ __all__ = [
     "load_embeddings",
     "cosine_topk_bruteforce",
     "lsh_bucket_topk",
+    "cosine_near_pairs_exact",
     "cosine_near_pairs_lsh",
 ]
 
@@ -135,6 +136,32 @@ def lsh_bucket_topk(
         (F.col("b1") == q_b1) | (F.col("b2") == q_b2)
     ).select("vec_id", "embedding")
     return cosine_topk_bruteforce(cands, query_vec, k, exclude_vec_id)
+
+
+def cosine_near_pairs_exact(
+    emb: DataFrame, threshold: float = 0.95
+) -> DataFrame:
+    """(vec_a, vec_b, cosine): ALL pairs with cosine >= threshold by
+    exact self-join — the O(n^2) baseline the LSH variant approximates
+    (and the oracle for it at test scale). Norms precomputed once per
+    side so the join condition stays a dot product."""
+    normed = emb.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    return (
+        normed.alias("a")
+        .join(normed.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(
+                _dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                4,
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
 
 
 def cosine_near_pairs_lsh(

@@ -204,7 +204,9 @@ def minhash_lsh_pairs(
     threshold so the candidate join stays linear in docs.
     """
     bands = bands or bands_for_threshold(threshold)
-    sigs = minhash_signatures(docs)
+    # sigs feed banding + both sides of the pair prefilter: cache so the
+    # signature job runs once
+    sigs = minhash_signatures(docs).cache()
     rows_per_band = _MINHASH_H // bands
     band_rows = sigs.select(
         "doc_id",
@@ -230,6 +232,26 @@ def minhash_lsh_pairs(
             F.col("b.doc_id").alias("doc_b"),
         )
         .distinct()
+    )
+    # signature-estimate prefilter AFTER pair dedup (one evaluation per
+    # pair, not per colliding band): matching-component fraction is an
+    # unbiased Jaccard estimate, so pairs far below threshold skip the
+    # exact-verify join entirely
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    ) / F.lit(float(_MINHASH_H))
+    cands = (
+        cands.join(
+            sigs.select(F.col("doc_id").alias("doc_a"),
+                        F.col("sig").alias("sig_a")), "doc_a")
+        .join(
+            sigs.select(F.col("doc_id").alias("doc_b"),
+                        F.col("sig").alias("sig_b")), "doc_b")
+        .where(est >= F.lit(max(0.0, threshold - 0.15)))
+        .select("doc_a", "doc_b")
     )
     if not verify:
         return cands

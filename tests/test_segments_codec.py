@@ -81,3 +81,18 @@ def test_compression_ratio_dense_postings():
     db, tb, lb = encode_block(doc, tf, dl)
     bytes_per_posting = (len(db) + len(tb) + len(lb)) / len(doc)
     assert bytes_per_posting < 5, bytes_per_posting
+
+
+def test_shard_bounds_head_term_group_size():
+    """The skew guarantee: even a term present in EVERY doc produces
+    per-(shard, term) groups no larger than the shard's doc count."""
+    import pandas as pd
+
+    n_docs, n_shards = 10_000, 16
+    shard_size = -(-n_docs // n_shards)
+    # head term in every doc
+    doc_ids = np.arange(n_docs)
+    shards = doc_ids // shard_size
+    sizes = pd.Series(shards).value_counts()
+    assert sizes.max() <= shard_size
+    assert len(sizes) == n_shards
