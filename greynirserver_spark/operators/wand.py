@@ -48,10 +48,15 @@ __all__ = ["wand_topk", "shard_topk_pandas"]
 
 
 def shard_topk_pandas(
-    pdf: pd.DataFrame, k: int, avgdl: float
+    pdf: pd.DataFrame, k: int, avgdl: float, stats_out: dict | None = None
 ) -> pd.DataFrame:
     """Exact top-k over one shard's blocks via the interval-sweep
-    block-max pruning described in the module docstring."""
+    block-max pruning described in the module docstring.
+
+    *stats_out* (optional dict) receives pruning observability counters:
+    ``blocks_total``, ``blocks_decoded``, ``intervals_total``,
+    ``intervals_processed`` — the skip rate is the whole point of
+    block-max metadata, so it must be measurable."""
     terms = sorted(pdf["term"].unique())
     # per-term block tables, ordered by first_doc
     per_term: Dict[str, pd.DataFrame] = {
@@ -85,8 +90,10 @@ def shard_topk_pandas(
 
     heap: List[Tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
     scored: set = set()
+    n_processed = 0
 
     for oi in order:
+        n_processed += 1
         lo = int(xs[oi])
         hi = int(xs[oi + 1]) if oi + 1 < len(xs) else int(xs[-1]) + 1
         ub = float(ubs[oi])
@@ -144,6 +151,11 @@ def shard_topk_pandas(
             elif (s, -int(d)) > heap[0]:
                 heapq.heapreplace(heap, (s, -int(d)))
 
+    if stats_out is not None:
+        stats_out["blocks_total"] = int(len(pdf))
+        stats_out["blocks_decoded"] = len(decoded)
+        stats_out["intervals_total"] = int(len(order))
+        stats_out["intervals_processed"] = n_processed
     out = sorted(((s, -nd) for s, nd in heap), key=lambda x: (-x[0], x[1]))
     return pd.DataFrame(
         {"doc_id": [d for _, d in out], "score": [s for s, _ in out]}

@@ -135,3 +135,42 @@ def test_segment_store_layout(spark, indexed):
     # blocks are doc-sorted and bounded
     assert (pdf["first_doc"] <= pdf["last_doc"]).all()
     assert (pdf["n_docs"] <= 32).all()
+
+
+def test_block_max_pruning_skips_blocks_on_skewed_scores():
+    """On score-skewed data (real web text) the sweep must decode only
+    the high-upper-bound region and stop at theta — exactness with
+    skipping is the entire point of block-max metadata."""
+    rng = np.random.default_rng(77)
+    rows, truth = [], {}
+    avgdl = 150.0
+    # one term, 20k docs: a tiny hot region (huge tf) + a long flat tail
+    n = 20000
+    docs = np.arange(n, dtype=np.int64)
+    tf = np.ones(n, dtype=np.int64)
+    hot = rng.choice(n, size=20, replace=False)
+    tf[hot] = 500
+    dl = np.full(n, 150, dtype=np.int64)
+    idf = 2.0
+    parts = bm25_partial(tf, dl, idf, avgdl)
+    for d, p in zip(docs, parts):
+        truth[int(d)] = float(p)
+    block = 128
+    for b0 in range(0, n, block):
+        sl = slice(b0, b0 + block)
+        d, t, l = docs[sl], tf[sl], dl[sl]
+        db, tb, lb = encode_block(d, t, l)
+        rows.append(dict(
+            term="t", shard=0, block_id=b0 // block, n_docs=len(d),
+            first_doc=int(d[0]), last_doc=int(d[-1]),
+            block_max=float(bm25_partial(t, l, idf, avgdl).max()),
+            idf=idf, docs=db, tfs=tb, dls=lb,
+        ))
+    pdf = pd.DataFrame(rows)
+    stats = {}
+    got = shard_topk_pandas(pdf, k=10, avgdl=avgdl, stats_out=stats)
+    expected = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(got["doc_id"]) == [d for d, _ in expected]
+    # the flat tail (no hot doc) must be skipped wholesale
+    assert stats["blocks_decoded"] < 0.35 * stats["blocks_total"], stats
+    assert stats["intervals_processed"] < 0.35 * stats["intervals_total"], stats
