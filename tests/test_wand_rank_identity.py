@@ -172,5 +172,5 @@ def test_block_max_pruning_skips_blocks_on_skewed_scores():
     expected = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert list(got["doc_id"]) == [d for d, _ in expected]
     # the flat tail (no hot doc) must be skipped wholesale
-    assert stats["blocks_decoded"] < 0.35 * stats["blocks_total"], stats
+    assert stats["blocks_scored"] < 0.35 * stats["blocks_total"], stats
     assert stats["intervals_processed"] < 0.35 * stats["intervals_total"], stats
