@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from greynirserver_spark.operators import multimodal as M
     from greynirserver_spark.operators import textops as T
     from greynirserver_spark.streaming import ingest as S
+    from greynirserver_spark.streaming import sessionize as SZ
 
     return {
         # --- full-text engine core (documents table) ---
@@ -124,6 +125,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming window agg run in batch mode (same plan both modes)
         "windowed_event_counts": lambda s, d: S.windowed_event_counts(
             s.read.parquet(f"{d}/events.parquet")
+        ),
+        # sessionization batch oracle (the streaming stateful operator's
+        # reference plan; stream==batch proven in tests/test_sessionize.py)
+        "sessionize": lambda s, d: SZ.sessionize_batch(
+            s.read.parquet(f"{d}/events.parquet")
+            .selectExpr("user_id", "cast(ts as timestamp) as ts"),
+            gap="2 hours",
         ),
         # --- corpus cleaning pipeline ---
         "corpus_clean_status": lambda s, d: C.clean_corpus(
@@ -290,6 +298,25 @@ SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.35
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS w_start,
        event_type, count(*)::BIGINT AS n_events
 FROM events GROUP BY 1, 2
+""",
+        "sessionize": """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts)
+                   - coalesce(lag(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts),
+                     epoch_us(ts)) > 7200000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM g
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*)::BIGINT AS n_events
+FROM s GROUP BY user_id, sess_id
 """,
         "events_daily_spine": """
 WITH b AS (SELECT min(ts::DATE) AS d0, max(ts::DATE) AS d1 FROM events),
