@@ -33,29 +33,91 @@ __all__ = [
 ]
 
 
+def _sketch_boundaries(
+    df: DataFrame, order_col: str, num_partitions: int
+) -> list:
+    """One column-pruned pass that collects a small deterministic key
+    sketch (a few keys per Arrow batch, weighted by batch size) and turns
+    it into ``num_partitions - 1`` range boundaries at the driver.
+
+    The boundaries are returned as plain Python values and inlined as
+    literals downstream — this is the determinism fix: Spark's own
+    ``repartitionByRange`` re-samples per job (seeded by RDD id), so two
+    actions over the same range exchange can land rows in different
+    partitions once partitions exceed the sample size, corrupting any
+    id scheme that pairs a count job with an assignment job.
+    """
+
+    def sketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        keys: list = []
+        weights: list = []
+        for b in batches:
+            n = len(b)
+            if n == 0:
+                continue
+            step = max(1, n // 8)
+            picked = b["k"].iloc[::step]
+            keys.extend(picked)
+            weights.extend([float(n) / len(picked)] * len(picked))
+        yield pd.DataFrame({"k": keys, "w": weights})
+
+    sample = (
+        df.select(F.col(order_col).alias("k"))
+        .mapInPandas(sketch, "k string, w double")
+        .collect()
+    )
+    if not sample:
+        return []
+    pairs = sorted((r["k"], r["w"]) for r in sample)
+    total = sum(w for _, w in pairs)
+    boundaries: list = []
+    acc = 0.0
+    targets = [total * i / num_partitions for i in range(1, num_partitions)]
+    ti = 0
+    for k, w in pairs:
+        acc += w
+        while ti < len(targets) and acc >= targets[ti]:
+            if not boundaries or boundaries[-1] != k:
+                boundaries.append(k)
+            ti += 1
+    return boundaries
+
+
 def assign_doc_ids(
     df: DataFrame, order_col: str = "url", num_partitions: Optional[int] = None
 ) -> DataFrame:
     """Add a dense, deterministic ``doc_id`` (0-based) in global
     *order_col* order.
 
-    Scale path: ``repartitionByRange`` + ``sortWithinPartitions`` gives a
-    global sort across partitions; a tiny per-partition count job computes
-    offsets (P rows to the driver, never data); ids are then assigned
-    map-side. Equivalent to a dense rank but without collapsing to one
-    partition the way ``row_number() OVER (ORDER BY url)`` would.
+    Scale path: a key sketch collected once at the driver fixes literal
+    range boundaries; every row's range bucket is then a pure JVM
+    expression (count of boundaries <= key), so the counts job and the
+    id-assignment job see identical bucketing by construction. A tiny
+    per-bucket count job computes offsets (P rows to the driver, never
+    data); ids are assigned map-side inside each bucket. Equivalent to a
+    dense rank but without collapsing to one partition the way
+    ``row_number() OVER (ORDER BY url)`` would — and, unlike
+    ``repartitionByRange`` + two actions, immune to per-job re-sampling
+    of partition boundaries (which measurably produced duplicate/gapped
+    ids at 200k rows).
     """
     spark = df.sparkSession
     num_partitions = num_partitions or df.rdd.getNumPartitions()
-    parts = (
-        df.repartitionByRange(num_partitions, F.col(order_col))
-        .sortWithinPartitions(order_col)
-        .withColumn("_pid", F.spark_partition_id())
-    )
-    # One lightweight pass for per-partition counts (column-pruned scan)
+    boundaries = _sketch_boundaries(df, order_col, num_partitions)
+
+    if boundaries:
+        barr = F.array(*[F.lit(b) for b in boundaries])
+        pid_expr = F.size(
+            F.filter(barr, lambda b: b <= F.col(order_col))
+        ).cast("int")
+    else:
+        pid_expr = F.lit(0)
+    with_pid = df.withColumn("_pid", pid_expr)
+
+    # Exact per-bucket counts (column-pruned; bucket expr is deterministic)
     counts = {
         r["_pid"]: r["cnt"]
-        for r in parts.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+        for r in with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
     }
     offsets = {}
     acc = 0
@@ -65,23 +127,41 @@ def assign_doc_ids(
     b_offsets = spark.sparkContext.broadcast(offsets)
 
     out_schema = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in parts.schema.fields
-        if f.name != "_pid"
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
     ) + ", doc_id bigint"
 
     def add_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        local = None
+        import numpy as np
+
+        next_id: dict = {}
         for b in batches:
-            if len(b) == 0:
+            n = len(b)
+            if n == 0:
                 continue
-            if local is None:
-                local = b_offsets.value.get(int(b["_pid"].iloc[0]), 0)
+            pid_arr = b["_pid"].to_numpy()
+            ids = np.empty(n, dtype=np.int64)
+            change = np.empty(n, dtype=bool)
+            change[0] = True
+            change[1:] = pid_arr[1:] != pid_arr[:-1]
+            starts = np.nonzero(change)[0]
+            ends = np.append(starts[1:], n)
+            for s, e in zip(starts, ends):
+                p = int(pid_arr[s])
+                base = next_id.get(p, b_offsets.value.get(p, 0))
+                ids[s:e] = np.arange(base, base + (e - s))
+                next_id[p] = base + (e - s)
             b = b.drop(columns=["_pid"])
-            b["doc_id"] = range(local, local + len(b))
-            local += len(b)
+            b["doc_id"] = ids
             yield b
 
-    return parts.mapInPandas(add_ids, out_schema)
+    # hash-partition on the bucket id: every bucket lands in exactly one
+    # task (several buckets may share a task; the per-bucket carry above
+    # handles that), rows sorted by key inside each bucket
+    return (
+        with_pid.repartition(num_partitions, "_pid")
+        .sortWithinPartitions("_pid", order_col)
+        .mapInPandas(add_ids, out_schema)
+    )
 
 
 def build_postings(tokens: DataFrame, term_col: str = "term") -> DataFrame:
