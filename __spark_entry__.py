@@ -147,12 +147,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            min_unique_ratio=0.05, near_dup=True,
                            near_dup_threshold=0.9)
         ),
-        # --- multimodal plumbing (rows-only: binary decode is stubbed) ---
-        "media_image_features": lambda s, d: M.extract_image_features(
-            M.synthesize_media(s, 120)
+        # --- multimodal plumbing (document-derived media: blob = utf-8
+        # text bytes, so the md5-stub features and the frame fan-out are
+        # exactly reproducible in SQL) ---
+        "media_image_features": lambda s, d: M.image_feature_rows(
+            M.media_from_documents(_docs(s, d))
         ),
-        "media_video_frames": lambda s, d: M.sample_video_frames(
-            M.synthesize_media(s, 120)
+        "media_video_frames": lambda s, d: M.video_frame_manifest(
+            _docs(s, d)
         ),
         # --- analytics parity (reference query surface) ---
         "events_daily_spine": lambda s, d: A.events_daily_spine(s, d),
@@ -375,6 +377,33 @@ tagged AS (
 )
 SELECT status, count(*)::BIGINT AS n_docs FROM tagged
 GROUP BY status ORDER BY status
+""",
+        "media_image_features": """
+WITH img AS (
+  SELECT doc_id AS media_id, md5(text) AS h
+  FROM documents WHERE doc_id % 3 = 0
+), dims AS (SELECT unnest(range(16)) AS dim)
+SELECT media_id, dim::INT AS dim,
+       round((('0x' || substr(h, (2*dim+1)::INT, 2))::INT) / 255.0, 6) AS value
+FROM img, dims
+""",
+        "media_video_frames": """
+WITH vid AS (
+  SELECT doc_id AS media_id, text,
+         1000 * (doc_id % 30 + 1) AS duration_ms
+  FROM documents WHERE doc_id % 3 = 2
+), p AS (
+  SELECT media_id, text, greatest(1, duration_ms // 5000) AS nf FROM vid
+), q AS (
+  SELECT media_id, text, nf,
+         greatest(1, length(text) // nf) AS step FROM p
+), f AS (
+  SELECT media_id, text, step, unnest(range(nf)) AS fno FROM q
+)
+SELECT media_id, fno::INT AS frame_no,
+       md5(substring(text, (fno*step+1)::INT, step::INT)) AS frame_md5,
+       length(substring(text, (fno*step+1)::INT, step::INT))::BIGINT AS frame_len
+FROM f
 """,
         "events_weekly_by_type": """
 SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,

@@ -35,8 +35,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 __all__ = [
     "MEDIA_SCHEMA",
     "synthesize_media",
+    "media_from_documents",
     "extract_image_features",
+    "image_feature_rows",
     "sample_video_frames",
+    "video_frame_manifest",
     "dedup_media_exact",
 ]
 
@@ -162,6 +165,76 @@ def sample_video_frames(
         media.where(F.col("kind") == "video")
         .select("media_id", "media", "duration_ms")
         .mapInPandas(frames, "media_id long, frame_no int, frame binary")
+    )
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic media table derived from ``documents.text`` (the
+    utf-8 bytes become the opaque blob). This is the oracle-checkable
+    media source: every downstream byte/char computation over it is
+    reproducible in ANSI SQL, unlike :func:`synthesize_media`'s RNG
+    blobs. Same schema, same downstream operators."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode("text", "UTF-8").alias("media"),
+        (F.lit(64) + F.col("doc_id") % 128).cast("int").alias("width"),
+        (F.lit(64) + F.col("doc_id") % 64).cast("int").alias("height"),
+        (F.lit(1000) * (F.col("doc_id") % 30 + 1)).cast("int").alias(
+            "duration_ms"
+        ),
+    )
+
+
+def image_feature_rows(media: DataFrame, use_stub: bool = True) -> DataFrame:
+    """(media_id, dim, value): :func:`extract_image_features` exploded to
+    one row per feature dimension with round(.,6) values — a fully
+    canonicalizable (scalar-column) shape for cross-engine comparison;
+    array columns can't be hashed by the correctness gate."""
+    feats = extract_image_features(media, use_stub=use_stub)
+    return feats.select(
+        "media_id", F.posexplode("features").alias("dim", "v")
+    ).select(
+        "media_id",
+        F.col("dim").cast("int").alias("dim"),
+        F.round("v", 6).alias("value"),
+    )
+
+
+def video_frame_manifest(docs: DataFrame, every_ms: int = 5000) -> DataFrame:
+    """(media_id, frame_no, frame_md5, frame_len): the frame-sampling fan
+    out of :func:`sample_video_frames`, computed over character windows of
+    the document text entirely with JVM expressions (sequence/transform/
+    substring/md5 — no Python), so it is byte-for-byte reproducible in
+    SQL. The binary variant keeps the production UDF shape; this manifest
+    is the correctness gate for the fan-out arithmetic (frame count, step,
+    window boundaries)."""
+    base = docs.where(F.col("doc_id") % 3 == 2).select(
+        F.col("doc_id").alias("media_id"),
+        "text",
+        (F.lit(1000) * (F.col("doc_id") % 30 + 1)).alias("duration_ms"),
+    )
+    nf = F.greatest(F.lit(1), F.expr(f"duration_ms div {every_ms}"))
+    step = F.greatest(F.lit(1), F.expr("length(text) div _nf"))
+    frame = F.expr("substring(text, cast(_fno * _step + 1 as int), cast(_step as int))")
+    return (
+        base.withColumn("_nf", nf)
+        .withColumn("_step", step)
+        .select(
+            "media_id",
+            "text",
+            "_step",
+            F.explode(F.sequence(F.lit(0), F.col("_nf") - 1)).alias("_fno"),
+        )
+        .select(
+            "media_id",
+            F.col("_fno").cast("int").alias("frame_no"),
+            F.md5(frame).alias("frame_md5"),
+            F.length(frame).cast("long").alias("frame_len"),
+        )
     )
 
 
