@@ -31,7 +31,7 @@ SESSION_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "
     "n_events long"
 )
-_STATE_SCHEMA = "start long, last long, n long"
+_STATE_SCHEMA = "starts array<long>, lasts array<long>, ns array<long>"
 
 
 def _session_step(
@@ -40,7 +40,19 @@ def _session_step(
     state: GroupState,
     gap_s: int,
 ) -> Iterator[pd.DataFrame]:
-    """Per-user state update: extend or close sessions on each batch."""
+    """Per-user state update, correct for ANY arrival order inside the
+    watermark.
+
+    State holds every still-open session as parallel (start, last, n)
+    arrays. Each invocation merges the batch's events into that interval
+    set (classic interval merge: adjacent if the gap between spans is
+    <= *gap*), then emits exactly the sessions the watermark has sealed
+    (``last + gap < watermark`` — no event at or above the watermark can
+    extend or bridge them). Closing on watermark passage rather than on
+    the first gap-exceeding event is what makes out-of-order arrivals
+    safe: a late event t inside an earlier session's gap window arrives
+    before that session is sealed and merges into it, updating
+    session_start via the interval min."""
     (user_id,) = key
     # state keeps MICROSECOND epochs: event times carry sub-second
     # precision and session boundaries must round-trip exactly
@@ -50,29 +62,37 @@ def _session_step(
         ts_list.extend(
             int(t.value // 1000) for t in pd.to_datetime(pdf["ts"])
         )
-    closed = []
-    if state.hasTimedOut:
-        if state.exists:
-            start, last, n = state.get
-            closed.append((user_id, start, last, n))
-            state.remove()
-    else:
-        ts_list.sort()
-        if state.exists:
-            start, last, n = state.get
-        else:
-            start, last, n = None, None, 0
-        for t in ts_list:
-            if start is None:
-                start, last, n = t, t, 1
-            elif t - last > gap_us:
-                closed.append((user_id, start, last, n))
-                start, last, n = t, t, 1
+    sessions: list = []
+    if state.exists:
+        starts, lasts, ns = state.get
+        sessions = sorted(zip(starts, lasts, ns))
+    if ts_list:
+        spans = sorted(sessions + [(t, t, 1) for t in ts_list])
+        sessions = []
+        for s0, s1, n in spans:
+            if sessions and s0 - sessions[-1][1] <= gap_us:
+                p0, p1, pn = sessions[-1]
+                sessions[-1] = (p0, max(p1, s1), pn + n)
             else:
-                last, n = t, n + 1
-        if start is not None:
-            state.update((start, last, n))
-            state.setTimeoutTimestamp((last + gap_us) // 1000)
+                sessions.append((s0, s1, n))
+    wm_ms = state.getCurrentWatermarkMs()
+    wm_us = wm_ms * 1000
+    closed = [
+        (user_id, s0, s1, n) for s0, s1, n in sessions
+        if s1 + gap_us < wm_us
+    ]
+    still_open = [(s0, s1, n) for s0, s1, n in sessions if s1 + gap_us >= wm_us]
+    if still_open:
+        state.update((
+            [s[0] for s in still_open],
+            [s[1] for s in still_open],
+            [s[2] for s in still_open],
+        ))
+        # fire just past the earliest seal point (must exceed watermark)
+        timeout_ms = min(s[1] + gap_us for s in still_open) // 1000 + 1
+        state.setTimeoutTimestamp(max(timeout_ms, wm_ms + 1))
+    elif state.exists:
+        state.remove()
     if closed:
         epoch = dt.datetime(1970, 1, 1)
         yield pd.DataFrame(

@@ -78,3 +78,51 @@ def test_stream_matches_batch_for_closed_sessions(spark, tmp_path):
     assert got <= batch
     real_users = {(u, a, b, n) for (u, a, b, n) in batch if u != 99}
     assert real_users <= got, (sorted(got), sorted(real_users))
+
+
+def test_stream_merges_late_out_of_order_event(spark, tmp_path):
+    """Advisory repro: an event EARLIER than the open session's start
+    arrives in a later micro-batch (still inside the watermark). The
+    session must extend backward (start = min) instead of keeping the
+    old start or splitting."""
+    import time
+
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+    m = dt.timedelta(minutes=1)
+    in_dir = tmp_path / "in2"
+    in_dir.mkdir()
+    out_dir = str(tmp_path / "out2")
+    ckpt = str(tmp_path / "ckpt2")
+
+    batch1 = [(1, t0), (1, t0 + 10 * m)]
+    batch2 = [(1, t0 - 10 * m), (99, t0 + dt.timedelta(days=2))]
+    spark.createDataFrame(batch1, "user_id long, ts timestamp").coalesce(
+        1
+    ).write.parquet(str(in_dir / "f1"))
+    time.sleep(1.1)  # distinct mtimes -> deterministic file order
+    spark.createDataFrame(batch2, "user_id long, ts timestamp").coalesce(
+        1
+    ).write.parquet(str(in_dir / "f2"))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "*"))
+    )
+    q = (
+        sessionize_stream(stream, gap="30 minutes", watermark="2 hours")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(out_dir).collect()
+        if r.user_id == 1
+    }
+    assert got == {(1, t0 - 10 * m, t0 + 10 * m, 3)}, sorted(got)
