@@ -42,9 +42,89 @@ WITH tok AS (
 """
 
 _BM25_TERMS = ["spark", "join", "window", "stream"]
+_NER_ENTITIES = [
+    ("e1", "hash value table"),
+    ("e2", "hash value"),
+    ("e3", "merge batch"),
+    ("e4", "row scan"),
+]
 _RELATED_ROOT = "spark"
 _COUNT_TERMS = ["spark", "join"]
 _ANN_QUERY_ID = 0
+
+
+def _ner_oracle_sql() -> str:
+    """Greedy scan-and-resume dictionary NER as a recursive CTE: the seed
+    picks each doc's first candidate (pos asc, n desc, entity_id asc);
+    every recursion step advances the frontier to the next candidate at
+    or past the previous accepted end. Back-references join bare last
+    words against the first accepted multi-token mention."""
+    vals = ",\n    ".join(
+        "('{0}', '{1}', {2}, {3}, {4}, {5}, '{6}')".format(
+            eid,
+            name.lower(),
+            len(name.split()),
+            *[
+                (f"'{p}'" if p is not None else "NULL")
+                for p in (name.lower().split() + [None] * 3)[:3]
+            ],
+            name.lower().split()[-1],
+        )
+        for eid, name in _NER_ENTITIES
+    )
+    return f"""
+WITH RECURSIVE tokarr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_TOKEN_RE}'),
+                     x -> length(x) BETWEEN 1 AND 64) AS toks
+  FROM documents
+), tokidx AS (
+  SELECT doc_id, unnest(range(1, len(toks) + 1)) AS i, toks FROM tokarr
+), tok AS (
+  SELECT doc_id, (i - 1)::BIGINT AS pos, toks[i] AS token,
+         toks[i+1] AS t2, toks[i+2] AS t3
+  FROM tokidx
+), dim AS (
+  SELECT * FROM (VALUES
+    {vals}
+  ) AS d(entity_id, entity, n, w1, w2, w3, wlast)
+), cand AS (
+  SELECT t.doc_id, t.pos, d.n, d.entity, d.entity_id, d.wlast
+  FROM tok t JOIN dim d ON t.token = d.w1
+   AND (d.n < 2 OR t.t2 = d.w2) AND (d.n < 3 OR t.t3 = d.w3)
+), sel AS (
+  SELECT doc_id, pos, n, entity, entity_id, wlast FROM (
+    SELECT c.*, row_number() OVER (PARTITION BY doc_id
+           ORDER BY pos, n DESC, entity_id) AS rk FROM cand c
+  ) WHERE rk = 1
+  UNION ALL
+  SELECT doc_id, pos, n, entity, entity_id, wlast FROM (
+    SELECT c.doc_id, c.pos, c.n, c.entity, c.entity_id, c.wlast,
+           row_number() OVER (PARTITION BY c.doc_id
+                ORDER BY c.pos, c.n DESC, c.entity_id) AS rk
+    FROM sel s JOIN cand c
+      ON c.doc_id = s.doc_id AND c.pos >= s.pos + s.n
+  ) WHERE rk = 1
+), fm AS (
+  SELECT doc_id, entity_id, entity, wlast AS token, min(pos) AS fpos
+  FROM sel WHERE n >= 2 GROUP BY 1, 2, 3, 4
+), covered AS (
+  SELECT doc_id, unnest(range(pos, pos + n)) AS pos FROM sel
+), br AS (
+  SELECT doc_id, pos, entity, entity_id FROM (
+    SELECT t.doc_id, t.pos, f.entity, f.entity_id,
+           row_number() OVER (PARTITION BY t.doc_id, t.pos
+                              ORDER BY f.fpos, f.entity_id) AS rk
+    FROM tok t JOIN fm f ON t.doc_id = f.doc_id AND t.token = f.token
+    WHERE t.pos > f.fpos
+      AND NOT EXISTS (SELECT 1 FROM covered c
+                      WHERE c.doc_id = t.doc_id AND c.pos = t.pos)
+  ) WHERE rk = 1
+)
+SELECT doc_id, pos::BIGINT AS pos, entity, entity_id FROM sel
+UNION ALL
+SELECT doc_id, pos::BIGINT AS pos, entity, entity_id FROM br
+"""
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -156,6 +236,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_video_frames": lambda s, d: M.video_frame_manifest(
             _docs(s, d)
         ),
+        # --- NER (dictionary longest-match + last-word back-reference) ---
+        "ner_mentions": lambda s, d: __import__(
+            "greynirserver_spark.functions.ner", fromlist=["ner"]
+        ).recognize_entities(_docs(s, d), _NER_ENTITIES),
         # --- analytics parity (reference query surface) ---
         "events_daily_spine": lambda s, d: A.events_daily_spine(s, d),
         "events_weekly_by_type": lambda s, d: A.events_weekly_by_type(s, d),
@@ -378,6 +462,7 @@ tagged AS (
 SELECT status, count(*)::BIGINT AS n_docs FROM tagged
 GROUP BY status ORDER BY status
 """,
+        "ner_mentions": _ner_oracle_sql(),
         "media_image_features": """
 WITH img AS (
   SELECT doc_id AS media_id, md5(text) AS h

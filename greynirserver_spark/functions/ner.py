@@ -1,23 +1,43 @@
 """Dictionary-backed entity recognition over token streams.
 
 The reference's ``nertokenizer.py:45-283`` scans the token stream with a
-DB-backed longest-match lookahead: multi-token entity names from the
-``entities`` table are merged into single ENTITY tokens. Spark-first
-re-expression: the entity dictionary is a broadcast dimension keyed on
-first token; candidate starts are found with one broadcast join; the
-remaining tokens of each candidate are verified positionally with
-self-joins on (doc_id, pos+i) — longest match wins, exactly like the
-reference's lookahead, but set-at-a-time instead of a Python scanner.
+DB-backed longest-match lookahead, merging multi-token entity names into
+single ENTITY tokens, and resolves later bare surnames back to the full
+person name seen earlier in the document (``nertokenizer.py:173-232``).
 
-Supports names up to 3 tokens (covers the reference's person/entity
-name shapes; extending is one more join per extra token).
+Spark-first re-expression, one shuffle over the token table:
+
+* lookahead — ``lead(token, 1..2)`` over ``(doc_id ORDER BY pos)``
+  (a single window pass; the round-1 version shuffled the token table
+  three times through positional self-joins),
+* candidate match — broadcast join against the entity dimension keyed
+  on the first word, with the lead columns verifying words 2..3,
+* overlap resolution — the reference's greedy scan-and-resume: walk
+  candidates left-to-right, accept if the start is past the previous
+  accepted end, longest match first with ``entity_id`` as the
+  deterministic tie-break. (Pure anti-join suppression is wrong here:
+  it also kills matches that start inside an already-*suppressed*
+  match, which the reference's scanner accepts.)
+* back-reference — a later bare token equal to the last word of a
+  multi-token entity already accepted earlier in the same document is
+  emitted as a mention of that entity (earliest accepted entity wins),
+  unless the token sits inside an accepted span. This is the
+  set-at-a-time analog of the reference's person-name lookup of
+  "recently seen last names".
+
+Names up to 3 tokens (covers the reference's person/entity shapes;
+extending is one more ``lead`` column).
 """
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import Iterator, List, Tuple
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 __all__ = ["recognize_entities", "tokens_with_positions"]
 
@@ -34,81 +54,122 @@ def tokens_with_positions(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", F.posexplode(arr).alias("pos", "token"))
 
 
-def recognize_entities(
-    docs: DataFrame,
-    entities: List[Tuple[str, str]],
-    text_col: str = "text",
-) -> DataFrame:
-    """(doc_id, pos, entity, entity_id): every occurrence of a dictionary
-    entity, longest match winning on overlaps.
-
-    *entities*: list of (entity_id, name); names are 1-3 tokens,
-    matched case-insensitively on the token stream (the reference
-    lower-cases via a functional index, db/models.py:396).
-    """
-    spark = docs.sparkSession
-    toks = tokens_with_positions(docs, text_col)
-
+def _entity_dim(spark, entities: List[Tuple[str, str]]) -> DataFrame:
     rows = []
     for eid, name in entities:
         parts = name.lower().split()
         if not 1 <= len(parts) <= 3:
             raise ValueError(f"entity names must be 1-3 tokens: {name!r}")
-        parts = parts + [None] * (3 - len(parts))
-        rows.append((eid, name, len([p for p in parts if p]), *parts))
-    dim = spark.createDataFrame(
-        rows, "entity_id string, entity string, n int, "
-              "w1 string, w2 string, w3 string"
+        padded = parts + [None] * (3 - len(parts))
+        rows.append((eid, name, len(parts), *padded, parts[-1]))
+    return spark.createDataFrame(
+        rows,
+        "entity_id string, entity string, n int, "
+        "w1 string, w2 string, w3 string, wlast string",
     )
 
-    # candidates: broadcast join on the first word
-    cand = toks.join(
-        F.broadcast(dim), toks["token"] == dim["w1"], "inner"
-    ).select("doc_id", "pos", "entity_id", "entity", "n", "w2", "w3")
 
-    # verify word 2 and 3 positionally
-    t2 = toks.select(
-        F.col("doc_id").alias("d2"), F.col("pos").alias("p2"),
-        F.col("token").alias("tok2"),
+def recognize_entities(
+    docs: DataFrame,
+    entities: List[Tuple[str, str]],
+    text_col: str = "text",
+    backref: bool = True,
+) -> DataFrame:
+    """(doc_id, pos, entity, entity_id): every dictionary-entity mention,
+    greedy longest-match over overlaps, plus last-word back-references.
+
+    *entities*: list of (entity_id, name); names are 1-3 tokens, matched
+    case-insensitively (the reference lower-cases via a functional
+    index, db/models.py:396).
+    """
+    spark = docs.sparkSession
+    toks = tokens_with_positions(docs, text_col)
+
+    dim = _entity_dim(spark, entities)
+
+    # one window pass gives the 2-token lookahead
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    look = toks.select(
+        "doc_id",
+        "pos",
+        "token",
+        F.lead("token", 1).over(w).alias("t2"),
+        F.lead("token", 2).over(w).alias("t3"),
     )
-    cand = cand.join(
-        t2,
-        (F.col("doc_id") == F.col("d2")) & (F.col("p2") == F.col("pos") + 1),
-        "left",
-    ).where((F.col("n") < 2) | (F.col("tok2") == F.col("w2"))).drop(
-        "d2", "p2"
-    )
-    t3 = toks.select(
-        F.col("doc_id").alias("d3"), F.col("pos").alias("p3"),
-        F.col("token").alias("tok3"),
-    )
-    cand = cand.join(
-        t3,
-        (F.col("doc_id") == F.col("d3")) & (F.col("p3") == F.col("pos") + 2),
-        "left",
-    ).where((F.col("n") < 3) | (F.col("tok3") == F.col("w3"))).drop(
-        "d3", "p3"
+    cand = look.join(
+        F.broadcast(dim),
+        (F.col("token") == F.col("w1"))
+        & ((F.col("n") < 2) | (F.col("t2") == F.col("w2")))
+        & ((F.col("n") < 3) | (F.col("t3") == F.col("w3"))),
+        "inner",
+    ).select("doc_id", "pos", "n", "entity", "entity_id", "wlast")
+
+    # greedy scan-and-resume per doc: candidates arrive sorted by
+    # (pos asc, n desc, entity_id asc); a candidate is accepted iff its
+    # start is at/past the previous accepted end — which also implements
+    # longest-wins at equal starts (the winner advances resume past the
+    # start, skipping the rest). The scan is a tiny Python loop over
+    # dictionary HITS only (never the token table), carried across Arrow
+    # batches so doc boundaries don't depend on batch size.
+    def greedy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        resume: dict = {}
+        for b in batches:
+            m = len(b)
+            if m == 0:
+                continue
+            d = b["doc_id"].to_numpy()
+            p = b["pos"].to_numpy()
+            nn = b["n"].to_numpy()
+            keep = np.zeros(m, dtype=bool)
+            for i in range(m):
+                r = resume.get(d[i], -1)
+                if p[i] >= r:
+                    keep[i] = True
+                    resume[d[i]] = p[i] + nn[i]
+            yield b.loc[keep]
+
+    sel = (
+        cand.repartition("doc_id")
+        .sortWithinPartitions("doc_id", "pos", F.desc("n"), "entity_id")
+        .mapInPandas(
+            greedy,
+            "doc_id long, pos int, n int, entity string, "
+            "entity_id string, wlast string",
+        )
     )
 
-    # longest match wins where spans overlap at the same start; and a
-    # longer match starting earlier swallows shorter ones inside it
-    from pyspark.sql.window import Window
+    base = sel.select(
+        "doc_id", F.col("pos").cast("long").alias("pos"), "entity", "entity_id"
+    )
+    if not backref:
+        return base
 
-    w_start = Window.partitionBy("doc_id", "pos").orderBy(F.desc("n"))
-    best = (
-        cand.withColumn("rk", F.row_number().over(w_start))
+    # last-word back-reference: bare <wlast> after the first accepted
+    # mention of a multi-token entity, outside any accepted span
+    first_mention = (
+        sel.where(F.col("n") >= 2)
+        .groupBy("doc_id", "entity_id", "entity", "wlast")
+        .agg(F.min("pos").alias("fpos"))
+        .withColumnRenamed("wlast", "token")
+    )
+    covered = sel.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.col("n") - 1)
+        ).alias("pos"),
+    )
+    w_pos = Window.partitionBy("doc_id", "pos").orderBy("fpos", "entity_id")
+    backrefs = (
+        toks.join(first_mention, ["doc_id", "token"])
+        .where(F.col("pos") > F.col("fpos"))
+        .join(covered, ["doc_id", "pos"], "left_anti")
+        .withColumn("rk", F.row_number().over(w_pos))
         .where(F.col("rk") == 1)
-        .select("doc_id", "pos", "entity", "entity_id", "n")
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            "entity",
+            "entity_id",
+        )
     )
-    # suppress matches fully inside an earlier longer match
-    inside = best.alias("a").join(
-        best.alias("b"),
-        (F.col("a.doc_id") == F.col("b.doc_id"))
-        & (F.col("b.pos") < F.col("a.pos"))
-        & (F.col("b.pos") + F.col("b.n") > F.col("a.pos")),
-        "left_semi",
-    )
-    return (
-        best.join(inside, ["doc_id", "pos"], "left_anti")
-        .select("doc_id", "pos", "entity", "entity_id")
-    )
+    return base.unionByName(backrefs)

@@ -315,10 +315,21 @@ def compact_segments(
         def emit(head: pd.DataFrame) -> pd.DataFrame:
             rows: list = []
             for _, g in head.groupby(["shard", "term"], sort=False):
-                g = g.sort_values("block_id", kind="mergesort")
+                # order by doc range, NOT block_id: incremental appends
+                # can reuse block ids, and concatenating out of doc order
+                # would wrap the delta coder's negative deltas to huge
+                # uint64 values
+                g = g.sort_values("first_doc", kind="mergesort")
                 parts = [decode_block(r.docs, r.tfs, r.dls)
                          for r in g.itertuples(index=False)]
                 doc = np.concatenate([p[0] for p in parts])
+                if doc.size > 1 and not (doc[1:] > doc[:-1]).all():
+                    raise ValueError(
+                        "compact_segments: overlapping doc ranges in "
+                        f"(shard={g['shard'].iloc[0]}, term="
+                        f"{g['term'].iloc[0]!r}) — segments to compact "
+                        "must cover disjoint doc ranges"
+                    )
                 tf = np.concatenate([p[1] for p in parts])
                 dl = np.concatenate([p[2] for p in parts])
                 idf = float(g["idf"].iloc[0])
@@ -353,7 +364,7 @@ def compact_segments(
 
     return (
         segments.repartition("shard")
-        .sortWithinPartitions("shard", "term", "block_id")
+        .sortWithinPartitions("shard", "term", "first_doc")
         .mapInPandas(compact_partition, SEGMENT_SCHEMA)
     )
 

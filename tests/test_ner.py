@@ -54,3 +54,52 @@ def test_case_insensitive(spark):
     got = {(r.pos, r.entity_id) for r in recognize_entities(docs, ENTITIES).collect()}
     assert (0, "e4") in got
     assert (3, "e1") in got
+
+
+def test_greedy_scan_resume_no_chain_suppression(spark):
+    """A match starting inside an already-SUPPRESSED match must survive
+    (reference scan-and-resume; round-1 anti-join chain-suppressed it)."""
+    ents = [("A", "x y z"), ("B", "z w v"), ("C", "v u")]
+    docs = spark.createDataFrame(
+        [(1, "x y z w v u")], "doc_id long, text string"
+    )
+    got = {
+        (r.pos, r.entity_id)
+        for r in recognize_entities(docs, ents).collect()
+    }
+    assert (0, "A") in got
+    assert not any(e == "B" for _, e in got)   # starts inside accepted A
+    assert (4, "C") in got                     # starts inside suppressed B
+
+
+def test_equal_length_tie_break_deterministic(spark):
+    ents = [("zz", "a b"), ("aa", "a b")]
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    got = {(r.pos, r.entity_id) for r in recognize_entities(docs, ents).collect()}
+    assert got == {(0, "aa")}                  # entity_id asc wins
+
+
+def test_last_word_backref(spark):
+    ents = [("e1", "Jón Sigurðsson"), ("e9", "Sigurðsson Yngri")]
+    docs = spark.createDataFrame(
+        [
+            # full name, then bare surname later -> back-reference to e1
+            (1, "Jón Sigurðsson talaði. Sigurðsson svaraði ekki."),
+            # bare surname BEFORE any full mention: no backref
+            (2, "Sigurðsson svaraði. Jón Sigurðsson kom."),
+            # surname inside another accepted span: no double emission
+            (3, "Jón Sigurðsson og Sigurðsson Yngri."),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.pos, r.entity_id)
+        for r in recognize_entities(docs, ents).collect()
+    }
+    assert (1, 0, "e1") in got and (1, 3, "e1") in got
+    assert (2, 2, "e1") in got and not any(
+        d == 2 and p == 0 for d, p, _ in got
+    )
+    # doc 3: e1 at 0, e9 at 3; pos 3-4 covered by e9, no backref row there
+    assert (3, 0, "e1") in got and (3, 3, "e9") in got
+    assert sum(1 for d, _, _ in got if d == 3) == 2
