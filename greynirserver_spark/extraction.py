@@ -37,7 +37,6 @@ from typing import List, Optional, Union
 import pandas as pd
 
 __all__ = [
-    "TextAccumulator",
     "Node",
     "parse_html",
     "extract_fragment",
@@ -82,73 +81,56 @@ _RBRACKET_RUN_RE = re.compile(r"\]\]+")
 MAX_HTML_BYTES = 4 * 1024 * 1024
 
 
-class TextAccumulator:
-    """Accumulates text into a flat list of ``[[...]]`` paragraphs.
+# Paragraph-cut sentinel in the extraction event stream. Text fragments
+# are plain strings; a cut splits the stream into paragraph segments.
+_CUT = None
 
-    Same contract as the reference's ``Fetcher.TextList``
-    (``fetcher.py:103-181``): markers are balanced, non-nested, and
-    content can never masquerade as a marker.
+
+def _clean_segment(fragments: List[str]) -> str:
+    """Normalize one paragraph segment's raw fragments into display text.
+
+    Segment-level normalization (discretionary characters out first, then
+    whitespace runs, then bracket runs) is what lets the event-stream fold
+    stay stateless: stray spaces contributed by inline elements or
+    whitespace-only text nodes all collapse here, so the fold needs no
+    in-paragraph / seen-whitespace bookkeeping at all.
     """
+    s = _SOFT_WS_RE.sub("", "".join(fragments))
+    s = _WS_RUN_RE.sub(" ", s).strip()
+    # Bracket runs inside content would be indistinguishable from the
+    # paragraph markers themselves; squeeze them to single brackets
+    s = _LBRACKET_RUN_RE.sub("[", s)
+    return _RBRACKET_RUN_RE.sub("]", s)
 
-    __slots__ = ("_paragraphs", "_current", "_in_para", "_white")
 
-    def __init__(self) -> None:
-        self._paragraphs: List[str] = []
-        self._current: List[str] = []
-        self._in_para = False
-        self._white = False
+def _mark_paragraph(p: str) -> str:
+    """Wrap one cleaned paragraph in ``[[...]]``, spacing out any edge
+    bracket that would otherwise fuse with the marker."""
+    left = "[[ " if p[:1] == "[" else "[["
+    right = " ]]" if p[-1:] == "]" else "]]"
+    return left + p + right
 
-    def append(self, w: str) -> None:
-        if not self._in_para:
-            if w.isspace():
-                # Whitespace alone doesn't open a new paragraph
-                return
-            self._in_para = True
-        self._current.append(w)
-        self._white = False
 
-    def append_whitespace(self) -> None:
-        if self._in_para and not self._white:
-            self._current.append(" ")
-            self._white = True
-
-    def begin(self) -> None:
-        """Enter a block element: any open paragraph ends here, so inline
-        text preceding the block gets its own paragraph."""
-        self._close()
-
-    def end(self) -> None:
-        """Exit a block element: close the open paragraph, if any."""
-        self._close()
-
-    def insert_break(self) -> None:
-        """Cut the paragraph at ``<br>`` / ``<hr>``."""
-        self._close()
-
-    def _close(self) -> None:
-        if self._in_para:
-            text = "".join(self._current)
-            text = _SOFT_WS_RE.sub("", text)
-            text = _WS_RUN_RE.sub(" ", text).strip()
-            # Collapse literal bracket runs so content cannot be confused
-            # with paragraph markers
-            text = _LBRACKET_RUN_RE.sub("[", text)
-            text = _RBRACKET_RUN_RE.sub("]", text)
-            if text:
-                self._paragraphs.append(text)
-            self._current = []
-            self._in_para = False
-        self._white = False
-
-    def result(self) -> str:
-        self._close()
-        parts: List[str] = []
-        for p in self._paragraphs:
-            # Pad edge brackets away from the markers
-            head = " " if p.startswith("[") else ""
-            tail = " " if p.endswith("]") else ""
-            parts.append("[[" + head + p + tail + "]]")
-        return "".join(parts)
+def _fold_events(events) -> str:
+    """Fold an extraction event stream (strings + ``_CUT`` sentinels)
+    into the final marker string: split on cuts, clean each segment,
+    drop the empties, mark the rest."""
+    paragraphs: List[str] = []
+    segment: List[str] = []
+    for ev in events:
+        if ev is _CUT:
+            if segment:
+                p = _clean_segment(segment)
+                if p:
+                    paragraphs.append(p)
+                segment = []
+        else:
+            segment.append(ev)
+    if segment:
+        p = _clean_segment(segment)
+        if p:
+            paragraphs.append(p)
+    return "".join(_mark_paragraph(p) for p in paragraphs)
 
 
 class Node:
@@ -214,36 +196,57 @@ def parse_html(html: str) -> Node:
     return builder.root
 
 
-def _walk(node: Node, acc: TextAccumulator) -> None:
-    """Walker with the reference's dispatch semantics
-    (``fetcher.py:183-222``)."""
-    for t in node.children:
-        if t.name is None:
-            acc.append(t.text or "")
-        elif t.name in BREAK_TAGS:
-            acc.insert_break()
-            _walk(t, acc)
-        elif t.name in WHITESPACE_TAGS:
-            acc.append_whitespace()
-            _walk(t, acc)
-        elif t.name in BLOCK_TAGS:
-            acc.begin()
-            _walk(t, acc)
-            acc.end()
-        elif t.name in INLINE_BLOCK_TAGS:
-            acc.append_whitespace()
-            _walk(t, acc)
-            acc.append_whitespace()
-        elif t.name not in EXCLUDE_TAGS:
-            _walk(t, acc)
+# Tag-effect table for the event stream: (event on entering the element,
+# event pushed after its subtree). Semantics per reference
+# fetcher.py:57-94/183-222: blocks open and close paragraphs, br/hr cut,
+# img contributes whitespace, span is padded with whitespace on both
+# sides; excluded subtrees are skipped wholesale; any other element is
+# transparent. ``...`` = no event.
+_TAG_EVENTS = {
+    **{t: (_CUT, _CUT) for t in BLOCK_TAGS},
+    **{t: (_CUT, ...) for t in BREAK_TAGS},
+    **{t: (" ", ...) for t in WHITESPACE_TAGS},
+    **{t: (" ", " ") for t in INLINE_BLOCK_TAGS},
+}
+
+
+class _After:
+    """Work-stack marker: emit ``event`` once a subtree has been walked."""
+
+    __slots__ = ("event",)
+
+    def __init__(self, event) -> None:
+        self.event = event
+
+
+def _event_stream(root: Node):
+    """Yield the flat extraction event stream of a DOM subtree: text
+    fragments and ``_CUT`` sentinels, in document order. Iterative
+    (explicit work stack), so pathological nesting depth cannot blow the
+    recursion limit on a Spark worker."""
+    stack: list = list(reversed(root.children))
+    while stack:
+        item = stack.pop()
+        if isinstance(item, _After):
+            yield item.event
+            continue
+        if item.name is None:
+            yield item.text or ""
+            continue
+        if item.name in EXCLUDE_TAGS:
+            continue
+        enter, leave = _TAG_EVENTS.get(item.name, (..., ...))
+        if enter is not ...:
+            yield enter
+        if leave is not ...:
+            stack.append(_After(leave))
+        stack.extend(reversed(item.children))
 
 
 def extract_fragment(html: str) -> str:
     """Extract text from an HTML fragment (walks the root directly —
     mirrors the reference's unit-test harness, tests/test_fetcher.py:51-55)."""
-    acc = TextAccumulator()
-    _walk(parse_html(html), acc)
-    return acc.result()
+    return _fold_events(_event_stream(parse_html(html)))
 
 
 def extract_document(html: Union[str, bytes, None]) -> str:
@@ -269,9 +272,7 @@ def extract_document(html: Union[str, bytes, None]) -> str:
     body = html_el.find("body")
     if body is None:
         return ""
-    acc = TextAccumulator()
-    _walk(body, acc)
-    return acc.result()
+    return _fold_events(_event_stream(body))
 
 
 def extract_series(html_series: pd.Series) -> pd.Series:
