@@ -15,25 +15,29 @@ sweep (equivalent pruning, vectorizable):
    bound ``block_max`` over its doc range [first_doc, last_doc]. A
    boundary sweep yields elementary doc intervals with
    ``ub(interval) = Σ block_max of covering blocks`` — exactly WAND's
-   pivot upper bound, computed for all pivots at once.
-2. *Pruned scoring*: intervals are processed in decreasing ub order;
-   only blocks overlapping a processed interval are ever decoded
-   (decode results cached). Docs in the interval are exact-scored
-   vectorized (term-sorted accumulation -> bit-identical to the exact
-   DataFrame scorer). The heap threshold θ is the running k-th best
-   exact score; processing stops at the first interval with ub < θ.
-   Any unseen doc d lies in an unprocessed interval, so
-   score(d) <= ub < θ — exactness holds, blocks below θ are skipped.
+   pivot upper bound, computed for all pivots at once. Elementary
+   intervals partition the doc space, so every doc is scored at most
+   once and never re-checked.
+2. *θ-gated lazy decode + scoring*: intervals are consumed in
+   decreasing-ub order in small batches. Only the blocks covering a
+   consumed interval are ever DECODED (bulk varint decode of exactly
+   the missing blocks, cached); the running k-th best exact score θ
+   stops consumption at the first interval with ub < θ. Any unseen doc
+   d lies in an unprocessed interval, so score(d) <= ub < θ —
+   exactness holds, and decode work tracks the pruned frontier instead
+   of the matched posting volume (decoding everything up-front made
+   head-term latency linear in corpus size).
 
-This keeps WAND's skipping guarantee while replacing the per-doc pivot
-walk with NumPy batch operations — the right trade for a Python runtime
-(reference analog: argpartition top-k instead of a selection loop,
-vectors/simserver.py:349-356).
+Scoring inside a batch is whole-batch NumPy: per-term posting slices are
+concatenated, accumulated into the unique-doc vector in sorted-term
+order (bit-identical summation order to the exact DataFrame scorer),
+and the top-k state is merged with one lexsort — no per-doc Python, no
+membership sets, no heap loop (reference analog: argpartition top-k
+instead of a selection loop, vectors/simserver.py:349-356).
 """
 
 from __future__ import annotations
 
-import heapq
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
@@ -47,52 +51,86 @@ from .segments import bm25_partial
 __all__ = ["wand_topk", "shard_topk_pandas"]
 
 
-def _bulk_decode_term(g: pd.DataFrame) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Decode ALL of one (shard, term)'s blocks in 3 varint passes.
+class _TermBlocks:
+    """One (shard, term)'s block metadata + lazily decoded postings."""
 
-    Byte streams concatenate cleanly; delta coding restarts per block,
-    so absolute doc ids are restored by subtracting each block's
-    preceding cumulative sum (vectorized) — turning O(#blocks) decode
-    calls into O(1) per stream (measured 15x on head-term queries).
-    """
-    from .segments import varint_decode
+    __slots__ = ("first", "last", "nd", "bmax", "idf", "docs_b", "tfs_b",
+                 "dls_b", "cache")
 
-    n_docs = g["n_docs"].to_numpy(np.int64)
-    deltas = varint_decode(b"".join(g["docs"])).astype(np.int64)
-    tf = varint_decode(b"".join(g["tfs"])).astype(np.int64)
-    dl = varint_decode(b"".join(g["dls"])).astype(np.int64)
-    cs = np.cumsum(deltas)
-    starts = np.concatenate(([0], np.cumsum(n_docs)[:-1]))
-    # correction[j] = cs[start_of_block(j) - 1] (0 for the first block)
-    corr_per_block = np.where(starts > 0, cs[starts - 1], 0)
-    docs = cs - np.repeat(corr_per_block, n_docs)
-    return docs, tf, dl
+    def __init__(self, g: pd.DataFrame) -> None:
+        self.first = g["first_doc"].to_numpy(np.int64)
+        self.last = g["last_doc"].to_numpy(np.int64)
+        self.bmax = g["block_max"].to_numpy(np.float64)
+        self.nd = g["n_docs"].to_numpy(np.int64)
+        self.idf = float(g["idf"].iloc[0])
+        self.docs_b = g["docs"].tolist()
+        self.tfs_b = g["tfs"].tolist()
+        self.dls_b = g["dls"].tolist()
+        self.cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+
+    def covering_block(self, lo: int) -> int:
+        """Index of the block whose doc range covers *lo*, or -1.
+        Elementary intervals never straddle a block boundary, so one
+        block per term covers a whole interval."""
+        bi = int(np.searchsorted(self.first, lo, side="right")) - 1
+        if bi >= 0 and self.last[bi] >= lo:
+            return bi
+        return -1
+
+    def decode(self, blocks: List[int], avgdl: float) -> None:
+        """Bulk-decode the listed (missing) blocks in 3 varint passes.
+
+        Byte streams of arbitrary block subsets concatenate cleanly;
+        delta coding restarts per block, so absolute doc ids are
+        restored by subtracting each block's preceding cumulative sum —
+        O(1) decode calls per batch instead of O(#blocks)."""
+        from .segments import varint_decode
+
+        deltas = varint_decode(
+            b"".join(self.docs_b[b] for b in blocks)
+        ).astype(np.int64)
+        tf = varint_decode(
+            b"".join(self.tfs_b[b] for b in blocks)
+        ).astype(np.int64)
+        dl = varint_decode(
+            b"".join(self.dls_b[b] for b in blocks)
+        ).astype(np.int64)
+        nd = self.nd[blocks]
+        cs = np.cumsum(deltas)
+        starts = np.concatenate(([0], np.cumsum(nd)[:-1]))
+        corr = np.where(starts > 0, cs[np.maximum(starts - 1, 0)], 0)
+        docs_abs = cs - np.repeat(corr, nd)
+        parts = bm25_partial(tf, dl, self.idf, avgdl)
+        ends = np.cumsum(nd)
+        for j, b in enumerate(blocks):
+            self.cache[b] = (docs_abs[starts[j]:ends[j]],
+                             parts[starts[j]:ends[j]])
 
 
 def shard_topk_pandas(
-    pdf: pd.DataFrame, k: int, avgdl: float, stats_out: dict | None = None
+    pdf: pd.DataFrame,
+    k: int,
+    avgdl: float,
+    stats_out: dict | None = None,
+    interval_batch: int = 32,
 ) -> pd.DataFrame:
-    """Exact top-k over one shard's blocks via the interval-sweep
-    block-max pruning described in the module docstring.
-
-    Decoding is bulk-vectorized per (term); the θ threshold prunes
-    *scoring*: intervals (and the blocks under them) whose upper bound
-    falls below the running k-th best score are never touched.
+    """Exact top-k over one shard's blocks via the θ-gated interval sweep
+    described in the module docstring.
 
     *stats_out* (optional dict) receives pruning observability counters:
-    ``blocks_total``, ``blocks_scored``, ``intervals_total``,
-    ``intervals_processed``."""
+    ``blocks_total``, ``blocks_decoded`` (== ``blocks_scored``),
+    ``intervals_total``, ``intervals_processed``."""
     terms = sorted(pdf["term"].unique())
-    per_term: Dict[str, pd.DataFrame] = {
-        t: g.sort_values("first_doc").reset_index(drop=True)
+    tb: Dict[str, _TermBlocks] = {
+        t: _TermBlocks(g.sort_values("first_doc").reset_index(drop=True))
         for t, g in pdf.groupby("term")
     }
 
     # ---- metadata sweep: elementary intervals with summed block_max
     events: List[Tuple[int, float]] = []
     for t in terms:
-        g = per_term[t]
-        for fd, ld, bm in zip(g["first_doc"], g["last_doc"], g["block_max"]):
+        m = tb[t]
+        for fd, ld, bm in zip(m.first, m.last, m.bmax):
             events.append((int(fd), float(bm)))
             events.append((int(ld) + 1, -float(bm)))
     if not events:
@@ -102,87 +140,93 @@ def shard_topk_pandas(
     ubs = np.cumsum(ev.to_numpy())
     order = np.argsort(-ubs, kind="mergesort")
 
-    # bulk decode + partial scores per term (docs sorted within a term:
-    # blocks are consecutive doc ranges inside one shard)
-    term_arrays: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
-    for t in terms:
-        g = per_term[t]
-        docs_t, tf_t, dl_t = _bulk_decode_term(g)
-        term_arrays[t] = (
-            docs_t,
-            bm25_partial(tf_t, dl_t, float(g["idf"].iloc[0]), avgdl),
-        )
-
-    heap: List[Tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
-    scored: set = set()
+    top_docs = np.empty(0, dtype=np.int64)
+    top_scores = np.empty(0, dtype=np.float64)
+    theta = -np.inf
     n_processed = 0
-    scored_spans: Dict[str, List[Tuple[int, int]]] = {t: [] for t in terms}
+    oi_ptr = 0
+    stop = False
 
-    for oi in order:
-        lo = int(xs[oi])
-        hi = int(xs[oi + 1]) if oi + 1 < len(xs) else int(xs[-1]) + 1
-        ub = float(ubs[oi])
-        if ub <= 0:
+    while oi_ptr < len(order) and not stop:
+        # ---- assemble the next θ-qualified interval batch
+        batch: List[int] = []
+        while oi_ptr < len(order) and len(batch) < interval_batch:
+            oi = int(order[oi_ptr])
+            ub = float(ubs[oi])
+            if ub <= 0 or (top_docs.size >= k and ub < theta):
+                stop = True  # ubs only decrease from here — WAND stop
+                break
+            batch.append(oi)
+            oi_ptr += 1
+        if not batch:
             break
-        if len(heap) >= k and ub < heap[0][0]:
-            break  # every remaining interval is below θ — WAND stop
-        n_processed += 1
-        term_docs: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
-        doc_union: List[np.ndarray] = []
+        n_processed += len(batch)
+
+        # ---- locate + lazily decode exactly the covering blocks
+        iv: List[Tuple[int, int, Dict[str, int]]] = []
+        need: Dict[str, set] = {t: set() for t in terms}
+        for oi in batch:
+            lo = int(xs[oi])
+            hi = int(xs[oi + 1]) if oi + 1 < len(xs) else int(xs[-1]) + 1
+            cover: Dict[str, int] = {}
+            for t in terms:
+                bi = tb[t].covering_block(lo)
+                if bi >= 0:
+                    cover[t] = bi
+                    if bi not in tb[t].cache:
+                        need[t].add(bi)
+            iv.append((lo, hi, cover))
         for t in terms:
-            docs_t, parts_t = term_arrays[t]
-            i0 = int(np.searchsorted(docs_t, lo, side="left"))
-            i1 = int(np.searchsorted(docs_t, hi, side="left"))
-            if i1 > i0:
-                term_docs[t] = (docs_t[i0:i1], parts_t[i0:i1])
-                doc_union.append(docs_t[i0:i1])
-                scored_spans[t].append((i0, i1))
-        if not doc_union:
+            if need[t]:
+                tb[t].decode(sorted(need[t]), avgdl)
+
+        # ---- whole-batch scoring: slices per term, term-sorted sums
+        tslices: Dict[str, List[Tuple[np.ndarray, np.ndarray]]] = {
+            t: [] for t in terms
+        }
+        for lo, hi, cover in iv:
+            for t, bi in cover.items():
+                docs_blk, parts_blk = tb[t].cache[bi]
+                i0 = int(np.searchsorted(docs_blk, lo, side="left"))
+                i1 = int(np.searchsorted(docs_blk, hi, side="left"))
+                if i1 > i0:
+                    tslices[t].append((docs_blk[i0:i1], parts_blk[i0:i1]))
+        slices_flat = [d for t in terms for d, _ in tslices[t]]
+        if not slices_flat:
             continue
-        docs = np.unique(np.concatenate(doc_union))
-        new_mask = np.fromiter(
-            (int(d) not in scored for d in docs), bool, len(docs)
-        )
-        docs = docs[new_mask]
-        if docs.size == 0:
-            continue
-        acc = np.zeros(docs.size, dtype=np.float64)
+        docs_u = np.unique(np.concatenate(slices_flat))
+        acc = np.zeros(docs_u.size, dtype=np.float64)
         for t in terms:  # term-sorted accumulation -> deterministic sums
-            if t not in term_docs:
-                continue
-            dd, pp = term_docs[t]
-            pos = np.searchsorted(docs, dd)
-            ok = (pos < docs.size) & (docs[np.minimum(pos, docs.size - 1)] == dd)
-            np.add.at(acc, pos[ok], pp[ok])
-        for d, s in zip(docs.tolist(), acc.tolist()):
-            scored.add(int(d))
-            if len(heap) < k:
-                heapq.heappush(heap, (s, -int(d)))
-            elif (s, -int(d)) > heap[0]:
-                heapq.heapreplace(heap, (s, -int(d)))
+            if tslices[t]:
+                dd = np.concatenate([d for d, _ in tslices[t]])
+                pp = np.concatenate([p for _, p in tslices[t]])
+                acc[np.searchsorted(docs_u, dd)] += pp
+
+        # ---- vectorized top-k merge + θ update (intervals are disjoint,
+        # so docs_u never collides with previously kept docs)
+        md = np.concatenate([top_docs, docs_u])
+        ms = np.concatenate([top_scores, acc])
+        if md.size > k:
+            sel = np.lexsort((md, -ms))[:k]
+            md, ms = md[sel], ms[sel]
+        top_docs, top_scores = md, ms
+        if top_docs.size >= k:
+            theta = float(top_scores.min())
 
     if stats_out is not None:
         stats_out["blocks_total"] = int(len(pdf))
-        # blocks actually scored: posting index spans touched, mapped to
-        # block boundaries
-        n_scored = 0
-        for t in terms:
-            g = per_term[t]
-            bounds = np.concatenate(
-                ([0], np.cumsum(g["n_docs"].to_numpy(np.int64)))
-            )
-            touched = np.zeros(len(g), dtype=bool)
-            for i0, i1 in scored_spans[t]:
-                b0 = int(np.searchsorted(bounds, i0, side="right")) - 1
-                b1 = int(np.searchsorted(bounds, i1, side="left"))
-                touched[b0:b1] = True
-            n_scored += int(touched.sum())
-        stats_out["blocks_scored"] = n_scored
+        n_dec = sum(len(tb[t].cache) for t in terms)
+        stats_out["blocks_decoded"] = n_dec
+        stats_out["blocks_scored"] = n_dec
         stats_out["intervals_total"] = int(len(order))
         stats_out["intervals_processed"] = n_processed
-    out = sorted(((s, -nd) for s, nd in heap), key=lambda x: (-x[0], x[1]))
+
+    out_order = np.lexsort((top_docs, -top_scores))
     return pd.DataFrame(
-        {"doc_id": [d for _, d in out], "score": [s for s, _ in out]}
+        {
+            "doc_id": top_docs[out_order],
+            "score": top_scores[out_order],
+        }
     )
 
 

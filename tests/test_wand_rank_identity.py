@@ -171,6 +171,9 @@ def test_block_max_pruning_skips_blocks_on_skewed_scores():
     got = shard_topk_pandas(pdf, k=10, avgdl=avgdl, stats_out=stats)
     expected = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert list(got["doc_id"]) == [d for d, _ in expected]
-    # the flat tail (no hot doc) must be skipped wholesale
+    # the flat tail (no hot doc) must be skipped wholesale — and not
+    # just skipped from scoring: never DECODED (round-1 regressed to
+    # eager decode of every matched block; this pins the lazy path)
+    assert stats["blocks_decoded"] < 0.35 * stats["blocks_total"], stats
     assert stats["blocks_scored"] < 0.35 * stats["blocks_total"], stats
     assert stats["intervals_processed"] < 0.35 * stats["intervals_total"], stats
