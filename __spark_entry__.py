@@ -53,6 +53,250 @@ _COUNT_TERMS = ["spark", "join"]
 _ANN_QUERY_ID = 0
 
 
+def _minhash_params_values() -> str:
+    """The MinHash permutation params (seeded, identical to
+    dedup._minhash_params) inlined as a SQL VALUES list."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.SFC64(42))
+    a = rng.integers(1, 1 << 63, size=64, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, 1 << 63, size=64, dtype=np.uint64)
+    return ",\n    ".join(
+        f"({h}, {int(a[h])}::UBIGINT, {int(b[h])}::UBIGINT)"
+        for h in range(64)
+    )
+
+
+def _minhash_chain_sql(threshold: float, bands: int, tokf_src: str) -> str:
+    """Shared CTE chain: distinct tokens -> 60-bit md5 term hashes ->
+    64-perm MinHash rows -> banded md5 buckets -> candidate pairs ->
+    signature-estimate prefilter -> exact-Jaccard verified pairs.
+    Mirrors dedup.minhash_lsh_pairs exactly (same seeds, same uint64
+    wraparound via HUGEINT mod 2^64, same banding and prefilter
+    constants). *tokf_src* must define a relation ``mh_docs(doc_id,
+    text)``."""
+    r = 64 // bands
+    prefilter = repr(max(0.0, threshold - 0.15))
+    return f"""
+{tokf_src}, mh_tokf AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '{_TOKEN_RE}')) AS term
+    FROM mh_docs)
+  WHERE length(term) BETWEEN 1 AND 64
+), mh_th AS (
+  SELECT doc_id, ('0x' || substr(md5(term), 1, 15))::UBIGINT AS th
+  FROM mh_tokf
+), mh_params(h, a, b) AS (VALUES
+    {_minhash_params_values()}
+), mh_minrows AS (
+  SELECT t.doc_id, p.h,
+         (min((p.a::HUGEINT * t.th + p.b) % 18446744073709551616)::UBIGINT
+          >> 1)::BIGINT AS v
+  FROM mh_th t CROSS JOIN mh_params p
+  GROUP BY t.doc_id, p.h
+), mh_sigs AS (
+  SELECT doc_id, list(v ORDER BY h) AS sig FROM mh_minrows GROUP BY doc_id
+), mh_buckets AS (
+  SELECT doc_id, band,
+         md5(array_to_string(sig[band*{r}+1 : band*{r}+{r}], ',')) AS bucket
+  FROM mh_sigs, (SELECT unnest(range({bands})) AS band)
+), mh_cands AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM mh_buckets a JOIN mh_buckets b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), mh_est AS (
+  SELECT c.doc_a, c.doc_b
+  FROM mh_cands c
+  JOIN mh_minrows ma ON ma.doc_id = c.doc_a
+  JOIN mh_minrows mb ON mb.doc_id = c.doc_b AND mb.h = ma.h
+  GROUP BY 1, 2
+  HAVING sum(CASE WHEN ma.v = mb.v THEN 1 ELSE 0 END) / 64.0 >= {prefilter}
+), mh_sizes AS (
+  SELECT doc_id, count(*)::BIGINT AS sz FROM mh_tokf GROUP BY 1
+), mh_inter AS (
+  SELECT e.doc_a, e.doc_b, count(*)::BIGINT AS i
+  FROM mh_est e
+  JOIN mh_tokf ta ON ta.doc_id = e.doc_a
+  JOIN mh_tokf tb ON tb.doc_id = e.doc_b AND tb.term = ta.term
+  GROUP BY 1, 2
+), mh_pairs AS (
+  SELECT doc_a, doc_b,
+         round(i::DOUBLE / (sa.sz + sb.sz - i), 4) AS jaccard
+  FROM mh_inter
+  JOIN mh_sizes sa ON sa.doc_id = doc_a
+  JOIN mh_sizes sb ON sb.doc_id = doc_b
+  WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 4) >= {threshold}
+)"""
+
+
+def _simhash_sql() -> str:
+    """(doc_id, simhash) exactly as dedup.simhash_fingerprints: tf-weighted
+    sign of each of 60 hash bits (bits 60..63 of the 60-bit term hash are
+    always 0 -> always negative -> never set), bit 0 dropped by the final
+    >> 1."""
+    return f"""
+WITH sh_post AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '{_TOKEN_RE}')) AS term
+    FROM documents)
+  WHERE length(term) BETWEEN 1 AND 64
+  GROUP BY 1, 2
+), sh_th AS (
+  SELECT doc_id, ('0x' || substr(md5(term), 1, 15))::UBIGINT AS th, tf
+  FROM sh_post
+), sh_bits AS (
+  SELECT doc_id, j,
+         sum(tf * (2 * ((th >> j) & 1)::BIGINT - 1)) AS score
+  FROM sh_th, (SELECT unnest(range(60)) AS j)
+  GROUP BY 1, 2
+), sh_fp AS (
+  SELECT doc_id,
+         (sum(CASE WHEN score > 0 THEN (1::UBIGINT << j)::HUGEINT
+               ELSE 0 END) // 2)::BIGINT AS simhash
+  FROM sh_bits GROUP BY doc_id
+)"""
+
+
+def _dot_sql(vec: list, col: str = "embedding") -> str:
+    """Spark's aggregate/zip_with dot product against a literal vector,
+    as a DuckDB left-fold over the same element order."""
+    lits = ", ".join(repr(float(x)) for x in vec)
+    return (
+        f"list_aggregate(list_transform(range(1, len({col}) + 1), "
+        f"i -> {col}[i]::DOUBLE * ([{lits}])[i]), 'sum')"
+    )
+
+
+def _ann_lsh_oracle_sql() -> str:
+    """lsh_bucket_topk: candidate rows must match the query's sign-LSH
+    bucket in table 1 or table 2 (per-plane sign equality against the
+    query row, planes inlined as literals), then exact cosine top-k —
+    exactly ann.lsh_bucket_topk with seeds 42/43 and 8 planes."""
+    import numpy as np
+
+    n_planes = 8
+    dim = 64
+    t1 = np.random.Generator(np.random.SFC64(42)).standard_normal(
+        (n_planes, dim)
+    )
+    t2 = np.random.Generator(np.random.SFC64(43)).standard_normal(
+        (n_planes, dim)
+    )
+
+    def signs(planes):
+        conds = [
+            f"(({_dot_sql(list(p), 'embedding')}) >= 0) = "
+            f"(({_dot_sql(list(p), 'e')}) >= 0)"
+            for p in planes
+        ]
+        return "(" + " AND ".join(conds) + ")"
+
+    return f"""
+WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = {_ANN_QUERY_ID}),
+c AS (
+  SELECT vec_id, embedding, e FROM embeddings, q
+  WHERE vec_id <> {_ANN_QUERY_ID}
+    AND ({signs(t1)} OR {signs(t2)})
+), s AS (
+  SELECT vec_id,
+         round(
+           list_aggregate(list_transform(range(1, len(embedding) + 1),
+               i -> embedding[i]::DOUBLE * e[i]::DOUBLE), 'sum')
+           / (sqrt(list_aggregate(list_transform(embedding,
+                  x -> x::DOUBLE * x::DOUBLE), 'sum'))
+              * sqrt(list_aggregate(list_transform(e,
+                  x -> x::DOUBLE * x::DOUBLE), 'sum'))),
+         4) AS cosine
+  FROM c
+)
+SELECT row_number() OVER (ORDER BY cosine DESC, vec_id ASC)::BIGINT AS rank,
+       vec_id, cosine
+FROM s ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+
+def _near_pairs_lsh_oracle_sql(threshold: float = 0.35,
+                               n_planes: int = 4) -> str:
+    """ann.cosine_near_pairs_lsh: pairs sharing the full sign-LSH bucket
+    (all plane signs equal), exact cosine >= threshold."""
+    import numpy as np
+
+    planes = np.random.Generator(np.random.SFC64(42)).standard_normal(
+        (n_planes, 64)
+    )
+    same_bucket = " AND ".join(
+        f"(({_dot_sql(list(p), 'a.embedding')}) >= 0) = "
+        f"(({_dot_sql(list(p), 'b.embedding')}) >= 0)"
+        for p in planes
+    )
+    return f"""
+WITH n AS (
+  SELECT vec_id, embedding,
+         sqrt(list_aggregate(list_transform(embedding,
+              x -> x::DOUBLE * x::DOUBLE), 'sum')) AS nrm
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(
+           list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+               i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), 'sum')
+           / (a.nrm * b.nrm), 4) AS cosine
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+  WHERE {same_bucket}
+)
+SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= {threshold}
+"""
+
+
+def _neardup_summary_oracle_sql() -> str:
+    """clean_summary over clean_corpus(near_dup=True, threshold=0.9):
+    base gate statuses, then the MinHash chain (bands=16, the
+    bands_for_threshold(0.9) choice) over 'kept' survivors; the larger
+    doc of every verified pair flips to near_dup."""
+    base = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '{_TOKEN_RE}')) AS term
+  FROM documents
+), tokf AS (
+  SELECT doc_id, term FROM tok WHERE length(term) BETWEEN 1 AND 64
+), stats AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         count(DISTINCT term)::BIGINT AS n_unique
+  FROM tokf GROUP BY doc_id
+), cbase AS (
+  SELECT d.doc_id, d.lang,
+         min(d.doc_id) OVER (PARTITION BY md5(d.text)) AS dup_min,
+         coalesce(s.n_tokens, 0) AS n_tokens,
+         coalesce(s.n_unique, 0) AS n_unique
+  FROM documents d LEFT JOIN stats s ON d.doc_id = s.doc_id
+), tagged AS (
+  SELECT doc_id,
+         CASE WHEN lang <> 'en' THEN 'lang'
+              WHEN n_tokens < 20 THEN 'too_short'
+              WHEN n_tokens > 100000 THEN 'too_long'
+              WHEN n_unique < n_tokens * 0.05 THEN 'low_diversity'
+              WHEN dup_min <> doc_id THEN 'exact_dup'
+              ELSE 'kept' END AS status
+  FROM cbase
+), mh_docs AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN tagged t ON d.doc_id = t.doc_id WHERE t.status = 'kept'
+)"""
+    return _minhash_chain_sql(0.9, 16, base) + """
+, nd AS (SELECT DISTINCT doc_b AS doc_id FROM mh_pairs)
+SELECT status, count(*)::BIGINT AS n_docs FROM (
+  SELECT CASE WHEN t.status = 'kept' AND nd.doc_id IS NOT NULL
+              THEN 'near_dup' ELSE t.status END AS status
+  FROM tagged t LEFT JOIN nd ON t.doc_id = nd.doc_id
+)
+GROUP BY status ORDER BY status
+"""
+
+
 def _ner_oracle_sql() -> str:
     """Greedy scan-and-resume dictionary NER as a recursive CTE: the seed
     picks each doc's first candidate (pos asc, n desc, entity_id asc);
@@ -192,6 +436,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), threshold=0.8, bands=8
         ),
         "simhash_fingerprints": lambda s, d: D.simhash_fingerprints(_docs(s, d)),
+        "simhash_near_pairs": lambda s, d: D.simhash_near_pairs(
+            _docs(s, d), max_hamming=3
+        ).withColumn("hamming", F.col("hamming").cast("long")),
         # --- similarity search ---
         "ann_cosine_topk": lambda s, d: N.cosine_topk_bruteforce(
             _emb(s, d), _query_vec(s, d), k=10, exclude_vec_id=_ANN_QUERY_ID
@@ -201,6 +448,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "embedding_near_pairs": lambda s, d: N.cosine_near_pairs_exact(
             _emb(s, d), threshold=0.35
+        ),
+        "embedding_near_pairs_lsh": lambda s, d: N.cosine_near_pairs_lsh(
+            _emb(s, d), threshold=0.35, n_planes=4
         ),
         # streaming window agg run in batch mode (same plan both modes)
         "windowed_event_counts": lambda s, d: S.windowed_event_counts(
@@ -343,8 +593,31 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 4) >= 0.2
 """,
-        # minhash_lsh_pairs / simhash_fingerprints / ann_lsh_topk:
-        # seeded-hash internals -> rows-only check (intentionally omitted)
+        "minhash_lsh_pairs": _minhash_chain_sql(
+            0.8, 8, "WITH mh_docs AS (SELECT doc_id, text FROM documents)"
+        ) + "\nSELECT doc_a, doc_b, jaccard FROM mh_pairs",
+        "simhash_fingerprints": _simhash_sql()
+        + "\nSELECT doc_id, simhash FROM sh_fp",
+        "simhash_near_pairs": _simhash_sql() + """
+, sh_chunks AS (
+  SELECT doc_id, simhash, c AS chunk, (simhash >> (c * 16)) & 65535 AS val
+  FROM sh_fp, (SELECT unnest(range(4)) AS c)
+), sh_hot AS (
+  SELECT chunk, val FROM sh_chunks GROUP BY 1, 2 HAVING count(*) > 1000
+), sh_cold AS (
+  SELECT * FROM sh_chunks c
+  WHERE NOT EXISTS (SELECT 1 FROM sh_hot h
+                    WHERE h.chunk = c.chunk AND h.val = c.val)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sh_cold a JOIN sh_cold b ON a.chunk = b.chunk AND a.val = b.val
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+        "ann_lsh_topk": _ann_lsh_oracle_sql(),
+        "embedding_near_pairs_lsh": _near_pairs_lsh_oracle_sql(),
+        "corpus_clean_with_neardup": _neardup_summary_oracle_sql(),
         "ann_cosine_topk": f"""
 WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = {_ANN_QUERY_ID}),
 s AS (

@@ -169,7 +169,7 @@ def cosine_near_pairs_lsh(
 ) -> DataFrame:
     """(vec_a, vec_b, cosine) for all pairs with cosine >= threshold,
     candidates via shared sign-LSH bucket (embedding near-dup dedup)."""
-    dim = len(emb.select(F.size("embedding")).first()[0])
+    dim = int(emb.select(F.size("embedding")).first()[0])
     planes = _hyperplanes(dim, n_planes)
     bucketed = emb.select(
         "vec_id", "embedding",

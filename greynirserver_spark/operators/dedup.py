@@ -22,7 +22,7 @@ MinHash family uses seeded multiplicative hashing over uint64.
 
 from __future__ import annotations
 
-from typing import Iterator, Tuple
+from typing import Iterator, Optional, Tuple
 
 import numpy as np
 import pandas as pd
@@ -35,6 +35,7 @@ __all__ = [
     "exact_duplicates",
     "ngram_shingles",
     "ngram_jaccard_pairs",
+    "distinct_tokens",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "bands_for_threshold",
@@ -96,23 +97,51 @@ def ngram_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.5
+    docs: DataFrame, n: int = 3, threshold: float = 0.5,
+    max_shingle_df: int = 1000,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs with n-gram Jaccard >= threshold.
 
     Candidates come from an equi-join on shingle (docs sharing none are
-    never compared). Output jaccard is round(.,4) for oracle comparison.
+    never compared) — but only over shingles with document frequency
+    <= *max_shingle_df*. Without the cap, one boilerplate shingle shared
+    by 10^6 docs emits ~10^12 candidate rows; with it, candidate volume
+    is bounded by sum(df^2) over capped shingles. Hot shingles still
+    count toward the EXACT intersection (computed by expanding candidate
+    pairs against the full shingle table), so the jaccard value is
+    unaffected — the cap can only miss pairs whose every shared shingle
+    is hot, which at df > max_shingle_df are boilerplate, not near-dups.
+    Output jaccard is round(.,4) for oracle comparison.
     """
-    sh = ngram_shingles(docs, n).cache()
+    from pyspark import StorageLevel
+
+    sh = ngram_shingles(docs, n).persist(StorageLevel.DISK_ONLY)
     sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
-    inter = (
-        sh.alias("a")
-        .join(sh.alias("b"), "shingle")
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > max_shingle_df)
+        .select("shingle")
+    )
+    rare = sh.join(hot, "shingle", "left_anti")
+    cands = (
+        rare.alias("a")
+        .join(rare.alias("b"), "shingle")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
+        .distinct()
+    )
+    # exact intersection over the FULL shingle table, expanded only for
+    # candidate pairs (cands is tiny next to sh)
+    inter = (
+        cands.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(
+            sh.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "shingle"]
+        )
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").cast("long").alias("inter"))
     )
     return (
@@ -145,17 +174,29 @@ def _minhash_params() -> Tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
+def distinct_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, term): each document's distinct token set — the shared
+    input of MinHash signatures AND exact Jaccard verification (compute
+    once, persist, reuse: tokenization is the dominant cost of the
+    near-dup pipeline)."""
+    return document_tokens(docs).select("doc_id", "term").distinct()
+
+
+def minhash_signatures(
+    docs: DataFrame, tok: Optional[DataFrame] = None
+) -> DataFrame:
     """(doc_id, sig array<long>): 64-perm MinHash over the token set.
 
     Token hashes are computed JVM-side (md5-derived); the per-doc min
     over 64 multiplicative-hash permutations runs as NumPy inside one
     Arrow batch — O(tokens x 64) vectorized multiply-min, no Python loop
-    over tokens.
+    over tokens. Pass *tok* (output of :func:`distinct_tokens`, ideally
+    persisted) to reuse an already-materialized token table.
     """
+    if tok is None:
+        tok = distinct_tokens(docs)
     tok_hashes = (
-        document_tokens(docs)
-        .select("doc_id", _term_hash60(F.col("term")).alias("th"))
+        tok.select("doc_id", _term_hash60(F.col("term")).alias("th"))
         .groupBy("doc_id")
         .agg(F.collect_set("th").alias("ths"))
     )
@@ -203,11 +244,21 @@ def minhash_lsh_pairs(
     crosses ~0.5, 8 bands x 8 rows ~0.75 — choose bands to match the
     threshold so the candidate join stays linear in docs.
     """
+    from pyspark import StorageLevel
+
     bands = bands or bands_for_threshold(threshold)
+    # ONE tokenize pass feeds both the signature job and the exact
+    # verify join (round-1 recomputed document_tokens twice — measured
+    # as the dominant cost of the whole pipeline)
+    tok = distinct_tokens(docs).persist(StorageLevel.DISK_ONLY)
     # sigs feed banding + both sides of the pair prefilter: cache so the
     # signature job runs once
-    sigs = minhash_signatures(docs).cache()
+    sigs = minhash_signatures(docs, tok=tok).cache()
     rows_per_band = _MINHASH_H // bands
+    # band bucket = md5 of the comma-joined band slice: engine-portable
+    # (Spark's hash() is murmur3 with Spark-specific seeding — not
+    # reproducible in SQL), deterministic, and collision-free in
+    # practice (128-bit)
     band_rows = sigs.select(
         "doc_id",
         F.explode(
@@ -215,8 +266,18 @@ def minhash_lsh_pairs(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda band: F.struct(
                     band.alias("band"),
-                    F.hash(
-                        F.slice("sig", band * rows_per_band + 1, rows_per_band)
+                    F.md5(
+                        F.array_join(
+                            F.transform(
+                                F.slice(
+                                    "sig",
+                                    band * rows_per_band + 1,
+                                    rows_per_band,
+                                ),
+                                lambda v: v.cast("string"),
+                            ),
+                            ",",
+                        )
                     ).alias("bucket"),
                 ),
             )
@@ -256,11 +317,6 @@ def minhash_lsh_pairs(
     if not verify:
         return cands
 
-    tok = (
-        document_tokens(docs)
-        .select("doc_id", "term")
-        .distinct()
-    )
     sizes = tok.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
     # Exact intersection computed only for candidate pairs: expand each
     # pair's token set once (cands is tiny next to tok), never a full
@@ -323,29 +379,46 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     return tok.mapInPandas(sim_batches, "doc_id long, simhash long")
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 3, max_bucket: int = 1000
+) -> DataFrame:
     """(doc_a, doc_b, hamming) pairs within *max_hamming* bits.
 
     Candidates: split the 64-bit fingerprint into 4 x 16-bit chunks; any
     pair within Hamming distance 3 must agree on >= 1 chunk (pigeonhole),
-    so a join per chunk finds all such pairs in linear work.
+    so a join per chunk finds all such pairs in linear work — EXCEPT for
+    hot chunk values: a 16-bit value shared by 10^6 docs goes quadratic
+    in the join, so buckets larger than *max_bucket* members are dropped
+    from candidate generation (recall trade documented here: a pair is
+    missed only if every chunk it agrees on is hot, i.e. both docs sit
+    in >= 10^3-member near-identical clusters — exactly the boilerplate
+    the pipeline's exact-dup pass already removes).
     """
     fps = simhash_fingerprints(docs)
     chunks = fps.select(
         "doc_id",
         "simhash",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda c: F.struct(
-                    c.alias("chunk"),
-                    F.shiftrightunsigned("simhash", c * 16)
-                    .bitwiseAND(F.lit(0xFFFF))
-                    .alias("val"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned("simhash", c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for c in range(4)
+                ]
             )
         ).alias("cv"),
     ).select("doc_id", "simhash", "cv.chunk", "cv.val")
+    hot = (
+        chunks.groupBy("chunk", "val")
+        .agg(F.count("*").alias("members"))
+        .where(F.col("members") > max_bucket)
+        .select("chunk", "val")
+    )
+    chunks = chunks.join(hot, ["chunk", "val"], "left_anti")
     pairs = (
         chunks.alias("a")
         .join(chunks.alias("b"), ["chunk", "val"])
