@@ -12,15 +12,26 @@ exact scorer):
   This is the analog of the reference's resident simserver process
   (vectors/simserver.py) — except the "index in memory" is replaced by
   pruned reads of an immutable columnar store, so it needs no 16-minute
-  cold start (reference simserver.py:376-377) and no refresh protocol:
-  re-open after a snapshot commit and it serves the new index.
+  cold start (reference simserver.py:376-377) and no refresh protocol.
 
-A tiny LRU on (terms) -> result emulates the reference's query cache
-(queries table with expiry, queries/__init__.py:1295-1324).
+Guard rails for the interactive path:
+
+* **fetch cap** — a head-term query at web scale can match more block
+  rows than a driver should ever hold; above ``max_fetch_blocks`` the
+  query transparently falls back to the distributed ``wand_topk`` plan
+  (executors score, only top-k rows return).
+* **TTL result cache with snapshot invalidation** — mirrors the
+  reference's query cache keyed on question + expiry
+  (queries/__init__.py:1295-1324): entries expire after ``cache_ttl_s``,
+  and any change of the store's segment snapshot (detected by mtime)
+  clears the cache and re-opens the scan, so a re-committed index never
+  serves stale answers within a process.
 """
 
 from __future__ import annotations
 
+import os
+import time
 from collections import OrderedDict
 from typing import List, Optional, Sequence, Tuple
 
@@ -28,62 +39,106 @@ import pandas as pd
 
 from pyspark.sql import SparkSession, functions as F
 
-from ..operators.wand import shard_topk_pandas
+from ..operators.wand import shard_topk_pandas, wand_topk
 from ..plans.lineage import IndexStore
 
 __all__ = ["Searcher"]
+
+
+def _segments_version(store: IndexStore) -> float:
+    """Cheap snapshot marker: newest mtime under the segments directory.
+    On Iceberg this would be the table's current snapshot id."""
+    latest = 0.0
+    try:
+        with os.scandir(store.segments) as it:
+            for e in it:
+                latest = max(latest, e.stat().st_mtime)
+    except FileNotFoundError:
+        pass
+    return latest
 
 
 class Searcher:
     """Interactive top-k search over a persisted :class:`IndexStore`."""
 
     def __init__(
-        self, spark: SparkSession, store: IndexStore, cache_size: int = 256
+        self,
+        spark: SparkSession,
+        store: IndexStore,
+        cache_size: int = 256,
+        cache_ttl_s: float = 300.0,
+        max_fetch_blocks: int = 20_000,
     ) -> None:
         self.spark = spark
         self.store = store
-        self._segments = store.load_segments(spark)
-        crow = store.load(spark, "corpus").collect()[0]
+        self._cache_size = cache_size
+        self._cache_ttl_s = cache_ttl_s
+        self._max_fetch_blocks = max_fetch_blocks
+        self._cache: OrderedDict[Tuple, Tuple[float, List[Tuple[int, float]]]]
+        self._cache = OrderedDict()
+        self._open()
+
+    def _open(self) -> None:
+        self._segments = self.store.load_segments(self.spark)
+        self._corpus_df = self.store.load(self.spark, "corpus")
+        crow = self._corpus_df.collect()[0]
         self.avgdl = float(crow["avgdl"])
         self.n_docs = int(crow["n_docs"])
-        self._cache: OrderedDict[Tuple, List[Tuple[int, float]]] = OrderedDict()
-        self._cache_size = cache_size
+        self._version = _segments_version(self.store)
+
+    def _check_snapshot(self) -> None:
+        v = _segments_version(self.store)
+        if v != self._version:
+            self._cache.clear()
+            self._open()
 
     def search(self, terms: Sequence[str], k: int = 10) -> List[Tuple[int, float]]:
-        """[(doc_id, score)] — deterministic (score desc, doc_id asc).
-
-        The scan is term-filtered (row-group pruned) and column-complete
-        (blocks are self-contained); matched blocks come back as one
-        Arrow batch and are scored with the shared block-max pruner.
-        """
+        """[(doc_id, score)] — deterministic (score desc, doc_id asc)."""
+        self._check_snapshot()
         key = (tuple(sorted(set(terms))), k)
-        if key in self._cache:
-            self._cache.move_to_end(key)
-            return self._cache[key]
+        now = time.monotonic()
+        hit = self._cache.get(key)
+        if hit is not None:
+            inserted, result = hit
+            if now - inserted <= self._cache_ttl_s:
+                self._cache.move_to_end(key)
+                return result
+            del self._cache[key]
         terms_u = sorted(set(terms))
         if not terms_u:
             return []
-        pdf = (
-            self._segments.where(F.col("term").isin(terms_u))
-            .toPandas()
-        )
-        if len(pdf) == 0:
-            result: List[Tuple[int, float]] = []
+        matched = self._segments.where(F.col("term").isin(terms_u))
+        # one fetch job, capped: if the cap+1-th block exists the matched
+        # volume is too big for the driver — fall back to the distributed
+        # plan (executors score, only top-k rows return)
+        pdf = matched.limit(self._max_fetch_blocks + 1).toPandas()
+        if len(pdf) > self._max_fetch_blocks:
+            rows = wand_topk(
+                self._segments, terms_u, self._corpus_df, k
+            ).collect()
+            result = [(int(r["doc_id"]), float(r["score"])) for r in rows]
         else:
-            # score each shard independently (blocks of one shard share a
-            # doc range), merge, global top-k
-            tops = [
-                shard_topk_pandas(g, k, self.avgdl)
-                for _, g in pdf.groupby("shard", sort=False)
-            ]
-            allhits = pd.concat(tops, ignore_index=True)
-            allhits = allhits.sort_values(
-                ["score", "doc_id"], ascending=[False, True], kind="mergesort"
-            ).head(k)
-            result = list(
-                zip(allhits["doc_id"].astype(int), allhits["score"].astype(float))
-            )
-        self._cache[key] = result
+            if len(pdf) == 0:
+                result = []
+            else:
+                # score each shard independently (blocks of one shard
+                # share a doc range), merge, global top-k
+                tops = [
+                    shard_topk_pandas(g, k, self.avgdl)
+                    for _, g in pdf.groupby("shard", sort=False)
+                ]
+                allhits = pd.concat(tops, ignore_index=True)
+                allhits = allhits.sort_values(
+                    ["score", "doc_id"], ascending=[False, True],
+                    kind="mergesort",
+                ).head(k)
+                result = list(
+                    zip(
+                        allhits["doc_id"].astype(int),
+                        allhits["score"].astype(float),
+                    )
+                )
+        self._cache[key] = (now, result)
         if len(self._cache) > self._cache_size:
             self._cache.popitem(last=False)
         return result

@@ -86,3 +86,48 @@ def test_compaction_rank_identity_and_block_fill(spark, store):
     a = [(r.doc_id, r.score) for r in wand_topk(segments, terms, corpus, 15).collect()]
     b = [(r.doc_id, r.score) for r in wand_topk(compacted, terms, corpus, 15).collect()]
     assert a == b
+
+
+def test_searcher_ttl_expiry(spark, store):
+    searcher = Searcher(spark, store, cache_ttl_s=0.2)
+    terms = query_to_terms(" ".join(indexable_stems_by_rank(2)))
+    first = searcher.search(terms, 10)
+    key = (tuple(sorted(set(terms))), 10)
+    assert key in searcher._cache
+    time.sleep(0.3)
+    # expired entry is dropped and recomputed (same store -> same answer)
+    again = searcher.search(terms, 10)
+    assert again == first
+    inserted, _ = searcher._cache[key]
+    # the entry was re-inserted after expiry, not served stale
+    assert time.monotonic() - inserted < 0.25
+
+
+def test_searcher_snapshot_invalidation(spark, store, tmp_path):
+    searcher = Searcher(spark, store)
+    terms = query_to_terms(" ".join(indexable_stems_by_rank(2)))
+    searcher.search(terms, 10)
+    assert len(searcher._cache) == 1
+    # simulate a new segment commit: touch a file under segments/
+    import os
+
+    probe = os.path.join(store.segments, "_new_snapshot_marker")
+    with open(probe, "w") as f:
+        f.write("x")
+    os.utime(store.segments)
+    try:
+        searcher.search(terms, 10)
+        # cache was cleared on snapshot change, then repopulated
+        assert len(searcher._cache) == 1
+        assert searcher._version > 0
+    finally:
+        os.remove(probe)
+
+
+def test_searcher_fetch_cap_falls_back_to_distributed(spark, store):
+    # cap of 1 block: every real query exceeds it -> wand_topk path
+    searcher = Searcher(spark, store, max_fetch_blocks=1)
+    terms = query_to_terms(" ".join(indexable_stems_by_rank(2)))
+    capped = searcher.search(terms, 12)
+    uncapped = Searcher(spark, store).search(terms, 12)
+    assert capped == uncapped and len(capped) == 12
