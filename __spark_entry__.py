@@ -499,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_autocomplete": lambda s, d: A.term_autocomplete(_docs(s, d), "s"),
         "token_count_bpe": lambda s, d: A.token_count_bpe(_docs(s, d)),
         "word_trigrams": lambda s, d: A.word_trigrams(_docs(s, d)),
+        "random_sample": lambda s, d: A.random_sample(_docs(s, d), n=50),
         "latest_event_per_user": lambda s, d: A.latest_event_per_user(s, d),
         "top_users_by_active_days": lambda s, d: A.top_users_by_active_days(s, d),
         "related_terms": lambda s, d: A.related_terms(_docs(s, d), _RELATED_ROOT),
@@ -821,6 +822,10 @@ WITH tokarr AS (
 )
 SELECT trigram, count(*)::BIGINT AS freq FROM tri
 GROUP BY trigram ORDER BY freq DESC, trigram ASC LIMIT 100
+""",
+        "random_sample": """
+SELECT doc_id, md5('42:' || doc_id::VARCHAR) AS rkey
+FROM documents ORDER BY rkey, doc_id LIMIT 50
 """,
         "latest_event_per_user": """
 SELECT user_id, event_id, ts, event_type FROM (

@@ -22,7 +22,10 @@ __all__ = [
     "events_page",
     "term_autocomplete",
     "token_count_bpe",
+    "word_trigram_counts",
     "word_trigrams",
+    "merge_trigram_counts",
+    "random_sample",
     "latest_event_per_user",
     "top_users_by_active_days",
     "related_terms",
@@ -60,6 +63,25 @@ def events_daily_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("day", "yyyy-MM-dd").alias("day"),
             F.coalesce("cnt", F.lit(0)).alias("n_events"),
         )
+    )
+
+
+def random_sample(docs: DataFrame, n: int = 50, seed: int = 42) -> DataFrame:
+    """(doc_id, rkey): *n* documents in deterministic pseudo-random order.
+
+    The reference samples with ``ORDER BY random()`` under a pinned seed
+    (article.py:755-756). Spark's ``rand(seed)`` is partition-dependent
+    (same seed, different cluster size -> different sample), so the
+    shuffle-stable form is an md5 sort key over (seed, doc_id): identical
+    across engines, runs and cluster sizes, uniform over the key space.
+    """
+    key = F.md5(
+        F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string"))
+    )
+    return (
+        docs.select("doc_id", key.alias("rkey"))
+        .orderBy("rkey", "doc_id")
+        .limit(n)
     )
 
 
@@ -220,13 +242,8 @@ def token_count_bpe(docs: DataFrame) -> DataFrame:
     )
 
 
-def word_trigrams(docs: DataFrame, limit: int = 100) -> DataFrame:
-    """(trigram, freq): corpus-wide word-trigram counts, top-N.
-
-    Reference: the ``trigrams`` table with its server-side upsert
-    (db/models.py:566-617) — re-expressed as groupBy().count() over a
-    JVM-built sliding window (the append-then-MERGE pattern replaces
-    per-row ON CONFLICT at scale)."""
+def word_trigram_counts(docs: DataFrame) -> DataFrame:
+    """(trigram, freq): corpus-wide word-trigram counts (full table)."""
     from ..tokenization import MAX_WORD_LEN, TOKEN_SPLIT_RE
 
     toks = docs.select(
@@ -243,12 +260,58 @@ def word_trigrams(docs: DataFrame, limit: int = 100) -> DataFrame:
             )
         ).alias("trigram")
     )
+    return tri.groupBy("trigram").agg(
+        F.count("*").cast("long").alias("freq")
+    )
+
+
+def word_trigrams(docs: DataFrame, limit: int = 100) -> DataFrame:
+    """(trigram, freq): corpus-wide word-trigram counts, top-N.
+
+    Reference: the ``trigrams`` table with its server-side upsert
+    (db/models.py:566-617) — re-expressed as groupBy().count() over a
+    JVM-built sliding window (the append-then-MERGE pattern replaces
+    per-row ON CONFLICT at scale; :func:`merge_trigram_counts` is that
+    incremental path)."""
     return (
-        tri.groupBy("trigram")
-        .agg(F.count("*").cast("long").alias("freq"))
+        word_trigram_counts(docs)
         .orderBy(F.desc("freq"), F.asc("trigram"))
         .limit(limit)
     )
+
+
+def merge_trigram_counts(spark, store_path: str, docs: DataFrame) -> int:
+    """Accumulate a batch's trigram counts into a persistent store —
+    the reference's per-row ``ON CONFLICT (t1,t2,t3) DO UPDATE SET
+    frequency = frequency + new`` (db/models.py:586-609) as one
+    append-then-MERGE: batch counts union the store, one sum aggregate,
+    atomic swap. On Iceberg this is ``MERGE INTO trigrams USING batch
+    ON trigram WHEN MATCHED THEN UPDATE SET freq = t.freq + b.freq``.
+    Returns the number of distinct trigrams in the merged store."""
+    import os
+    import shutil
+    import uuid
+
+    batch = word_trigram_counts(docs)
+    if os.path.isdir(store_path):
+        existing = spark.read.parquet(store_path)
+        merged = (
+            existing.unionByName(batch)
+            .groupBy("trigram")
+            .agg(F.sum("freq").cast("long").alias("freq"))
+        )
+    else:
+        merged = batch
+    staging = store_path + f".staging-{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(staging)
+    if os.path.isdir(store_path):
+        old = store_path + ".old"
+        os.rename(store_path, old)
+        os.rename(staging, store_path)
+        shutil.rmtree(old, ignore_errors=True)
+    else:
+        os.rename(staging, store_path)
+    return spark.read.parquet(store_path).count()
 
 
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

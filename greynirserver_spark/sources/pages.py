@@ -28,28 +28,65 @@ __all__ = ["upsert_pages", "dedup_http_https", "extract_links"]
 _HREF_RE = r'href="([^"#][^"]*)"'
 
 
-def upsert_pages(spark: SparkSession, store_path: str, batch: DataFrame) -> int:
+def upsert_pages(
+    spark: SparkSession, store_path: str, batch: DataFrame,
+    n_buckets: int = 32,
+) -> int:
     """MERGE *batch* into the pages store keyed on url (newest wins).
 
-    Atomic: staging write + directory rename, like the segment commits.
-    Returns the resulting row count. On Iceberg this is a single
-    ``MERGE INTO`` transaction; the rewrite here is the Parquet
-    equivalent (and at 10^12 rows you partition the store by url-hash
-    bucket and rewrite only touched buckets — same pattern as the
-    per-shard segment commits).
+    The store is partitioned into url-hash buckets (``bkt=N``
+    directories); a batch rewrites ONLY the buckets it touches — at
+    10^12 rows the merge cost is O(batch + touched buckets), never
+    O(store), matching the reference's per-url delete+reinsert
+    (article.py:473-477) re-expressed as Iceberg's
+    ``MERGE INTO pages USING batch ON url``. Each touched bucket swaps
+    atomically (staging write + directory rename); untouched buckets
+    are not read, not rewritten, not even stat'd.
+
+    Returns the resulting row count.
     """
-    batch = batch.dropDuplicates(["url"])
-    if os.path.isdir(store_path):
-        existing = spark.read.parquet(store_path)
-        merged = existing.join(batch, "url", "left_anti").unionByName(batch)
-    else:
-        merged = batch
+    batch = batch.dropDuplicates(["url"]).withColumn(
+        "bkt", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+    )
+    touched = sorted(
+        r["bkt"] for r in batch.select("bkt").distinct().collect()
+    )
     staging = store_path + f".staging-{uuid.uuid4().hex[:8]}"
-    merged.write.mode("overwrite").parquet(staging)
     if os.path.isdir(store_path):
-        shutil.rmtree(store_path)
-    os.rename(staging, store_path)
+        existing_dirs = [
+            b for b in touched if os.path.isdir(_bucket_dir(store_path, b))
+        ]
+        if existing_dirs:
+            existing = spark.read.parquet(
+                *[_bucket_dir(store_path, b) for b in existing_dirs]
+            ).withColumn(
+                "bkt", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+            )
+            merged = existing.join(
+                batch, "url", "left_anti"
+            ).unionByName(batch)
+        else:
+            merged = batch
+    else:
+        os.makedirs(store_path, exist_ok=True)
+        merged = batch
+    merged.write.partitionBy("bkt").mode("overwrite").parquet(staging)
+    for b in touched:
+        src = _bucket_dir(staging, b)
+        dst = _bucket_dir(store_path, b)
+        if not os.path.isdir(src):
+            continue
+        tmp_old = dst + ".old"
+        if os.path.isdir(dst):
+            os.rename(dst, tmp_old)
+        os.rename(src, dst)
+        shutil.rmtree(tmp_old, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
     return spark.read.parquet(store_path).count()
+
+
+def _bucket_dir(root: str, bucket: int) -> str:
+    return os.path.join(root, f"bkt={bucket}")
 
 
 def dedup_http_https(pages: DataFrame) -> DataFrame:
