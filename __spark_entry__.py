@@ -186,13 +186,14 @@ def _ann_lsh_oracle_sql() -> str:
         (n_planes, dim)
     )
 
+    # multi-probe (probe_hamming=1): at most one plane sign may disagree
     def signs(planes):
-        conds = [
-            f"(({_dot_sql(list(p), 'embedding')}) >= 0) = "
-            f"(({_dot_sql(list(p), 'e')}) >= 0)"
+        mismatches = " + ".join(
+            f"(CASE WHEN (({_dot_sql(list(p), 'embedding')}) >= 0) = "
+            f"(({_dot_sql(list(p), 'e')}) >= 0) THEN 0 ELSE 1 END)"
             for p in planes
-        ]
-        return "(" + " AND ".join(conds) + ")"
+        )
+        return f"(({mismatches}) <= 1)"
 
     return f"""
 WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = {_ANN_QUERY_ID}),
