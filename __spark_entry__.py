@@ -113,13 +113,15 @@ def _minhash_chain_sql(threshold: float, bands: int, tokf_src: str) -> str:
   JOIN mh_minrows mb ON mb.doc_id = c.doc_b AND mb.h = ma.h
   GROUP BY 1, 2
   HAVING sum(CASE WHEN ma.v = mb.v THEN 1 ELSE 0 END) / 64.0 >= {prefilter}
+), mh_thd AS (
+  SELECT DISTINCT doc_id, th FROM mh_th
 ), mh_sizes AS (
-  SELECT doc_id, count(*)::BIGINT AS sz FROM mh_tokf GROUP BY 1
+  SELECT doc_id, count(*)::BIGINT AS sz FROM mh_thd GROUP BY 1
 ), mh_inter AS (
   SELECT e.doc_a, e.doc_b, count(*)::BIGINT AS i
   FROM mh_est e
-  JOIN mh_tokf ta ON ta.doc_id = e.doc_a
-  JOIN mh_tokf tb ON tb.doc_id = e.doc_b AND tb.term = ta.term
+  JOIN mh_thd ta ON ta.doc_id = e.doc_a
+  JOIN mh_thd tb ON tb.doc_id = e.doc_b AND tb.th = ta.th
   GROUP BY 1, 2
 ), mh_pairs AS (
   SELECT doc_a, doc_b,
@@ -582,11 +584,29 @@ WITH tokarr AS (
   FROM tokarr WHERE len(toks) >= 3
 ), sizes AS (
   SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1
-), inter AS (
+), hot AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1000
+), rare AS (
+  SELECT s.doc_id, s.shingle FROM sh s
+  WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.shingle = s.shingle)
+), hot_sh AS (
+  SELECT s.doc_id, s.shingle FROM sh s
+  WHERE EXISTS (SELECT 1 FROM hot h WHERE h.shingle = s.shingle)
+), ir AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS i
-  FROM sh a JOIN sh b USING (shingle)
+  FROM rare a JOIN rare b USING (shingle)
   WHERE a.doc_id < b.doc_id
   GROUP BY 1, 2
+), ih AS (
+  SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS i
+  FROM (SELECT DISTINCT doc_a, doc_b FROM ir) c
+  JOIN hot_sh a ON a.doc_id = c.doc_a
+  JOIN hot_sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+), inter AS (
+  SELECT ir.doc_a, ir.doc_b,
+         (ir.i + coalesce(ih.i, 0))::BIGINT AS i
+  FROM ir LEFT JOIN ih ON ir.doc_a = ih.doc_a AND ir.doc_b = ih.doc_b
 )
 SELECT doc_a, doc_b,
        round(i::DOUBLE / (sa.sz + sb.sz - i), 4) AS jaccard

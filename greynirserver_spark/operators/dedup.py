@@ -36,6 +36,7 @@ __all__ = [
     "ngram_shingles",
     "ngram_jaccard_pairs",
     "distinct_tokens",
+    "token_hash_sets",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "bands_for_threshold",
@@ -124,25 +125,41 @@ def ngram_jaccard_pairs(
         .select("shingle")
     )
     rare = sh.join(hot, "shingle", "left_anti")
-    cands = (
+    # rare-shingle intersection counts come straight out of the
+    # candidate self-join (one aggregation, no candidate re-expansion);
+    # shared HOT shingles are added back from a join against the hot
+    # rows only, so the exact intersection is (rare + hot) while the
+    # quadratic join never touches a hot shingle
+    inter_rare = (
         rare.alias("a")
         .join(rare.alias("b"), "shingle")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
+        .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
-        .distinct()
+        .agg(F.count("*").cast("long").alias("inter_r"))
     )
-    # exact intersection over the FULL shingle table, expanded only for
-    # candidate pairs (cands is tiny next to sh)
-    inter = (
-        cands.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+    hot_sh = sh.join(hot, "shingle")
+    inter_hot = (
+        inter_rare.select("doc_a", "doc_b")
+        .join(hot_sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .join(
-            sh.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "shingle"]
+            hot_sh.withColumnRenamed("doc_id", "doc_b"),
+            ["doc_b", "shingle"],
         )
         .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").cast("long").alias("inter"))
+        .agg(F.count("*").cast("long").alias("inter_h"))
+    )
+    inter = (
+        inter_rare.join(inter_hot, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter_r") + F.coalesce(F.col("inter_h"), F.lit(0)))
+            .cast("long")
+            .alias("inter"),
+        )
     )
     return (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
@@ -175,31 +192,39 @@ def _minhash_params() -> Tuple[np.ndarray, np.ndarray]:
 
 
 def distinct_tokens(docs: DataFrame) -> DataFrame:
-    """(doc_id, term): each document's distinct token set — the shared
-    input of MinHash signatures AND exact Jaccard verification (compute
-    once, persist, reuse: tokenization is the dominant cost of the
-    near-dup pipeline)."""
+    """(doc_id, term): each document's distinct token set."""
     return document_tokens(docs).select("doc_id", "term").distinct()
 
 
+def token_hash_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, ths array<long>): each document's distinct 60-bit token
+    hashes as one sorted array row — the shared input of MinHash
+    signatures AND exact Jaccard verification. One tokenize pass, one
+    shuffle, and the verify step becomes a JVM ``array_intersect`` over
+    candidate pairs instead of a token-level explode join (the round-1
+    pipeline's dominant cost). 60-bit md5 hashes make set arithmetic
+    engine-portable; both engines compare hash sets, so hash collisions
+    (P ~ n^2/2^61) cannot cause a cross-engine mismatch."""
+    return (
+        document_tokens(docs)
+        .select("doc_id", _term_hash60(F.col("term")).alias("th"))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("th")).alias("ths"))
+    )
+
+
 def minhash_signatures(
-    docs: DataFrame, tok: Optional[DataFrame] = None
+    docs: DataFrame, ths: Optional[DataFrame] = None
 ) -> DataFrame:
     """(doc_id, sig array<long>): 64-perm MinHash over the token set.
 
     Token hashes are computed JVM-side (md5-derived); the per-doc min
     over 64 multiplicative-hash permutations runs as NumPy inside one
     Arrow batch — O(tokens x 64) vectorized multiply-min, no Python loop
-    over tokens. Pass *tok* (output of :func:`distinct_tokens`, ideally
-    persisted) to reuse an already-materialized token table.
+    over tokens. Pass *ths* (output of :func:`token_hash_sets`, ideally
+    persisted) to reuse an already-materialized hash-set table.
     """
-    if tok is None:
-        tok = distinct_tokens(docs)
-    tok_hashes = (
-        tok.select("doc_id", _term_hash60(F.col("term")).alias("th"))
-        .groupBy("doc_id")
-        .agg(F.collect_set("th").alias("ths"))
-    )
+    tok_hashes = ths if ths is not None else token_hash_sets(docs)
     a, b = _minhash_params()
 
     def sig_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -250,10 +275,10 @@ def minhash_lsh_pairs(
     # ONE tokenize pass feeds both the signature job and the exact
     # verify join (round-1 recomputed document_tokens twice — measured
     # as the dominant cost of the whole pipeline)
-    tok = distinct_tokens(docs).persist(StorageLevel.DISK_ONLY)
+    ths = token_hash_sets(docs).persist(StorageLevel.DISK_ONLY)
     # sigs feed banding + both sides of the pair prefilter: cache so the
     # signature job runs once
-    sigs = minhash_signatures(docs, tok=tok).cache()
+    sigs = minhash_signatures(docs, ths=ths).cache()
     rows_per_band = _MINHASH_H // bands
     # band bucket = md5 of the comma-joined band slice: engine-portable
     # (Spark's hash() is murmur3 with Spark-specific seeding — not
@@ -317,28 +342,23 @@ def minhash_lsh_pairs(
     if not verify:
         return cands
 
-    sizes = tok.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
-    # Exact intersection computed only for candidate pairs: expand each
-    # pair's token set once (cands is tiny next to tok), never a full
-    # token self-join.
-    inter = (
-        cands.join(tok.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .join(tok.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "term"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").cast("long").alias("inter"))
-    )
+    # Exact verify as pure JVM set arithmetic: join each candidate pair
+    # with the two hash-set ARRAYS (one row per doc, not one per token)
+    # and intersect in-place — no token-level explode join, no extra
+    # shuffle of O(pairs x tokens) rows.
+    inter = F.size(F.array_intersect("ths_a", "ths_b")).cast("long")
+    sz_a = F.size("ths_a").cast("long")
+    sz_b = F.size("ths_b").cast("long")
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .withColumnRenamed("sz", "sz_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b"), "doc_b")
-        .withColumnRenamed("sz", "sz_b")
+        cands.join(
+            ths.select(F.col("doc_id").alias("doc_a"),
+                       F.col("ths").alias("ths_a")), "doc_a")
+        .join(
+            ths.select(F.col("doc_id").alias("doc_b"),
+                       F.col("ths").alias("ths_b")), "doc_b")
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("inter").cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
-                4,
-            ),
+            F.round(inter.cast("double") / (sz_a + sz_b - inter), 4),
         )
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
