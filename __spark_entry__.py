@@ -42,6 +42,33 @@ WITH tok AS (
 """
 
 _BM25_TERMS = ["spark", "join", "window", "stream"]
+_PHRASE = ["slow", "hash", "batch"]
+
+_PHRASE_SQL = f"""
+WITH tokarr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_TOKEN_RE}'),
+                     x -> length(x) BETWEEN 1 AND 64) AS toks
+  FROM documents
+), tokidx AS (
+  SELECT doc_id, unnest(range(1, len(toks) + 1)) AS i, toks FROM tokarr
+), tok AS (
+  SELECT doc_id, (i - 1)::BIGINT AS pos, toks[i] AS term FROM tokidx
+), dim(term, off) AS (VALUES {", ".join(
+    f"('{t}', {o})" for o, t in enumerate(_PHRASE))}
+), cand AS (
+  SELECT t.doc_id, t.pos - d.off AS start, d.off
+  FROM tok t JOIN dim d ON t.term = d.term
+  WHERE t.pos - d.off >= 0
+), st AS (
+  SELECT doc_id, start FROM cand GROUP BY doc_id, start
+  HAVING count(DISTINCT off) = {len(_PHRASE)}
+)
+SELECT doc_id, count(*)::BIGINT AS phrase_tf
+FROM st GROUP BY doc_id
+ORDER BY phrase_tf DESC, doc_id ASC LIMIT 20
+"""
+
 _NER_ENTITIES = [
     ("e1", "hash value table"),
     ("e2", "hash value"),
@@ -409,6 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from greynirserver_spark.operators import cleaning as C
     from greynirserver_spark.operators import dedup as D
     from greynirserver_spark.operators import multimodal as M
+    from greynirserver_spark.operators import phrase as P
     from greynirserver_spark.operators import textops as T
     from greynirserver_spark.streaming import ingest as S
     from greynirserver_spark.streaming import sessionize as SZ
@@ -428,6 +456,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .limit(100)
         ),
         "corpus_stats": lambda s, d: T.document_corpus_stats(_docs(s, d)),
+        # exact-phrase search: offset alignment over positional tokens
+        "phrase_topk": lambda s, d: P.phrase_topk(
+            s, _docs(s, d), _PHRASE, k=20
+        ),
+        # same result through a materialized positional-postings table
+        # (the serving path: term-pruned scan, positions re-exploded)
+        "phrase_topk_positional": lambda s, d: P.phrase_topk_positional(
+            P.positional_postings(_docs(s, d)), s, _PHRASE, k=20
+        ),
         "doc_quality": lambda s, d: T.quality_scores(_docs(s, d)),
         "doc_fingerprints": lambda s, d: T.document_fingerprints(_docs(s, d)),
         # --- dedup family ---
@@ -542,6 +579,8 @@ SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
        doc_id, score
 FROM sc ORDER BY score DESC, doc_id ASC LIMIT 20
 """,
+        "phrase_topk": _PHRASE_SQL,
+        "phrase_topk_positional": _PHRASE_SQL,
         "term_stats_top100": _TOK_CTE + """
 SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
 FROM post GROUP BY term HAVING count(*) >= 3

@@ -154,11 +154,18 @@ def main() -> None:
         return
 
     # --- q3: exact BM25 over documents (relational path) ---
+    # postings materialized once, queried three times — the deployment
+    # shape: corpus tokenization is a build-time cost, not a query cost
+    doc_postings = T.document_postings(docs).persist(StorageLevel.DISK_ONLY)
+    timed("q3_postings_build", doc_postings.count)
+
     def q3():
         total = 0
         for terms in (["spark", "join"], ["window", "stream", "batch"],
                       ["hash", "table", "scan", "filter"]):
-            total += T.bm25_documents_topk(docs, terms, k=20).count()
+            total += T.bm25_documents_topk(
+                docs, terms, k=20, postings=doc_postings
+            ).count()
         return total
     timed("q3_bm25_exact_x3", q3)
 

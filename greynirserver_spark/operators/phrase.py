@@ -1,0 +1,147 @@
+"""Positional postings and exact-phrase search.
+
+The reference engine matches queries against single-token stems
+(``queries/builtin/words.py``) — it has no phrase operator. A fulltext
+index at Common-Crawl scale needs one, so this module extends the
+postings design (``operators/postings.py``) with token positions and an
+exact consecutive-phrase matcher.
+
+Scale shape (the part that matters at 100 TB):
+
+* ``document_positional_tokens`` tokenizes once, JVM-side
+  (``filter(split(...))`` + ``posexplode`` — no Python), positions are
+  indices in the *filtered* token sequence, matching the NER layer's
+  convention (``functions/ner.py``).
+* ``phrase_match_counts`` uses offset alignment: a token matching
+  phrase word *o* at text position *p* votes for a phrase start at
+  ``p - o``; a start with all ``len(phrase)`` distinct offsets voting
+  is an occurrence. One broadcast join against the tiny
+  ``(term, offset)`` dim, one shuffle on ``(doc_id, start)`` — the
+  shuffled rows are only tokens that equal SOME phrase word, a
+  vanishing fraction of the corpus. No self-join of the token table,
+  no window sort of the full corpus. Duplicate words in the phrase are
+  handled (the dim is multi-valued per term; distinct-offset counting
+  does the rest).
+* ``positional_postings`` is the index-side form: one extra
+  ``collect_list`` next to the tf aggregate the postings build already
+  does, so the positions column rides the existing shuffle for free.
+  A phrase query over the materialized table prunes to the phrase's
+  terms at the parquet scan (predicate pushdown on ``term``).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tokenization import MAX_WORD_LEN, TOKEN_SPLIT_RE
+
+__all__ = [
+    "document_positional_tokens",
+    "positional_postings",
+    "phrase_match_counts",
+    "phrase_topk",
+    "phrase_topk_positional",
+]
+
+
+def document_positional_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, term): lower-cased regex tokens with their index in
+    the filtered token sequence. JVM-side; split artifacts (empty
+    leading token, >64-char blobs) are dropped *before* positions are
+    assigned, so positions are dense 0..n-1."""
+    toks = F.filter(
+        F.split(F.lower("text"), TOKEN_SPLIT_RE),
+        lambda x: (F.length(x) >= 1) & (F.length(x) <= MAX_WORD_LEN),
+    )
+    return docs.select(
+        "doc_id", F.posexplode(toks).alias("pos", "term")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "term")
+
+
+def positional_postings(docs: DataFrame) -> DataFrame:
+    """(term, doc_id, tf, positions): the postings build extended with a
+    doc-ordered positions array — same single shuffle as
+    ``document_postings``; positions ride the tf aggregate."""
+    return (
+        document_positional_tokens(docs)
+        .groupBy("term", "doc_id")
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
+    )
+
+
+def _phrase_dim(spark: SparkSession, phrase: Sequence[str]):
+    """Tiny (term, off) dim — multi-valued when the phrase repeats a
+    word."""
+    rows = [(t.lower(), o) for o, t in enumerate(phrase)]
+    return spark.createDataFrame(rows, "term string, off long")
+
+
+def phrase_match_counts(
+    spark: SparkSession, docs: DataFrame, phrase: Sequence[str]
+) -> DataFrame:
+    """(doc_id, phrase_tf): occurrences of the exact consecutive phrase
+    per document, via offset alignment (module docstring)."""
+    n = len(phrase)
+    if n == 0:
+        raise ValueError("empty phrase")
+    dim = _phrase_dim(spark, phrase)
+    toks = document_positional_tokens(docs)
+    starts = (
+        toks.join(F.broadcast(dim), "term")
+        .select("doc_id", (F.col("pos") - F.col("off")).alias("start"), "off")
+        .where(F.col("start") >= 0)
+        .groupBy("doc_id", "start")
+        .agg(F.countDistinct("off").alias("hits"))
+        .where(F.col("hits") == n)
+    )
+    return starts.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("phrase_tf")
+    )
+
+
+def phrase_topk(
+    spark: SparkSession, docs: DataFrame, phrase: Sequence[str], k: int = 20
+) -> DataFrame:
+    """Top-k docs by phrase frequency: (doc_id, phrase_tf), ordered by
+    (phrase_tf desc, doc_id) — deterministic, TakeOrdered top-k."""
+    return (
+        phrase_match_counts(spark, docs, phrase)
+        .orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def phrase_topk_positional(
+    postings: DataFrame, spark: SparkSession, phrase: Sequence[str],
+    k: int = 20,
+) -> DataFrame:
+    """Same result computed from a materialized ``positional_postings``
+    table — the serving path: the ``term IN (phrase)`` filter prunes at
+    the parquet scan, then positions re-explode and align exactly as in
+    ``phrase_match_counts``."""
+    n = len(phrase)
+    dim = _phrase_dim(spark, phrase)
+    toks = (
+        postings.join(F.broadcast(dim), "term")
+        .select("doc_id", "off", F.explode("positions").alias("pos"))
+    )
+    starts = (
+        toks.select("doc_id", (F.col("pos") - F.col("off")).alias("start"),
+                    "off")
+        .where(F.col("start") >= 0)
+        .groupBy("doc_id", "start")
+        .agg(F.countDistinct("off").alias("hits"))
+        .where(F.col("hits") == n)
+    )
+    return (
+        starts.groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("phrase_tf"))
+        .orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -86,7 +86,8 @@ def document_corpus_stats(docs: DataFrame) -> DataFrame:
 
 
 def bm25_documents_topk(
-    docs: DataFrame, query_terms: Sequence[str], k: int = 20, min_df: int = 3
+    docs: DataFrame, query_terms: Sequence[str], k: int = 20, min_df: int = 3,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Oracle-safe BM25 top-k over documents: (rank, doc_id, score).
 
@@ -94,12 +95,18 @@ def bm25_documents_topk(
     value, so DuckDB reproduces rows bit-for-bit. The rank-identity tests
     against the NumPy oracle (unrounded, bit-exact) cover the precise
     path; this variant exists for cross-engine comparison.
+
+    ``postings``: optionally pass an already-materialized
+    ``document_postings(docs)`` (e.g. cached/persisted) so repeated
+    ad-hoc queries don't re-tokenize the corpus — on a real deployment
+    the postings table is built once and queried many times.
     """
     terms = sorted(set(query_terms))
     # postings feed three consumers (doclen, df stats, scoring); cache so
     # the tokenize subtree runs once — the production serving path reads
     # materialized segments instead (bm25_wand_documents_topk / wand.py)
-    postings = document_postings(docs).cache()
+    if postings is None:
+        postings = document_postings(docs).cache()
     doclen = postings.groupBy("doc_id").agg(
         F.sum("tf").cast("long").alias("doclen")
     )

@@ -66,8 +66,10 @@ def _cpu_item(i: int) -> int:
     return 1
 
 
-def _spark_stage(stage: str, cpus: int, n_pages: int) -> float:
-    """Run one stage at local[cpus]; returns pages/sec for the stage."""
+def _spark_stage(stage: str, master: str, n_pages: int) -> float:
+    """Run one stage at the given master (local[k] thread mode or
+    local-cluster[n,c,m] with separate executor JVMs); returns pages/sec
+    for the stage."""
     from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
@@ -88,8 +90,8 @@ def _spark_stage(stage: str, cpus: int, n_pages: int) -> float:
     )
 
     spark = get_spark(
-        app_name=f"scaling-{stage}-{cpus}",
-        master=f"local[{cpus}]",
+        app_name=f"scaling-{stage}-{master}",
+        master=master,
         shuffle_partitions=64,
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -99,7 +101,22 @@ def _spark_stage(stage: str, cpus: int, n_pages: int) -> float:
     pages = generate_pages(spark, n_pages).persist(StorageLevel.DISK_ONLY)
     pages.count()
 
-    if stage == "extract":
+    if stage == "index":
+        # end-to-end: extract -> tokenize -> postings/stats -> encoded
+        # segments, checkpointed store (the north rule's headline job)
+        import shutil
+        import tempfile
+
+        from greynirserver_spark.plans.lineage import build_index_checkpointed
+
+        root = tempfile.mkdtemp(prefix="scale-index-")
+        try:
+            t0 = time.perf_counter()
+            build_index_checkpointed(spark, pages, root, n_shards=64)
+            dt = time.perf_counter() - t0
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    elif stage == "extract":
         # warmup slice then measured full pass (map-only, partial agg sink)
         expr = F.sum(F.length(extract_text_udf()(F.col("html"))))
         pages.limit(max(2000, n_pages // 10)).agg(expr).collect()
@@ -165,12 +182,14 @@ def _spark_stage(stage: str, cpus: int, n_pages: int) -> float:
     return n_pages / dt
 
 
-def _worker(stage: str, cpus: int, n_pages: int) -> None:
+def _worker(stage: str, size: str, n_pages: int) -> None:
+    """size is a process count for the cpu stage, else a Spark master
+    string (e.g. 'local[8]' or 'local-cluster[2,4,6144]')."""
     if stage == "cpu":
-        thr = _cpu_baseline(cpus)
+        thr = _cpu_baseline(int(size))
     else:
-        thr = _spark_stage(stage, cpus, n_pages)
-    print(json.dumps({"stage": stage, "cpus": cpus,
+        thr = _spark_stage(stage, size, n_pages)
+    print(json.dumps({"stage": stage, "size": size,
                       "throughput": round(thr, 2)}))
 
 
@@ -178,14 +197,15 @@ def _worker(stage: str, cpus: int, n_pages: int) -> None:
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
-        _worker(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
+        _worker(sys.argv[2], sys.argv[3], int(sys.argv[4]))
         return
 
     results: dict = {}
     for stage in STAGES:
         for cpus in (8, 32):
+            size = str(cpus) if stage == "cpu" else f"local[{cpus}]"
             out = subprocess.run(
-                [sys.executable, __file__, "--worker", stage, str(cpus),
+                [sys.executable, __file__, "--worker", stage, size,
                  str(N_PAGES)],
                 capture_output=True, text=True, cwd=_REPO,
             )

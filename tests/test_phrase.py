@@ -1,0 +1,91 @@
+"""Exact-phrase search: offset-alignment operator vs a brute-force
+Python oracle, plus parity between the ad-hoc and the
+positional-postings serving paths."""
+
+import re
+
+import pytest
+
+from greynirserver_spark.operators.phrase import (
+    document_positional_tokens,
+    phrase_match_counts,
+    phrase_topk,
+    phrase_topk_positional,
+    positional_postings,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "quick brown quick brown quick"),          # overlapping repeats
+    (2, "brown quick brown"),                      # phrase at pos 1
+    (3, "a a a a"),                                # repeated-word phrase
+    (4, "Quick   Brown!! fox"),                    # case + punct splits
+    (5, "nothing to see here"),
+    (6, ""),                                       # empty doc
+]
+
+
+def _brute(text: str, phrase: list[str]) -> int:
+    toks = [t for t in re.split(r"[^a-z0-9]+", text.lower())
+            if 1 <= len(t) <= 64]
+    n = len(phrase)
+    return sum(
+        1 for i in range(len(toks) - n + 1) if toks[i:i + n] == phrase
+    )
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+@pytest.mark.parametrize(
+    "phrase",
+    [["quick", "brown"], ["quick", "brown", "quick"], ["a", "a"],
+     ["the", "lazy", "dog"], ["missing", "phrase"]],
+)
+def test_phrase_counts_match_bruteforce(spark, docs_df, phrase):
+    got = {
+        r.doc_id: r.phrase_tf
+        for r in phrase_match_counts(spark, docs_df, phrase).collect()
+    }
+    want = {d: _brute(t, phrase) for d, t in DOCS if _brute(t, phrase)}
+    assert got == want
+
+
+def test_positional_path_matches_adhoc(spark, docs_df):
+    phrase = ["quick", "brown"]
+    post = positional_postings(docs_df)
+    a = sorted(map(tuple, phrase_topk(spark, docs_df, phrase, 10).collect()))
+    b = sorted(map(tuple,
+                   phrase_topk_positional(post, spark, phrase, 10).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_positions_are_dense_and_filtered(spark, docs_df):
+    rows = (
+        document_positional_tokens(docs_df)
+        .where("doc_id = 4")
+        .orderBy("pos")
+        .collect()
+    )
+    # "Quick   Brown!! fox" -> [quick, brown, fox] at dense positions
+    assert [(r.pos, r.term) for r in rows] == [
+        (0, "quick"), (1, "brown"), (2, "fox")
+    ]
+
+
+def test_topk_ordering_deterministic(spark, docs_df):
+    rows = phrase_topk(spark, docs_df, ["quick", "brown"], 10).collect()
+    tfs = [r.phrase_tf for r in rows]
+    assert tfs == sorted(tfs, reverse=True)
+    # doc 1 has 2 occurrences, docs 0/2/4 one each
+    assert rows[0].doc_id == 1 and rows[0].phrase_tf == 2
+
+
+def test_phrase_plan_is_broadcast_and_single_agg_shuffle(spark, docs_df):
+    plan = phrase_match_counts(
+        spark, docs_df, ["quick", "brown"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
