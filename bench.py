@@ -181,6 +181,13 @@ def main() -> None:
     # --- q8: quality scoring ---
     timed("q8_quality_scores", lambda: T.quality_scores(docs).count())
 
+    # --- q9: exact-phrase search (positional offset alignment) ---
+    from greynirserver_spark.operators import phrase as PH
+
+    timed("q9_phrase_topk", lambda: PH.phrase_topk(
+        spark, docs, ["slow", "hash", "batch"], k=20
+    ).count())
+
     shutil.rmtree(store_root, ignore_errors=True)
     _emit(timings, sf, n_cpus, n_docs, n_pages, docs_per_sec, out_extra)
     spark.stop()

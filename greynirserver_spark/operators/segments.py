@@ -64,6 +64,9 @@ SEGMENT_SCHEMA = (
     "first_doc long, last_doc long, block_max double, idf double, "
     "docs binary, tfs binary, dls binary"
 )
+SEGMENT_SCHEMA_COLS = [c.split()[0] for c in SEGMENT_SCHEMA.split(", ")]
+# encoder-internal schema: term carried as the dictionary id
+_SEGMENT_ID_SCHEMA = SEGMENT_SCHEMA.replace("term string", "term_id long")
 
 
 # --------------------------------------------------------------- codec
@@ -171,28 +174,46 @@ def build_segments(
     """postings(term, doc_id, tf) -> compressed segment blocks.
 
     Plan shape:
-      * doclen and idf joined in (idf via shuffle join on term — the
-        term_stats side is pre-aggregated and small relative to postings;
-        Catalyst broadcasts it when it fits),
+      * terms are dictionary-encoded to a dense ``term_id`` BEFORE the
+        Python stage: a posting row crossing the Arrow boundary as an
+        int64 costs nothing, while a string column materializes one
+        Python object per posting (measured: the string pass dominated
+        the whole encode job). Strings are re-attached on the output
+        BLOCK rows only — block_size× fewer rows,
+      * doclen and idf joined in (both sides pre-aggregated and small
+        relative to postings; Catalyst broadcasts them when they fit),
       * shard = doc range bucket (skew-proof by construction),
       * one shuffle: ``repartition(shard)`` + in-partition sort by
-        (shard, term, doc_id), then a whole-batch vectorized encoder
+        (shard, term_id, doc_id), then a whole-batch vectorized encoder
         under ``mapInPandas`` (no per-group Python calls).
 
     Terms absent from term_stats (df < min_df) are pruned here too —
     the segment store only contains scoreable terms.
+
+    The term_id window runs over the vocabulary only (postings never
+    pass through it); at an extreme vocabulary (billions of distinct
+    terms) swap it for the range-boundary id assigner used for doc ids
+    (operators/postings.py::assign_doc_ids).
     """
+    from pyspark.sql.window import Window
+
     crow = corpus.collect()[0]
     n_docs, avgdl = int(crow["n_docs"]), float(crow["avgdl"])
     shard_size = max(1, -(-n_docs // n_shards))  # ceil
 
+    tdict = term_stats.select("term", "idf").withColumn(
+        "term_id",
+        F.row_number().over(Window.orderBy("term")).cast("long"),
+    )
+
     enriched = (
-        postings.join(term_stats.select("term", "idf"), "term")
+        postings.join(tdict, "term")
+        .drop("term")
         .join(doc_stats, "doc_id")
         .withColumn("shard", (F.col("doc_id") / shard_size).cast("int"))
     )
 
-    cols = ["term", "shard", "block_id", "n_docs", "first_doc",
+    cols = ["term_id", "shard", "block_id", "n_docs", "first_doc",
             "last_doc", "block_max", "idf", "docs", "tfs", "dls"]
 
     def _encode_batch(b: pd.DataFrame) -> pd.DataFrame:
@@ -201,7 +222,7 @@ def build_segments(
         streams are all whole-batch NumPy; the only Python loop is the
         final per-segment byte-buffer slicing (O(#segments))."""
         shard = b["shard"].to_numpy(np.int64)
-        terms = b["term"].to_numpy()
+        terms = b["term_id"].to_numpy(np.int64)
         doc = b["doc_id"].to_numpy(np.int64)
         tf = b["tf"].to_numpy(np.int64)
         dl = b["doclen"].to_numpy(np.int64)
@@ -236,7 +257,7 @@ def build_segments(
 
         return pd.DataFrame(
             {
-                "term": terms[seg_starts],
+                "term_id": terms[seg_starts],
                 "shard": shard[seg_starts].astype(np.int32),
                 "block_id": (pos_in_grp[seg_starts] // block_size).astype(
                     np.int32
@@ -267,7 +288,10 @@ def build_segments(
         """One sorted partition (rows ordered by (shard, term, doc_id)).
         Each Arrow batch is encoded whole-batch vectorized; a (shard,
         term) group straddling a batch boundary is carried forward so
-        group/block boundaries are independent of batch size."""
+        group/block boundaries are independent of batch size.
+        (Coalescing batches into multi-million-row chunks was measured
+        SLOWER — it stalls the JVM->Python pipeline and pays concat
+        copies — so batches are encoded as they arrive.)"""
         carry: pd.DataFrame | None = None
         for b in batches:
             if carry is not None and len(carry):
@@ -275,8 +299,8 @@ def build_segments(
             if not len(b):
                 continue
             last_shard = b["shard"].iloc[-1]
-            last_term = b["term"].iloc[-1]
-            tail_mask = (b["shard"] == last_shard) & (b["term"] == last_term)
+            last_term = b["term_id"].iloc[-1]
+            tail_mask = (b["shard"] == last_shard) & (b["term_id"] == last_term)
             carry = b.loc[tail_mask]
             head = b.loc[~tail_mask]
             if len(head):
@@ -284,10 +308,16 @@ def build_segments(
         if carry is not None and len(carry):
             yield _encode_batch(carry.reset_index(drop=True))
 
-    return (
+    encoded = (
         enriched.repartition(n_shards, "shard")
-        .sortWithinPartitions("shard", "term", "doc_id")
-        .mapInPandas(encode_partition, SEGMENT_SCHEMA)
+        .sortWithinPartitions("shard", "term_id", "doc_id")
+        .mapInPandas(encode_partition, _SEGMENT_ID_SCHEMA)
+    )
+    # re-attach term strings on block rows (block_size x fewer than
+    # postings); broadcast keeps the encoder's partitioning intact
+    return (
+        encoded.join(F.broadcast(tdict.select("term_id", "term")), "term_id")
+        .select(*SEGMENT_SCHEMA_COLS)
     )
 
 

@@ -56,6 +56,17 @@ def get_spark(
                 "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64",
             ),
         )
+        # Block the first job until every executor has registered:
+        # otherwise the fixture-persist job lands all cached blocks on
+        # whichever executors came up first and every later stage
+        # bottlenecks on remote fetches from them. No-op for local[k];
+        # on real clusters this is the standard cold-start guard.
+        .config("spark.scheduler.minRegisteredResourcesRatio", "1.0")
+        .config("spark.scheduler.maxRegisteredResourcesWaitingTime", "60s")
+        .config(
+            "spark.locality.wait",
+            os.environ.get("SPARK_LOCALITY_WAIT", "3s"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Tokenization explodes each text row ~200x; at the default 128MB

