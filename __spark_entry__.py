@@ -199,6 +199,53 @@ def _dot_sql(vec: list, col: str = "embedding") -> str:
     )
 
 
+def _ivf_oracle_sql(k_cells: int = 8, n_probe: int = 2, dim: int = 64) -> str:
+    """ann.ivf_topk with the seeded coarse quantizer: per-row cell =
+    argmax over round(dot(embedding, centroid_j), 6) (first max wins in
+    both engines), probed cells = top n_probe by the query's rounded
+    centroid dots (ties by cell index asc, matching the stable argsort),
+    exact cosine re-rank inside the probed cells."""
+    from greynirserver_spark.operators.ann import seeded_ivf_centroids
+
+    cents = seeded_ivf_centroids(dim, k_cells)
+    row_dots = ", ".join(
+        f"round({_dot_sql(list(c), 'embedding')}, 6)" for c in cents
+    )
+    q_dots = ", ".join(f"round({_dot_sql(list(c), 'e')}, 6)" for c in cents)
+    return f"""
+WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = {_ANN_QUERY_ID}),
+qd AS (SELECT [{q_dots}] AS ds FROM q),
+pr AS (
+  SELECT i - 1 AS cell FROM (
+    SELECT unnest(range(1, {k_cells} + 1)) AS i, ds FROM qd
+  ) t ORDER BY ds[i] DESC, i ASC LIMIT {n_probe}
+),
+b AS (
+  SELECT vec_id, embedding, [{row_dots}] AS rl FROM embeddings
+  WHERE vec_id <> {_ANN_QUERY_ID}
+),
+c AS (
+  SELECT vec_id, embedding, e FROM b, q
+  WHERE (list_position(rl, list_aggregate(rl, 'max')) - 1)
+        IN (SELECT cell FROM pr)
+), s AS (
+  SELECT vec_id,
+         round(
+           list_aggregate(list_transform(range(1, len(embedding) + 1),
+               i -> embedding[i]::DOUBLE * e[i]::DOUBLE), 'sum')
+           / (sqrt(list_aggregate(list_transform(embedding,
+                  x -> x::DOUBLE * x::DOUBLE), 'sum'))
+              * sqrt(list_aggregate(list_transform(e,
+                  x -> x::DOUBLE * x::DOUBLE), 'sum'))),
+         4) AS cosine
+  FROM c
+)
+SELECT row_number() OVER (ORDER BY cosine DESC, vec_id ASC)::BIGINT AS rank,
+       vec_id, cosine
+FROM s ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+
 def _ann_lsh_oracle_sql() -> str:
     """lsh_bucket_topk: candidate rows must match the query's sign-LSH
     bucket in table 1 or table 2 (per-plane sign equality against the
@@ -483,6 +530,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": lambda s, d: N.cosine_topk_bruteforce(
             _emb(s, d), _query_vec(s, d), k=10, exclude_vec_id=_ANN_QUERY_ID
         ),
+        # IVF with the seeded (data-independent) coarse quantizer so the
+        # cell partitioning is reproducible as SQL literals; the
+        # k-means-trained quantizer is recall-pinned in tests/test_ann_recall.py
+        "ann_ivf_topk": lambda s, d: N.ivf_topk(
+            _emb(s, d), _query_vec(s, d), k=10, n_probe=2,
+            exclude_vec_id=_ANN_QUERY_ID,
+        ),
         "ann_lsh_topk": lambda s, d: N.lsh_bucket_topk(
             _emb(s, d), _query_vec(s, d), k=10, exclude_vec_id=_ANN_QUERY_ID
         ),
@@ -676,6 +730,7 @@ FROM sh_cold a JOIN sh_cold b ON a.chunk = b.chunk AND a.val = b.val
 WHERE a.doc_id < b.doc_id
   AND bit_count(xor(a.simhash, b.simhash)) <= 3
 """,
+        "ann_ivf_topk": _ivf_oracle_sql(),
         "ann_lsh_topk": _ann_lsh_oracle_sql(),
         "embedding_near_pairs_lsh": _near_pairs_lsh_oracle_sql(),
         "corpus_clean_with_neardup": _neardup_summary_oracle_sql(),

@@ -30,6 +30,10 @@ __all__ = [
     "load_embeddings",
     "cosine_topk_bruteforce",
     "lsh_bucket_topk",
+    "seeded_ivf_centroids",
+    "train_ivf_centroids",
+    "ivf_assign",
+    "ivf_topk",
     "cosine_near_pairs_exact",
     "cosine_near_pairs_lsh",
 ]
@@ -143,6 +147,89 @@ def lsh_bucket_topk(
     near2 = F.bit_count(F.col("b2").bitwiseXOR(F.lit(q_b2))) <= probe_hamming
     cands = bucketed.where(near1 | near2).select("vec_id", "embedding")
     return cosine_topk_bruteforce(cands, query_vec, k, exclude_vec_id)
+
+
+# ------------------------------------------------------------------ IVF
+
+_IVF_SEED = 7
+
+
+def seeded_ivf_centroids(dim: int, k: int) -> np.ndarray:
+    """Deterministic unit-norm coarse quantizer (data-independent, like
+    the LSH planes) — lets the partitioning be reproduced as SQL
+    literals by an external oracle. For data-adapted cells use
+    :func:`train_ivf_centroids`."""
+    rng = np.random.Generator(np.random.SFC64(_IVF_SEED))
+    c = rng.standard_normal((k, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def train_ivf_centroids(
+    emb: DataFrame, k: int = 8, iters: int = 5, sample: int = 50_000
+) -> np.ndarray:
+    """Lloyd k-means on a deterministic sample (first *sample* rows by
+    vec_id), driver-side NumPy — the coarse-quantizer training step of
+    an IVF index. The sample bound keeps the driver O(sample x dim)
+    regardless of corpus size; centroids are then a tiny broadcast.
+    Seeds from :func:`seeded_ivf_centroids`; cosine assignment (vectors
+    L2-normalized) so cells are Voronoi regions on the unit sphere."""
+    rows = (
+        emb.orderBy("vec_id").limit(sample)
+        .select("embedding").toPandas()["embedding"]
+    )
+    x = np.asarray([np.asarray(v, dtype=np.float64) for v in rows])
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    c = seeded_ivf_centroids(x.shape[1], k)
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                c[j] = x[m].mean(axis=0)
+        c = c / np.linalg.norm(c, axis=1, keepdims=True)
+    return c
+
+
+def ivf_assign(emb: DataFrame, centroids: np.ndarray) -> DataFrame:
+    """Adds ``bucket`` = argmax_j dot(embedding, centroid_j), as a JVM
+    expression tree (dots rounded to 6 so the argmax is reproducible
+    across engines/summation orders). At 10^12 rows bucket is the
+    partition key of the materialized index; a query touches only its
+    probed cells' partitions."""
+    dots = F.array(*[
+        F.round(_dot(F.col("embedding"),
+                     F.array(*[F.lit(float(v)) for v in c])), 6)
+        for c in centroids
+    ])
+    return emb.withColumn(
+        "bucket",
+        (F.array_position(dots, F.array_max(dots)) - 1).cast("int"),
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    centroids: Optional[np.ndarray] = None,
+    n_probe: int = 2,
+    exclude_vec_id: Optional[int] = None,
+) -> DataFrame:
+    """IVF approximate top-k: rank cells by centroid affinity to the
+    query (driver-side, k_cells tiny), exact-rerank only rows in the
+    *n_probe* best cells. Complements sign-LSH: cells adapt to the data
+    when trained, and probe count trades recall for scan fraction."""
+    if centroids is None:
+        centroids = seeded_ivf_centroids(len(query_vec), 8)
+    q = np.asarray(query_vec, dtype=np.float64)
+    order = np.argsort(-np.round(centroids @ q, 6), kind="stable")
+    probes = [int(j) for j in order[:n_probe]]
+    cand = (
+        ivf_assign(emb, centroids)
+        .where(F.col("bucket").isin(probes))
+        .select("vec_id", "embedding")
+    )
+    return cosine_topk_bruteforce(cand, query_vec, k, exclude_vec_id)
 
 
 def cosine_near_pairs_exact(

@@ -75,3 +75,60 @@ def test_near_pairs_lsh_is_exact_subset_with_recall(spark, emb):
     # cosine 0.35 is a weak-similarity regime: collision prob per plane
     # ~0.62, ^4 ~0.15 — the pin catches bucketing regressions
     assert recall >= 0.05, recall
+
+
+def test_ivf_trained_recall_and_subset(spark, emb):
+    """k-means IVF: trained cells must give usable recall at n_probe=2,
+    and every returned row must be a true row of the table (cells
+    partition the data — no invention)."""
+    from greynirserver_spark.operators.ann import (
+        ivf_assign,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    cents = train_ivf_centroids(emb, k=8, iters=5)
+    # cells partition the corpus: every row lands in exactly one bucket
+    n = emb.count()
+    bucketed = ivf_assign(emb, cents)
+    assert bucketed.count() == n
+    assert bucketed.where("bucket >= 0 AND bucket < 8").count() == n
+
+    recalls = []
+    for qid in (0, 7, 23):
+        qvec = [
+            float(x)
+            for x in emb.where(f"vec_id = {qid}").first()["embedding"]
+        ]
+        truth = {
+            r.vec_id
+            for r in cosine_topk_bruteforce(
+                emb, qvec, k=10, exclude_vec_id=qid
+            ).collect()
+        }
+        approx = {
+            r.vec_id
+            for r in ivf_topk(
+                emb, qvec, k=10, centroids=cents, n_probe=2,
+                exclude_vec_id=qid,
+            ).collect()
+        }
+        recalls.append(len(truth & approx) / len(truth))
+    avg = sum(recalls) / len(recalls)
+    # 2 of 8 trained cells probed (~1/4 of rows scanned): empirically
+    # well above the data-independent seeded quantizer; the pin catches
+    # training/assignment drift
+    assert avg >= 0.3, recalls
+
+
+def test_ivf_seeded_matches_driver_oracle_shape(spark, emb):
+    """The driver-gate variant (seeded quantizer) returns exactly k rows
+    with deterministic ordering."""
+    from greynirserver_spark.operators.ann import ivf_topk
+
+    qvec = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    rows = ivf_topk(emb, qvec, k=10, n_probe=2, exclude_vec_id=0).collect()
+    assert len(rows) == 10
+    assert [r.rank for r in rows] == list(range(1, 11))
+    cosines = [r.cosine for r in rows]
+    assert cosines == sorted(cosines, reverse=True)
