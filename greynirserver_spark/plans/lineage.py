@@ -126,8 +126,15 @@ class IndexStore:
         return os.path.join(self.root, "corpus")
 
     @property
+    def positions(self) -> str:
+        return os.path.join(self.root, "positions")
+
+    @property
     def segments(self) -> str:
         return os.path.join(self.root, "segments")
+
+    def has(self, name: str) -> bool:
+        return os.path.isdir(getattr(self, name))
 
     def committed(self, stage: str, partition_id: str = "-") -> bool:
         lin = read_lineage(self.root)
@@ -175,13 +182,17 @@ def build_index_checkpointed(
     block_size: int = DEFAULT_BLOCK_SIZE,
     num_partitions: Optional[int] = None,
     fail_after_segment_commits: Optional[int] = None,
+    with_positions: bool = False,
 ) -> IndexStore:
     """Build (or resume) the full index at *root*.
 
     Re-running after a kill resumes from the lineage table: committed
     stages are loaded from disk, and only uncommitted segment shards are
     rebuilt. *fail_after_segment_commits* injects a crash after N shard
-    commits (kill/rerun tests).
+    commits (kill/rerun tests). *with_positions* additionally persists
+    the positional postings table (term, doc_id, tf, positions) that
+    serves exact-phrase queries (operators/phrase.py) — phrase terms
+    prune at the parquet scan.
     """
     store = IndexStore(root)
     os.makedirs(root, exist_ok=True)
@@ -255,6 +266,16 @@ def build_index_checkpointed(
         )
         b += _commit_table(tstats, store.term_stats)
         return spark.read.parquet(store.term_stats).count(), b
+
+    if with_positions:
+        def s_positions():
+            from ..operators.phrase import positional_postings
+
+            pos = positional_postings(docs.select("doc_id", "text"))
+            b = _commit_table(pos, store.positions)
+            return spark.read.parquet(store.positions).count(), b
+
+        stage("positions", s_positions)
 
     stage("stats", s_stats)
     term_stats = spark.read.parquet(store.term_stats)

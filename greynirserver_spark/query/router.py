@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..operators.wand import wand_topk
 from ..plans.lineage import IndexStore
 from ..plans.pipeline import query_to_terms
+from ..tokenization import PY_TOKEN_SPLIT_RE
 
 __all__ = ["Router", "Answer"]
 
@@ -44,6 +45,8 @@ _RELATED_RE = re.compile(r"^(?:skyld orð við|related words for)\s+(.+)$", re.I
 _FREQ_RE = re.compile(r"^(?:tíðni orðsins|word frequency of)\s+(.+)$", re.I)
 _COUNT_RE = re.compile(r"^(?:hversu margar greinar um|article count for)\s+(.+)$", re.I)
 _NEWEST_RE = re.compile(r"^(?:nýjustu greinar|newest articles)\s*(.*)$", re.I)
+# a fully double-quoted query is an exact-phrase search
+_PHRASE_RE = re.compile(r'^"(.+)"$')
 
 
 @dataclass
@@ -79,6 +82,10 @@ class Router:
             return Answer("ArticleCount", self.article_count(m.group(1)))
         if m := _NEWEST_RE.match(q):
             return Answer("NewestArticles", self.newest())
+        if m := _PHRASE_RE.match(q):
+            words = [t for t in re.split(PY_TOKEN_SPLIT_RE, m.group(1).lower())
+                     if t]
+            return Answer("PhraseSearch", self.phrase(words, k), words)
         terms = query_to_terms(q)
         return Answer("Search", self.search(terms, k), terms)
 
@@ -93,6 +100,32 @@ class Router:
             hits.join(self.doc_map.select("doc_id", "url", "warc_ts"), "doc_id")
             .orderBy("rank")
             .select("rank", "doc_id", "url", "warc_ts", "score")
+        )
+
+    def phrase(self, words: List[str], k: int = 10) -> DataFrame:
+        """Exact consecutive-phrase top-k joined to urls. Serves from the
+        store's positional-postings table when the build persisted one
+        (phrase terms prune at the parquet scan); otherwise computes
+        positions ad hoc from the stored text."""
+        k = min(k, _MAXLEN_ANSWER)
+        if not words:
+            return self.spark.createDataFrame(
+                [], "doc_id long, url string, phrase_tf long")
+        from ..operators.phrase import phrase_topk, phrase_topk_positional
+
+        if self.store.has("positions"):
+            hits = phrase_topk_positional(
+                self.store.load(self.spark, "positions"), self.spark,
+                words, k,
+            )
+        else:
+            hits = phrase_topk(
+                self.spark, self.doc_map.select("doc_id", "text"), words, k,
+            )
+        return (
+            hits.join(self.doc_map.select("doc_id", "url"), "doc_id")
+            .orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
+            .select("doc_id", "url", "phrase_tf")
         )
 
     def related(self, word: str, limit: int = 21) -> DataFrame:

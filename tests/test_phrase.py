@@ -89,3 +89,43 @@ def test_phrase_plan_is_broadcast_and_single_agg_shuffle(spark, docs_df):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_router_phrase_query(spark, tmp_path):
+    """Quoted queries dispatch to PhraseSearch; the positional-postings
+    serving path agrees with the ad-hoc path over the same store."""
+    from greynirserver_spark.corpus import generate_pages
+    from greynirserver_spark.plans.lineage import build_index_checkpointed
+    from greynirserver_spark.query.router import Router
+
+    pages = generate_pages(spark, 300)
+    store = build_index_checkpointed(
+        spark, pages, str(tmp_path / "store"), n_shards=4,
+        with_positions=True,
+    )
+    assert store.has("positions")
+    router = Router(spark, store)
+
+    # pick a bigram that actually occurs in the stored text
+    row = (
+        store.load(spark, "doc_map")
+        .select("doc_id", "text").first()
+    )
+    toks = [t for t in re.split(r"[\W_]+", row.text.lower())
+            if 1 <= len(t) <= 64]
+    phrase = f'"{toks[0]} {toks[1]}"'
+
+    ans = router.execute(phrase, k=10)
+    assert ans.qtype == "PhraseSearch"
+    rows = ans.df.collect()
+    assert len(rows) > 0
+
+    # serving path == ad-hoc path
+    adhoc = phrase_topk(
+        spark,
+        store.load(spark, "doc_map").select("doc_id", "text"),
+        toks[:2], 10,
+    )
+    a = sorted((r.doc_id, r.phrase_tf) for r in adhoc.collect())
+    b = sorted((r.doc_id, r.phrase_tf) for r in rows)
+    assert a == b
