@@ -129,3 +129,28 @@ def test_router_phrase_query(spark, tmp_path):
     a = sorted((r.doc_id, r.phrase_tf) for r in adhoc.collect())
     b = sorted((r.doc_id, r.phrase_tf) for r in rows)
     assert a == b
+
+
+def test_phrase_property_random_texts(spark):
+    """Property: offset-alignment phrase counts equal the brute-force
+    sliding-window count on randomized small texts (fixed seed corpus;
+    hypothesis-style coverage without a Spark job per example)."""
+    import random
+
+    rng = random.Random(1234)
+    vocab = ["a", "b", "c", "ab", "x1"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for n in (1, 2, 3):
+        phrase = [rng.choice(vocab) for _ in range(n)]
+        got = {
+            r.doc_id: r.phrase_tf
+            for r in phrase_match_counts(spark, df, phrase).collect()
+        }
+        want = {
+            d: _brute(t, phrase) for d, t in docs if _brute(t, phrase)
+        }
+        assert got == want, (phrase, got, want)
