@@ -512,6 +512,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_topk_positional": lambda s, d: P.phrase_topk_positional(
             P.positional_postings(_docs(s, d)), s, _PHRASE, k=20
         ),
+        # keyword-in-context snippet around the first hit per doc
+        "kwic_snippets": lambda s, d: P.kwic_snippets(
+            _docs(s, d), "spark", window=4, k=20
+        ),
         "doc_quality": lambda s, d: T.quality_scores(_docs(s, d)),
         "doc_fingerprints": lambda s, d: T.document_fingerprints(_docs(s, d)),
         # --- dedup family ---
@@ -635,6 +639,21 @@ FROM sc ORDER BY score DESC, doc_id ASC LIMIT 20
 """,
         "phrase_topk": _PHRASE_SQL,
         "phrase_topk_positional": _PHRASE_SQL,
+        "kwic_snippets": f"""
+WITH tokarr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_TOKEN_RE}'),
+                     x -> length(x) BETWEEN 1 AND 64) AS toks
+  FROM documents
+), h AS (
+  SELECT doc_id, list_position(toks, 'spark') AS hit, toks FROM tokarr
+)
+SELECT doc_id, (hit - 1)::BIGINT AS pos,
+       array_to_string(
+         toks[greatest(1, hit - 4) : greatest(1, hit - 4) + 8], ' '
+       ) AS snippet
+FROM h WHERE hit > 0 ORDER BY doc_id LIMIT 20
+""",
         "term_stats_top100": _TOK_CTE + """
 SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
 FROM post GROUP BY term HAVING count(*) >= 3

@@ -44,6 +44,7 @@ __all__ = [
     "phrase_match_counts",
     "phrase_topk",
     "phrase_topk_positional",
+    "kwic_snippets",
 ]
 
 
@@ -113,6 +114,43 @@ def phrase_topk(
     return (
         phrase_match_counts(spark, docs, phrase)
         .orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def kwic_snippets(
+    docs: DataFrame, term: str, window: int = 4, k: int = 20
+) -> DataFrame:
+    """Keyword-in-context: (doc_id, pos, snippet) around the FIRST
+    occurrence of *term* per document, ordered by doc_id, limit k.
+
+    One pass: tokens arrays stay whole per doc (no explode of the
+    corpus), the hit position comes from ``array_position`` on the
+    filtered token array, and the snippet is a ``slice`` + ``array_join``
+    — all JVM expressions. At scale this runs over the top-k result set
+    of a search, not the corpus; here it is corpus-wide for the oracle.
+    """
+    t = term.lower()
+    toks = F.filter(
+        F.split(F.lower("text"), TOKEN_SPLIT_RE),
+        lambda x: (F.length(x) >= 1) & (F.length(x) <= MAX_WORD_LEN),
+    )
+    with_arr = docs.select("doc_id", toks.alias("toks"))
+    # array_position is 1-based, 0 = absent
+    hit = F.array_position("toks", F.lit(t))
+    start = F.greatest(F.lit(1), hit - window)
+    length = F.lit(2 * window + 1)
+    return (
+        with_arr.withColumn("hit", hit)
+        .where(F.col("hit") > 0)
+        .select(
+            "doc_id",
+            (F.col("hit") - 1).cast("long").alias("pos"),
+            F.array_join(
+                F.slice("toks", start.cast("int"), length), " "
+            ).alias("snippet"),
+        )
+        .orderBy("doc_id")
         .limit(k)
     )
 

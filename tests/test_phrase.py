@@ -154,3 +154,17 @@ def test_phrase_property_random_texts(spark):
             d: _brute(t, phrase) for d, t in docs if _brute(t, phrase)
         }
         assert got == want, (phrase, got, want)
+
+
+def test_kwic_snippets(spark, docs_df):
+    from greynirserver_spark.operators.phrase import kwic_snippets
+
+    rows = {r.doc_id: (r.pos, r.snippet)
+            for r in kwic_snippets(docs_df, "quick", window=2, k=10).collect()}
+    # doc 0: first 'quick' at pos 1, window 2 -> 5 tokens from pos 0
+    assert rows[0] == (1, "the quick brown fox jumps")
+    # doc 2: 'quick' at pos 1 of a 3-token doc -> clipped tail
+    assert rows[2] == (1, "brown quick brown")
+    # doc 4: case-folded hit
+    assert rows[4] == (0, "quick brown fox")
+    assert 5 not in rows and 6 not in rows
