@@ -597,6 +597,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_autocomplete": lambda s, d: A.term_autocomplete(_docs(s, d), "s"),
         "token_count_bpe": lambda s, d: A.token_count_bpe(_docs(s, d)),
         "word_trigrams": lambda s, d: A.word_trigrams(_docs(s, d)),
+        "bigram_pmi": lambda s, d: A.bigram_pmi(_docs(s, d), min_freq=5),
+        "tfidf_keywords": lambda s, d: A.tfidf_keywords(
+            _docs(s, d), per_doc=3, min_df=3
+        ),
         "random_sample": lambda s, d: A.random_sample(_docs(s, d), n=50),
         "latest_event_per_user": lambda s, d: A.latest_event_per_user(s, d),
         "top_users_by_active_days": lambda s, d: A.top_users_by_active_days(s, d),
@@ -956,6 +960,46 @@ WITH tokarr AS (
 )
 SELECT trigram, count(*)::BIGINT AS freq FROM tri
 GROUP BY trigram ORDER BY freq DESC, trigram ASC LIMIT 100
+""",
+        "bigram_pmi": f"""
+WITH tokarr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_TOKEN_RE}'),
+                     x -> length(x) BETWEEN 1 AND 64) AS toks
+  FROM documents
+), tokidx AS (
+  SELECT doc_id, unnest(range(1, len(toks) + 1)) AS i, toks FROM tokarr
+), uni AS (
+  SELECT toks[i] AS w, count(*)::BIGINT AS wf FROM tokidx GROUP BY 1
+), ntok AS (SELECT sum(wf)::DOUBLE AS n_tok FROM uni),
+pairs AS (
+  SELECT toks[i] AS w1, toks[i+1] AS w2, count(*)::BIGINT AS freq
+  FROM tokidx WHERE i < len(toks)
+  GROUP BY 1, 2 HAVING count(*) >= 5
+), npair AS (SELECT sum(freq)::DOUBLE AS n_pair FROM pairs)
+SELECT p.w1, p.w2, p.freq,
+       round(ln((p.freq / n_pair)
+             / ((u1.wf / n_tok) * (u2.wf / n_tok))), 4) AS pmi
+FROM pairs p
+JOIN uni u1 ON u1.w = p.w1
+JOIN uni u2 ON u2.w = p.w2, npair, ntok
+ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 50
+""",
+        "tfidf_keywords": _TOK_CTE + """,
+nd AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM documents),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY 1
+        HAVING count(*) >= 3),
+sc AS (
+  SELECT p.doc_id, p.term,
+         round(p.tf::DOUBLE * ln(nd.n / dfs.df), 4) AS tfidf
+  FROM post p JOIN dfs USING (term), nd
+)
+SELECT doc_id, term, tfidf, rk FROM (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC)::BIGINT AS rk
+  FROM sc
+) WHERE rk <= 3
 """,
         "random_sample": """
 SELECT doc_id, md5('42:' || doc_id::VARCHAR) AS rkey

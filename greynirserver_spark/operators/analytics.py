@@ -358,3 +358,108 @@ def nation_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+def bigram_pmi(docs: DataFrame, min_freq: int = 5, limit: int = 50) -> DataFrame:
+    """(w1, w2, freq, pmi): pointwise mutual information of adjacent
+    word pairs — collocation strength, the statistical upgrade of the
+    reference's related-words co-occurrence (db/sql.py:287-316).
+
+    pmi = ln(p(w1,w2) / (p(w1) p(w2))) with probabilities over adjacent
+    pair positions / token positions. One tokenize pass feeds both the
+    unigram and the bigram aggregates (JVM sliding window, no UDF);
+    both aggregates are partial-agg shuffles on their own keys. Rounded
+    to 4 decimals, ordered (pmi desc, w1, w2) for determinism.
+    """
+    from ..tokenization import MAX_WORD_LEN, TOKEN_SPLIT_RE
+
+    toks = docs.select(
+        F.filter(
+            F.split(F.lower("text"), TOKEN_SPLIT_RE),
+            lambda x: (F.length(x) >= 1) & (F.length(x) <= MAX_WORD_LEN),
+        ).alias("toks")
+    )
+    uni = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("wf"))
+    )
+    n_tokens = uni.agg(F.sum("wf").alias("n")).withColumnRenamed("n", "n_tok")
+    pairs = (
+        toks.where(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - F.lit(2)),
+                    lambda i: F.struct(
+                        F.col("toks")[i].alias("w1"),
+                        F.col("toks")[i + 1].alias("w2"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .where(F.col("freq") >= min_freq)
+    )
+    n_pairs = pairs.agg(F.sum("freq").alias("n")).withColumnRenamed(
+        "n", "n_pair"
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("wf").alias("wf1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("wf").alias("wf2"))
+    return (
+        pairs.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n_pairs))
+        .crossJoin(F.broadcast(n_tokens))
+        .select(
+            "w1", "w2", "freq",
+            F.round(
+                F.log(
+                    (F.col("freq").cast("double") / F.col("n_pair"))
+                    / (
+                        (F.col("wf1").cast("double") / F.col("n_tok"))
+                        * (F.col("wf2").cast("double") / F.col("n_tok"))
+                    )
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(limit)
+    )
+
+
+def tfidf_keywords(docs: DataFrame, per_doc: int = 3, min_df: int = 3) -> DataFrame:
+    """(doc_id, term, tfidf, rk): top-N characteristic terms per doc by
+    tf-idf — the reference's per-article topic-term surface
+    (vectors/builder.py tf-idf dictionary) as a relational plan: one
+    postings aggregate, broadcast df stats, one window per doc."""
+    postings = document_postings(docs)
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n"))
+    df_stats = (
+        postings.groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+        .where(F.col("df") >= min_df)
+    )
+    scored = (
+        postings.join(F.broadcast(df_stats), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "term",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("n").cast("double") / F.col("df")),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= per_doc)
+        .select("doc_id", "term", "tfidf", "rk")
+    )

@@ -115,3 +115,41 @@ def test_clean_corpus_near_dup(spark):
     assert got[1] == "kept"
     assert got[2] == "near_dup"
     assert got[3] == "kept"
+
+
+def test_bigram_pmi_values(spark):
+    """PMI on a tiny corpus with hand-computed values: 'a b' occurs 6 of
+    11 pair positions; p(a)=6/17, p(b)=6/17 over 17 tokens."""
+    import math
+
+    from greynirserver_spark.operators.analytics import bigram_pmi
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b a b c"), (1, "a b a b a b d e f g")],
+        "doc_id long, text string",
+    )
+    rows = bigram_pmi(docs, min_freq=5, limit=10).collect()
+    assert [(r.w1, r.w2, r.freq) for r in rows] == [("a", "b", 6)]
+    # n_pair counts only pairs with freq>=5 (the 'a b' pair itself)
+    want = round(math.log((6 / 6) / ((6 / 17) * (6 / 17))), 4)
+    assert abs(rows[0].pmi - want) < 1e-9
+
+
+def test_tfidf_keywords_shape(spark):
+    from greynirserver_spark.operators.analytics import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [(i, f"common word{'x' if i % 2 else 'y'} unique{i} "
+             "filler filler filler") for i in range(8)],
+        "doc_id long, text string",
+    )
+    rows = tfidf_keywords(docs, per_doc=2, min_df=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(range(8))
+    for doc_rows in by_doc.values():
+        assert [r.rk for r in sorted(doc_rows, key=lambda r: r.rk)] == [1, 2]
+        # rank order follows tfidf desc
+        s = sorted(doc_rows, key=lambda r: r.rk)
+        assert s[0].tfidf >= s[1].tfidf
