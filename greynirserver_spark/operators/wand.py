@@ -246,11 +246,26 @@ def wand_topk(
 
     matched = segments.where(F.col("term").isin(terms))
 
-    def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-        return shard_topk_pandas(pdf, k, avgdl)
+    def per_partition(batches):
+        """Score every shard present in this partition: one Python/Arrow
+        round trip per TASK instead of one per shard (64 per-group
+        applyInPandas calls cost ~0.4s of a sub-second query; grouping
+        by shard inside the task is free). Shards are hash-partitioned
+        so each shard's blocks land whole in exactly one partition."""
+        chunks = [b for b in batches if len(b)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        for _, g in pdf.groupby("shard", sort=False):
+            yield shard_topk_pandas(g.reset_index(drop=True), k, avgdl)
 
-    shard_tops = matched.groupBy("shard").applyInPandas(
-        per_shard, "doc_id long, score double"
+    # a quarter of the cluster's slots: plenty of parallelism for the
+    # tiny matched-block relation while keeping the per-task Python
+    # round-trip count low; grows with the cluster, so a large
+    # deployment still fans shard scoring across executors
+    n_tasks = max(1, spark.sparkContext.defaultParallelism // 4)
+    shard_tops = matched.repartition(n_tasks, "shard").mapInPandas(
+        per_partition, "doc_id long, score double"
     )
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (
