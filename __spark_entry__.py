@@ -597,6 +597,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_autocomplete": lambda s, d: A.term_autocomplete(_docs(s, d), "s"),
         "token_count_bpe": lambda s, d: A.token_count_bpe(_docs(s, d)),
         "word_trigrams": lambda s, d: A.word_trigrams(_docs(s, d)),
+        "pack_token_budget": lambda s, d: __import__(
+            "greynirserver_spark.operators.packing", fromlist=["packing"]
+        ).pack_token_budget(_docs(s, d), budget=2000),
         "bigram_pmi": lambda s, d: A.bigram_pmi(_docs(s, d), min_freq=5),
         "tfidf_keywords": lambda s, d: A.tfidf_keywords(
             _docs(s, d), per_doc=3, min_df=3
@@ -960,6 +963,18 @@ WITH tokarr AS (
 )
 SELECT trigram, count(*)::BIGINT AS freq FROM tri
 GROUP BY trigram ORDER BY freq DESC, trigram ASC LIMIT 100
+""",
+        "pack_token_budget": f"""
+WITH tc AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '{_TOKEN_RE}'),
+             x -> length(x) BETWEEN 1 AND 64))::BIGINT AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       ((sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens) // 2000)::BIGINT
+         AS shard_id
+FROM tc
 """,
         "bigram_pmi": f"""
 WITH tokarr AS (

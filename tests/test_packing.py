@@ -1,0 +1,54 @@
+"""Token-budget packing: two-pass distributed prefix sum must equal a
+serial scan, regardless of partitioning."""
+
+from greynirserver_spark.operators.packing import (
+    doc_token_counts,
+    pack_token_budget,
+)
+
+
+def _serial_pack(counts, budget):
+    out, acc = {}, 0
+    for doc_id, n in sorted(counts):
+        out[doc_id] = (acc) // budget
+        acc += n
+    return out
+
+
+def test_pack_matches_serial_scan(spark):
+    docs = spark.createDataFrame(
+        [(i, "w " * (7 + (i * 13) % 40)) for i in range(200)],
+        "doc_id long, text string",
+    )
+    counts = [(r.doc_id, r.n_tokens) for r in doc_token_counts(docs).collect()]
+    for budget in (50, 137, 1000):
+        for nparts in (1, 3, 8):
+            got = {
+                r.doc_id: r.shard_id
+                for r in pack_token_budget(
+                    docs, budget, num_partitions=nparts
+                ).collect()
+            }
+            assert got == _serial_pack(counts, budget), (budget, nparts)
+
+
+def test_shards_respect_budget_excluding_straddler(spark):
+    """Every shard's token total minus its last (straddling) doc is
+    under budget, and shard ids are contiguous from 0."""
+    docs = spark.createDataFrame(
+        [(i, "tok " * (11 + (i * 7) % 90)) for i in range(300)],
+        "doc_id long, text string",
+    )
+    budget = 400
+    rows = sorted(
+        (r.shard_id, r.doc_id, r.n_tokens)
+        for r in pack_token_budget(docs, budget, num_partitions=4).collect()
+    )
+    shards = {}
+    for sid, _, n in rows:
+        shards.setdefault(sid, []).append(n)
+    assert min(shards) == 0
+    assert sorted(shards) == list(range(len(shards)))
+    for sid, ns in shards.items():
+        if len(ns) > 1:
+            assert sum(ns) - ns[-1] < budget, sid
