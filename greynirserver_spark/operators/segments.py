@@ -170,8 +170,14 @@ def build_segments(
     corpus: DataFrame,
     n_shards: int = 32,
     block_size: int = DEFAULT_BLOCK_SIZE,
+    shard_size: int | None = None,
 ) -> DataFrame:
     """postings(term, doc_id, tf) -> compressed segment blocks.
+
+    *shard_size* pins the doc-range bucket width explicitly — required
+    by incremental appends, which must keep the ORIGINAL store's doc
+    ranges so new blocks land in consistent shard directories (new docs
+    extend the top shard and open new ones past n_shards).
 
     Plan shape:
       * terms are dictionary-encoded to a dense ``term_id`` BEFORE the
@@ -199,7 +205,8 @@ def build_segments(
 
     crow = corpus.collect()[0]
     n_docs, avgdl = int(crow["n_docs"]), float(crow["avgdl"])
-    shard_size = max(1, -(-n_docs // n_shards))  # ceil
+    if shard_size is None:
+        shard_size = max(1, -(-n_docs // n_shards))  # ceil
 
     tdict = term_stats.select("term", "idf").withColumn(
         "term_id",

@@ -51,7 +51,14 @@ from ..operators.postings import (
 from ..operators.segments import DEFAULT_BLOCK_SIZE, build_segments
 from ..tokenization import apply_index_filter, tokenize_marked_text
 
-__all__ = ["IndexStore", "build_index_checkpointed", "read_lineage"]
+__all__ = [
+    "IndexStore",
+    "build_index_checkpointed",
+    "read_lineage",
+    "read_store_meta",
+    "append_pages",
+    "rebuild_segments",
+]
 
 _STAGES = ("doc_map", "postings", "stats", "segments")
 
@@ -170,6 +177,10 @@ def _commit_table(df: DataFrame, path: str) -> int:
     if os.path.isdir(path):
         shutil.rmtree(path)
     os.rename(staging, path)
+    # drop the session's cached file listing for this path: without it a
+    # later read silently uses the pre-commit listing (stale or missing
+    # files) — Spark's FileStatusCache has no TTL by default
+    df.sparkSession.catalog.refreshByPath(path)
     return _dir_bytes(path)
 
 
@@ -284,12 +295,26 @@ def build_index_checkpointed(
 
     # ---- stage 4: segments, committed per shard ----------------------
     done = store.committed_shards()
+    # pin the doc-range bucket width for the store's lifetime: appends
+    # must keep the SAME ranges so their blocks land in consistent
+    # shard directories (meta.json is the store's format descriptor)
+    meta_path = os.path.join(root, "meta.json")
+    if os.path.exists(meta_path):
+        shard_size = json.load(open(meta_path))["shard_size"]
+    else:
+        n_docs0 = int(corpus.collect()[0]["n_docs"])
+        shard_size = max(1, -(-n_docs0 // n_shards))
+        with open(meta_path, "w") as fh:
+            json.dump({"shard_size": shard_size, "n_shards": n_shards,
+                       "block_size": block_size, "min_df": min_df}, fh)
+
     missing = [s for s in range(n_shards) if s not in done]
     if missing:
         t0 = time.time()
         segs = build_segments(
             postings, term_stats, doc_stats, corpus,
             n_shards=n_shards, block_size=block_size,
+            shard_size=shard_size,
         ).where(F.col("shard").isin(missing))
         staging = os.path.join(root, f".seg-staging-{uuid.uuid4().hex[:8]}")
         # one parallel job over all missing shards; per-shard dirs
@@ -326,3 +351,137 @@ def build_index_checkpointed(
                 )
         shutil.rmtree(staging, ignore_errors=True)
     return store
+
+
+def read_store_meta(store: IndexStore) -> dict:
+    """The store's pinned format descriptor (shard_size etc.), written
+    once at initial build."""
+    with open(os.path.join(store.root, "meta.json")) as fh:
+        return json.load(fh)
+
+
+def append_pages(
+    spark: SparkSession, store: IndexStore, new_pages: DataFrame
+) -> dict:
+    """Log-structured incremental index append (reference analog: the
+    30-min cron batches + watermark refresh, scripts/runscraper.sh +
+    vectors/simserver.py:232-290).
+
+    * new docs get dense ids continuing after the store's max, so the
+      pinned doc ranges (meta.json shard_size) stay valid — their blocks
+      append to the top shard directory and open new ones,
+    * already-stored urls are dropped (anti-join on doc_map),
+    * postings/doc_map grow by parquet append; the global stats tables
+      (doc_stats, corpus, term_stats) are recomputed — cheap aggregates,
+      no re-tokenize of old docs,
+    * delta segments are built ONLY from the new docs' postings, with
+      the UPDATED global idf. Blocks written in earlier batches keep
+      their build-time idf/block_max until :func:`rebuild_segments` —
+      the same freshness window the reference accepts between model
+      rebuilds (builder.py:565-592). After a rebuild, ranking is exact.
+
+    Returns {"new_docs": int, "new_blocks": int}.
+    """
+    meta = read_store_meta(store)
+    doc_map = spark.read.parquet(store.doc_map)
+    base = doc_map.agg(F.max("doc_id")).collect()[0][0]
+    offset = int(base) + 1 if base is not None else 0
+
+    texts = new_pages.where(F.col("lang") == "is").select(
+        "url", "warc_ts", extract_text_udf()(F.col("html")).alias("text")
+    ).join(doc_map.select("url"), "url", "left_anti")
+
+    from pyspark import StorageLevel
+
+    texts = texts.persist(StorageLevel.DISK_ONLY)
+    try:
+        # localCheckpoint truncates lineage BEFORE the doc_map append:
+        # new_docs' plan anti-joins against the doc_map path, and a
+        # write to that path makes Spark recache dependent plans — a
+        # merely persisted new_docs would silently recompute against the
+        # grown doc_map (where its own urls now exist) and become empty.
+        new_docs = assign_doc_ids(texts, "url").withColumn(
+            "doc_id", (F.col("doc_id") + offset).cast("long")
+        ).localCheckpoint(eager=True)
+        n_new = new_docs.count()
+        if n_new == 0:
+            return {"new_docs": 0, "new_blocks": 0}
+        t0 = time.time()
+        new_docs.write.mode("append").parquet(store.doc_map)
+        spark.catalog.refreshByPath(store.doc_map)
+
+        vocab = spark.createDataFrame(vocabulary()[["stem", "cat"]])
+        tokens = tokenize_marked_text(new_docs.select("doc_id", "text"), vocab)
+        new_postings = build_postings(
+            apply_index_filter(tokens, spark).select("doc_id", "term")
+        ).persist(StorageLevel.DISK_ONLY)
+        new_postings.count()
+        new_postings.write.mode("append").parquet(store.postings)
+        spark.catalog.refreshByPath(store.postings)
+
+        # global stats refresh: aggregates over the grown postings table
+        postings = spark.read.parquet(store.postings)
+        _commit_table(build_doc_stats(postings), store.doc_stats)
+        doc_stats = spark.read.parquet(store.doc_stats)
+        _commit_table(corpus_stats(doc_stats), store.corpus)
+        corpus = spark.read.parquet(store.corpus)
+        _commit_table(
+            build_term_stats(postings, min_df=meta["min_df"], corpus=corpus),
+            store.term_stats,
+        )
+        term_stats = spark.read.parquet(store.term_stats)
+
+        delta = build_segments(
+            new_postings, term_stats, doc_stats, corpus,
+            n_shards=meta["n_shards"], block_size=meta["block_size"],
+            shard_size=meta["shard_size"],
+        )
+        delta.write.mode("append").partitionBy("shard").parquet(
+            store.segments
+        )
+        spark.catalog.refreshByPath(store.segments)
+        n_blocks = spark.read.parquet(store.segments).count()
+        _append_lineage(
+            store.root,
+            dict(stage="append", partition_id="-", input_fingerprint="pages",
+                 status="done", started_ts=t0, finished_ts=time.time(),
+                 rows_out=n_new, bytes_out=_dir_bytes(store.segments),
+                 wall_ms=int((time.time() - t0) * 1000)),
+        )
+        new_postings.unpersist()
+        new_docs.unpersist()
+        return {"new_docs": n_new, "new_blocks": n_blocks}
+    finally:
+        texts.unpersist()
+
+
+def rebuild_segments(spark: SparkSession, store: IndexStore) -> None:
+    """Full segment rebuild from the accumulated postings (no
+    re-tokenize): refreshes every block's idf/block_max to the current
+    global stats and re-packs append-fragmented blocks. After this,
+    ranking is exactly the from-scratch build's (proven in tests)."""
+    meta = read_store_meta(store)
+    postings = spark.read.parquet(store.postings)
+    term_stats = spark.read.parquet(store.term_stats)
+    doc_stats = spark.read.parquet(store.doc_stats)
+    corpus = spark.read.parquet(store.corpus)
+    t0 = time.time()
+    segs = build_segments(
+        postings, term_stats, doc_stats, corpus,
+        n_shards=meta["n_shards"], block_size=meta["block_size"],
+        shard_size=meta["shard_size"],
+    )
+    staging = store.segments + f".staging-{uuid.uuid4().hex[:8]}"
+    segs.write.mode("overwrite").partitionBy("shard").parquet(staging)
+    if os.path.isdir(store.segments):
+        shutil.rmtree(store.segments)
+    os.rename(staging, store.segments)
+    spark.catalog.refreshByPath(store.segments)
+    _append_lineage(
+        store.root,
+        dict(stage="rebuild_segments", partition_id="-",
+             input_fingerprint="postings", status="done", started_ts=t0,
+             finished_ts=time.time(), rows_out=-1,
+             bytes_out=_dir_bytes(store.segments),
+             wall_ms=int((time.time() - t0) * 1000)),
+    )
