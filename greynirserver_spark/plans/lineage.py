@@ -384,8 +384,19 @@ def append_pages(
     """
     meta = read_store_meta(store)
     doc_map = spark.read.parquet(store.doc_map)
+    # id offset from BOTH tables' maxima: the parquet-sandbox append is
+    # not one transaction across tables (on Iceberg it is — the commit
+    # maps to a single multi-table transaction / snapshot), so a crash
+    # between the doc_map and postings writes must never let the next
+    # append re-issue doc_ids that orphaned rows already carry
     base = doc_map.agg(F.max("doc_id")).collect()[0][0]
-    offset = int(base) + 1 if base is not None else 0
+    pmax = spark.read.parquet(store.postings).agg(
+        F.max("doc_id")
+    ).collect()[0][0]
+    offset = max(
+        int(base) + 1 if base is not None else 0,
+        int(pmax) + 1 if pmax is not None else 0,
+    )
 
     texts = new_pages.where(F.col("lang") == "is").select(
         "url", "warc_ts", extract_text_udf()(F.col("html")).alias("text")
