@@ -34,7 +34,8 @@ __all__ = [
 
 
 def _sketch_boundaries(
-    df: DataFrame, order_col: str, num_partitions: int
+    df: DataFrame, order_col: str, num_partitions: int,
+    key_type: str = "string",
 ) -> list:
     """One column-pruned pass that collects a small deterministic key
     sketch (a few keys per Arrow batch, weighted by batch size) and turns
@@ -63,7 +64,7 @@ def _sketch_boundaries(
 
     sample = (
         df.select(F.col(order_col).alias("k"))
-        .mapInPandas(sketch, "k string, w double")
+        .mapInPandas(sketch, f"k {key_type}, w double")
         .collect()
     )
     if not sample:
