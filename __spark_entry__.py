@@ -987,11 +987,12 @@ WITH tokarr AS (
 ), uni AS (
   SELECT toks[i] AS w, count(*)::BIGINT AS wf FROM tokidx GROUP BY 1
 ), ntok AS (SELECT sum(wf)::DOUBLE AS n_tok FROM uni),
-pairs AS (
+allpairs AS (
   SELECT toks[i] AS w1, toks[i+1] AS w2, count(*)::BIGINT AS freq
   FROM tokidx WHERE i < len(toks)
-  GROUP BY 1, 2 HAVING count(*) >= 5
-), npair AS (SELECT sum(freq)::DOUBLE AS n_pair FROM pairs)
+  GROUP BY 1, 2
+), npair AS (SELECT sum(freq)::DOUBLE AS n_pair FROM allpairs),
+pairs AS (SELECT * FROM allpairs WHERE freq >= 5)
 SELECT p.w1, p.w2, p.freq,
        round(ln((p.freq / n_pair)
              / ((u1.wf / n_tok) * (u2.wf / n_tok))), 4) AS pmi

@@ -401,11 +401,14 @@ def bigram_pmi(docs: DataFrame, min_freq: int = 5, limit: int = 50) -> DataFrame
         .select("p.w1", "p.w2")
         .groupBy("w1", "w2")
         .agg(F.count("*").cast("long").alias("freq"))
-        .where(F.col("freq") >= min_freq)
     )
+    # total pair count BEFORE the frequency floor, so p(w1,w2) is a true
+    # probability over ALL adjacent pair positions (round-2 ADVICE: the
+    # post-filter total shifted every PMI by a constant ln(N_all/N_freq))
     n_pairs = pairs.agg(F.sum("freq").alias("n")).withColumnRenamed(
         "n", "n_pair"
     )
+    pairs = pairs.where(F.col("freq") >= min_freq)
     u1 = uni.select(F.col("w").alias("w1"), F.col("wf").alias("wf1"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("wf").alias("wf2"))
     return (

@@ -196,22 +196,24 @@ def build_segments(
     Terms absent from term_stats (df < min_df) are pruned here too —
     the segment store only contains scoreable terms.
 
-    The term_id window runs over the vocabulary only (postings never
-    pass through it); at an extreme vocabulary (billions of distinct
-    terms) swap it for the range-boundary id assigner used for doc ids
-    (operators/postings.py::assign_doc_ids).
+    Term ids come from the same literal-boundary range assigner as doc
+    ids (operators/postings.py::assign_doc_ids) — a Common-Crawl
+    vocabulary after df-pruning is still 10^8+ terms, so a
+    ``row_number() OVER (ORDER BY term)`` single-partition window (the
+    round-2 implementation) would funnel the whole vocabulary through
+    one task; the assigner keeps id assignment distributed and
+    deterministic across plan re-evaluations.
     """
-    from pyspark.sql.window import Window
+    from .postings import assign_doc_ids
 
     crow = corpus.collect()[0]
     n_docs, avgdl = int(crow["n_docs"]), float(crow["avgdl"])
     if shard_size is None:
         shard_size = max(1, -(-n_docs // n_shards))  # ceil
 
-    tdict = term_stats.select("term", "idf").withColumn(
-        "term_id",
-        F.row_number().over(Window.orderBy("term")).cast("long"),
-    )
+    tdict = assign_doc_ids(
+        term_stats.select("term", "idf"), "term"
+    ).withColumnRenamed("doc_id", "term_id")
 
     enriched = (
         postings.join(tdict, "term")

@@ -360,8 +360,98 @@ def read_store_meta(store: IndexStore) -> dict:
         return json.load(fh)
 
 
+def _reconcile_appends(
+    spark: SparkSession, store: IndexStore, meta: dict
+) -> None:
+    """Roll back half-committed appends before admitting a new one.
+
+    An ``append_intent`` lineage row (committed before the first table
+    write of :func:`append_pages`) that has no matching ``append`` /
+    ``append_rollback`` row marks a crashed append. Every table row it
+    may have written carries ``doc_id >= offset`` (delta segment blocks
+    contain ONLY new docs, so ``first_doc >= offset``), so rollback is a
+    filter-and-rewrite of doc_map/postings/positions plus only the
+    segment shard directories that contain orphaned blocks, then a
+    stats recompute. Idempotent: a crash during reconcile leaves the
+    intent unresolved and the next append re-runs the same filters.
+
+    On Iceberg this whole function is a metadata-only rollback to the
+    pre-append snapshot; the filter-rewrite is the parquet-sandbox
+    equivalent and only ever runs on the crash-recovery path.
+    """
+    lin = read_lineage(store.root)
+    if lin.empty:
+        return
+    intents = lin[lin["stage"] == "append_intent"]
+    if intents.empty:
+        return
+    resolved = set(
+        lin.loc[lin["stage"].isin(["append", "append_rollback"]),
+                "partition_id"]
+    )
+    open_intents = intents[~intents["partition_id"].isin(resolved)]
+    if open_intents.empty:
+        return
+    offset = min(
+        int(fp.split("=", 1)[1])
+        for fp in open_intents["input_fingerprint"]
+    )
+    t0 = time.time()
+    for name in ("doc_map", "postings", "positions"):
+        if not store.has(name):
+            continue
+        path = getattr(store, name)
+        df = spark.read.parquet(path)
+        if df.where(F.col("doc_id") >= offset).limit(1).count() > 0:
+            _commit_table(df.where(F.col("doc_id") < offset), path)
+    if store.has("segments"):
+        segs = spark.read.parquet(store.segments)
+        bad_shards = [
+            r["shard"]
+            for r in segs.where(F.col("first_doc") >= offset)
+            .select("shard").distinct().collect()
+        ]
+        for s in bad_shards:
+            sdir = os.path.join(store.segments, f"shard={s}")
+            kept = spark.read.parquet(sdir).where(
+                F.col("first_doc") < offset
+            )
+            if kept.limit(1).count() == 0:
+                # shard opened by the crashed append itself
+                shutil.rmtree(sdir)
+            else:
+                _commit_table(kept, sdir)
+        if bad_shards:
+            spark.catalog.refreshByPath(store.segments)
+    # stats recompute from the rolled-back postings (the crashed append
+    # may have refreshed them after its postings write)
+    postings = spark.read.parquet(store.postings)
+    _commit_table(build_doc_stats(postings), store.doc_stats)
+    _commit_table(
+        corpus_stats(spark.read.parquet(store.doc_stats)), store.corpus
+    )
+    _commit_table(
+        build_term_stats(
+            postings, min_df=meta["min_df"],
+            corpus=spark.read.parquet(store.corpus),
+        ),
+        store.term_stats,
+    )
+    for _, row in open_intents.iterrows():
+        _append_lineage(
+            store.root,
+            dict(stage="append_rollback",
+                 partition_id=row["partition_id"],
+                 input_fingerprint=row["input_fingerprint"],
+                 status="done", started_ts=t0, finished_ts=time.time(),
+                 rows_out=-1, bytes_out=-1,
+                 wall_ms=int((time.time() - t0) * 1000)),
+        )
+
+
 def append_pages(
-    spark: SparkSession, store: IndexStore, new_pages: DataFrame
+    spark: SparkSession, store: IndexStore, new_pages: DataFrame,
+    fail_after: Optional[str] = None,
 ) -> dict:
     """Log-structured incremental index append (reference analog: the
     30-min cron batches + watermark refresh, scripts/runscraper.sh +
@@ -371,18 +461,33 @@ def append_pages(
       pinned doc ranges (meta.json shard_size) stay valid — their blocks
       append to the top shard directory and open new ones,
     * already-stored urls are dropped (anti-join on doc_map),
-    * postings/doc_map grow by parquet append; the global stats tables
-      (doc_stats, corpus, term_stats) are recomputed — cheap aggregates,
-      no re-tokenize of old docs,
+    * postings/doc_map grow by parquet append — and so does the
+      positions table when the store was built ``with_positions=True``,
+      so exact-phrase results include appended docs immediately,
+    * the global stats tables (doc_stats, corpus, term_stats) are
+      recomputed — cheap aggregates, no re-tokenize of old docs,
     * delta segments are built ONLY from the new docs' postings, with
       the UPDATED global idf. Blocks written in earlier batches keep
       their build-time idf/block_max until :func:`rebuild_segments` —
       the same freshness window the reference accepts between model
       rebuilds (builder.py:565-592). After a rebuild, ranking is exact.
 
-    Returns {"new_docs": int, "new_blocks": int}.
+    Crash safety: the parquet-sandbox append is several writes, not one
+    transaction (on Iceberg it is one multi-table commit). An
+    ``append_intent`` lineage row recording the id offset is committed
+    BEFORE the first table write, and resolved by the final ``append``
+    row. :func:`_reconcile_appends` runs first on every append: any
+    unresolved intent's rows (doc_id >= its offset) are rolled back
+    from doc_map/postings/positions and the touched segment shards, and
+    the stats tables are recomputed — so a crash mid-append never
+    leaves urls committed in doc_map that the anti-join would silently
+    skip forever with no postings behind them.
+
+    Returns ``{"new_docs": int, "new_blocks": int}`` — new_blocks is
+    the DELTA segment block count written by this append.
     """
     meta = read_store_meta(store)
+    _reconcile_appends(spark, store, meta)
     doc_map = spark.read.parquet(store.doc_map)
     # id offset from BOTH tables' maxima: the parquet-sandbox append is
     # not one transaction across tables (on Iceberg it is — the commit
@@ -418,8 +523,26 @@ def append_pages(
         if n_new == 0:
             return {"new_docs": 0, "new_blocks": 0}
         t0 = time.time()
+        intent_id = uuid.uuid4().hex[:12]
+        _append_lineage(
+            store.root,
+            dict(stage="append_intent", partition_id=intent_id,
+                 input_fingerprint=f"offset={offset}", status="open",
+                 started_ts=t0, finished_ts=-1.0, rows_out=n_new,
+                 bytes_out=-1, wall_ms=-1),
+        )
         new_docs.write.mode("append").parquet(store.doc_map)
         spark.catalog.refreshByPath(store.doc_map)
+        if fail_after == "doc_map":
+            raise RuntimeError("injected append failure after doc_map")
+
+        if store.has("positions"):
+            from ..operators.phrase import positional_postings
+
+            positional_postings(
+                new_docs.select("doc_id", "text")
+            ).write.mode("append").parquet(store.positions)
+            spark.catalog.refreshByPath(store.positions)
 
         vocab = spark.createDataFrame(vocabulary()[["stem", "cat"]])
         tokens = tokenize_marked_text(new_docs.select("doc_id", "text"), vocab)
@@ -429,6 +552,8 @@ def append_pages(
         new_postings.count()
         new_postings.write.mode("append").parquet(store.postings)
         spark.catalog.refreshByPath(store.postings)
+        if fail_after == "postings":
+            raise RuntimeError("injected append failure after postings")
 
         # global stats refresh: aggregates over the grown postings table
         postings = spark.read.parquet(store.postings)
@@ -442,19 +567,25 @@ def append_pages(
         )
         term_stats = spark.read.parquet(store.term_stats)
 
+        from pyspark import StorageLevel as _SL
+
         delta = build_segments(
             new_postings, term_stats, doc_stats, corpus,
             n_shards=meta["n_shards"], block_size=meta["block_size"],
             shard_size=meta["shard_size"],
-        )
+        ).persist(_SL.DISK_ONLY)
+        n_blocks = delta.count()
         delta.write.mode("append").partitionBy("shard").parquet(
             store.segments
         )
+        delta.unpersist()
         spark.catalog.refreshByPath(store.segments)
-        n_blocks = spark.read.parquet(store.segments).count()
+        if fail_after == "segments":
+            raise RuntimeError("injected append failure after segments")
         _append_lineage(
             store.root,
-            dict(stage="append", partition_id="-", input_fingerprint="pages",
+            dict(stage="append", partition_id=intent_id,
+                 input_fingerprint="pages",
                  status="done", started_ts=t0, finished_ts=time.time(),
                  rows_out=n_new, bytes_out=_dir_bytes(store.segments),
                  wall_ms=int((time.time() - t0) * 1000)),

@@ -116,3 +116,29 @@ def test_bm25_exchange_budget(spark, docs):
     n_exchange = plan.count(") Exchange")
     assert n_exchange <= 12, f"{n_exchange} exchanges\n{plan}"
     assert "BroadcastHashJoin" in plan  # term stats + corpus broadcast
+
+
+def test_segment_encode_has_no_single_partition_exchange(spark, docs):
+    """Term-id assignment must never funnel the vocabulary through one
+    task (round-2: row_number() OVER (ORDER BY term) planned an
+    Exchange SinglePartition; a df-pruned Common-Crawl vocabulary is
+    still 10^8+ terms). The whole encode plan must be free of
+    single-partition exchanges."""
+    from greynirserver_spark.operators.postings import (
+        build_doc_stats,
+        build_term_stats,
+        corpus_stats,
+    )
+    from greynirserver_spark.operators.segments import build_segments
+
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
+    )
+    postings = build_postings(toks.select("doc_id", "term"))
+    doc_stats = build_doc_stats(postings)
+    corpus = corpus_stats(doc_stats)
+    term_stats = build_term_stats(postings, min_df=3, corpus=corpus)
+    segs = build_segments(postings, term_stats, doc_stats, corpus,
+                          n_shards=4, block_size=32)
+    plan = _plan(segs)
+    assert "Exchange SinglePartition" not in plan, plan

@@ -119,7 +119,7 @@ def test_clean_corpus_near_dup(spark):
 
 def test_bigram_pmi_values(spark):
     """PMI on a tiny corpus with hand-computed values: 'a b' occurs 6 of
-    11 pair positions; p(a)=6/17, p(b)=6/17 over 17 tokens."""
+    15 adjacent pair positions; p(a)=6/17, p(b)=6/17 over 17 tokens."""
     import math
 
     from greynirserver_spark.operators.analytics import bigram_pmi
@@ -130,8 +130,8 @@ def test_bigram_pmi_values(spark):
     )
     rows = bigram_pmi(docs, min_freq=5, limit=10).collect()
     assert [(r.w1, r.w2, r.freq) for r in rows] == [("a", "b", 6)]
-    # n_pair counts only pairs with freq>=5 (the 'a b' pair itself)
-    want = round(math.log((6 / 6) / ((6 / 17) * (6 / 17))), 4)
+    # n_pair counts ALL adjacent pairs (15), not just the freq>=5 ones
+    want = round(math.log((6 / 15) / ((6 / 17) * (6 / 17))), 4)
     assert abs(rows[0].pmi - want) < 1e-9
 
 
