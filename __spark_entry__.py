@@ -426,9 +426,14 @@ WITH RECURSIVE tokarr AS (
     FROM sel s JOIN cand c
       ON c.doc_id = s.doc_id AND c.pos >= s.pos + s.n
   ) WHERE rk = 1
-), fm AS (
-  SELECT doc_id, entity_id, entity, wlast AS token, min(pos) AS fpos
+), fm0 AS (
+  SELECT doc_id, entity_id, entity, wlast, min(pos) AS fpos
   FROM sel WHERE n >= 2 GROUP BY 1, 2, 3, 4
+), fm AS (
+  -- suffix-folding: bare surname plus '-s'/'-ar' genitive variants
+  SELECT doc_id, entity_id, entity, fpos,
+         unnest([wlast, wlast || 's', wlast || 'ar']) AS token
+  FROM fm0
 ), covered AS (
   SELECT doc_id, unnest(range(pos, pos + n)) AS pos FROM sel
 ), br AS (

@@ -145,12 +145,27 @@ def recognize_entities(
         return base
 
     # last-word back-reference: bare <wlast> after the first accepted
-    # mention of a multi-token entity, outside any accepted span
+    # mention of a multi-token entity, outside any accepted span.
+    # Possessive/case variants resolve too: the reference folds 'Jóns'
+    # back to Jón via BÍN case lookup (nertokenizer.py:173-232); here a
+    # small suffix-folding dimension expands each surname to its bare
+    # form plus the productive '-s'/'-ar' genitives, so "ræða Jóns" still
+    # back-references "Jón Einarsson". Explode happens on FIRST-MENTION
+    # rows (a handful per doc), never on the token table.
     first_mention = (
         sel.where(F.col("n") >= 2)
         .groupBy("doc_id", "entity_id", "entity", "wlast")
         .agg(F.min("pos").alias("fpos"))
-        .withColumnRenamed("wlast", "token")
+        .select(
+            "doc_id", "entity_id", "entity", "fpos",
+            F.explode(
+                F.array(
+                    F.col("wlast"),
+                    F.concat(F.col("wlast"), F.lit("s")),
+                    F.concat(F.col("wlast"), F.lit("ar")),
+                )
+            ).alias("token"),
+        )
     )
     covered = sel.select(
         "doc_id",

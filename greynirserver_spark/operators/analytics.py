@@ -280,37 +280,77 @@ def word_trigrams(docs: DataFrame, limit: int = 100) -> DataFrame:
     )
 
 
-def merge_trigram_counts(spark, store_path: str, docs: DataFrame) -> int:
+def merge_trigram_counts(
+    spark, store_path: str, docs: DataFrame, n_buckets: int = 64
+) -> int:
     """Accumulate a batch's trigram counts into a persistent store —
     the reference's per-row ``ON CONFLICT (t1,t2,t3) DO UPDATE SET
     frequency = frequency + new`` (db/models.py:586-609) as one
-    append-then-MERGE: batch counts union the store, one sum aggregate,
-    atomic swap. On Iceberg this is ``MERGE INTO trigrams USING batch
-    ON trigram WHEN MATCHED THEN UPDATE SET freq = t.freq + b.freq``.
-    Returns the number of distinct trigrams in the merged store."""
+    append-then-MERGE. On Iceberg this is ``MERGE INTO trigrams USING
+    batch ON trigram WHEN MATCHED THEN UPDATE SET freq = t.freq +
+    b.freq``.
+
+    The store is partitioned into trigram-hash buckets (``bkt=N``
+    directories, mirroring the pages upsert, sources/pages.py): the
+    merge reads, sums and rewrites ONLY buckets present in the batch —
+    an incremental cron batch with a bounded trigram set costs
+    O(batch + touched buckets), never O(store) (round-2: the
+    whole-store union+overwrite was flagged as the wrong scale path).
+    Each touched bucket swaps atomically; untouched buckets are not
+    read, not rewritten, not even stat'd.
+
+    Returns the number of distinct trigrams in the merged store.
+    """
     import os
     import shutil
     import uuid
 
-    batch = word_trigram_counts(docs)
+    batch = word_trigram_counts(docs).withColumn(
+        "bkt", F.pmod(F.xxhash64("trigram"), F.lit(n_buckets)).cast("int")
+    )
+    touched = sorted(
+        r["bkt"] for r in batch.select("bkt").distinct().collect()
+    )
+
+    def bdir(root: str, b: int) -> str:
+        return os.path.join(root, f"bkt={b}")
+
     if os.path.isdir(store_path):
-        existing = spark.read.parquet(store_path)
-        merged = (
-            existing.unionByName(batch)
-            .groupBy("trigram")
-            .agg(F.sum("freq").cast("long").alias("freq"))
-        )
+        existing_dirs = [
+            b for b in touched if os.path.isdir(bdir(store_path, b))
+        ]
+        if existing_dirs:
+            existing = spark.read.parquet(
+                *[bdir(store_path, b) for b in existing_dirs]
+            ).withColumn(
+                "bkt",
+                F.pmod(F.xxhash64("trigram"), F.lit(n_buckets)).cast("int"),
+            )
+            merged = (
+                existing.unionByName(batch)
+                .groupBy("trigram", "bkt")
+                .agg(F.sum("freq").cast("long").alias("freq"))
+                .select("trigram", "freq", "bkt")
+            )
+        else:
+            merged = batch
     else:
+        os.makedirs(store_path, exist_ok=True)
         merged = batch
     staging = store_path + f".staging-{uuid.uuid4().hex[:8]}"
-    merged.write.mode("overwrite").parquet(staging)
-    if os.path.isdir(store_path):
-        old = store_path + ".old"
-        os.rename(store_path, old)
-        os.rename(staging, store_path)
-        shutil.rmtree(old, ignore_errors=True)
-    else:
-        os.rename(staging, store_path)
+    merged.write.partitionBy("bkt").mode("overwrite").parquet(staging)
+    for b in touched:
+        src = bdir(staging, b)
+        dst = bdir(store_path, b)
+        if not os.path.isdir(src):
+            continue
+        tmp_old = dst + ".old"
+        if os.path.isdir(dst):
+            os.rename(dst, tmp_old)
+        os.rename(src, dst)
+        shutil.rmtree(tmp_old, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+    spark.catalog.refreshByPath(store_path)
     return spark.read.parquet(store_path).count()
 
 

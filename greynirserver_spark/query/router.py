@@ -23,6 +23,8 @@ reference's result caps (top-20 answers, <=5 urls — builtin.py:83-94).
 from __future__ import annotations
 
 import re
+import time
+from collections import OrderedDict
 from dataclasses import dataclass, field
 from typing import List, Optional
 
@@ -32,6 +34,7 @@ from ..operators.wand import wand_topk
 from ..plans.lineage import IndexStore
 from ..plans.pipeline import query_to_terms
 from ..tokenization import PY_TOKEN_SPLIT_RE
+from .searcher import _segments_version
 
 __all__ = ["Router", "Answer"]
 
@@ -57,23 +60,85 @@ class Answer:
 
 
 class Router:
-    """Routes query strings against a persisted :class:`IndexStore`."""
+    """Routes query strings against a persisted :class:`IndexStore`.
 
-    def __init__(self, spark: SparkSession, store: IndexStore) -> None:
+    ``execute`` carries a TTL result cache with snapshot invalidation at
+    the dispatch layer, mirroring the reference's query cache keyed on
+    question + expiry (queries/__init__.py:1295-1324): every answer is
+    small by construction (reference result caps), so the materialized
+    rows are cached and replayed as a local relation — a repeated query
+    within the TTL costs no Spark job. Any segment-snapshot change (an
+    append or rebuild commit) clears the cache and re-opens the store
+    tables, so a re-committed index never serves stale answers; the
+    snapshot stat itself is throttled to once per
+    ``version_check_interval_s``.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: IndexStore,
+        cache_size: int = 256,
+        cache_ttl_s: float = 300.0,
+        version_check_interval_s: float = 1.0,
+    ) -> None:
         self.spark = spark
         self.store = store
-        self.segments = store.load_segments(spark)
-        self.corpus = store.load(spark, "corpus")
-        self.postings = store.load(spark, "postings")
-        self.doc_map = store.load(spark, "doc_map")
+        self._cache_size = cache_size
+        self._cache_ttl_s = cache_ttl_s
+        self._version_check_interval_s = version_check_interval_s
+        self._last_version_check = float("-inf")
+        self._cache: "OrderedDict" = OrderedDict()
+        self._open()
+
+    def _open(self) -> None:
+        self.segments = self.store.load_segments(self.spark)
+        self.corpus = self.store.load(self.spark, "corpus")
+        self.postings = self.store.load(self.spark, "postings")
+        self.doc_map = self.store.load(self.spark, "doc_map")
+        self._version = _segments_version(self.store)
+
+    def _check_snapshot(self) -> None:
+        now = time.monotonic()
+        if now - self._last_version_check < self._version_check_interval_s:
+            return
+        self._last_version_check = now
+        v = _segments_version(self.store)
+        if v != self._version:
+            self._cache.clear()
+            self._open()
 
     # ---------------------------------------------------------- dispatch
 
     def execute(self, qtext: str, k: int = 10) -> Answer:
         """Preprocess (strip trailing punctuation, reference
-        queries/__init__.py:393-408) and dispatch by plain-text pattern;
-        default qtype is Search."""
+        queries/__init__.py:393-408), serve from the TTL cache when
+        fresh, else dispatch by plain-text pattern (default qtype is
+        Search) and cache the materialized answer."""
         q = qtext.strip().rstrip("?!.").strip()
+        self._check_snapshot()
+        key = (q.lower(), k)
+        now = time.monotonic()
+        hit = self._cache.get(key)
+        if hit is not None:
+            inserted, qtype, terms, schema, rows = hit
+            if now - inserted <= self._cache_ttl_s:
+                self._cache.move_to_end(key)
+                return Answer(
+                    qtype, self.spark.createDataFrame(rows, schema), terms
+                )
+            del self._cache[key]
+        ans = self._dispatch(q, k)
+        rows = ans.df.collect()
+        schema = ans.df.schema
+        self._cache[key] = (now, ans.qtype, ans.terms, schema, rows)
+        if len(self._cache) > self._cache_size:
+            self._cache.popitem(last=False)
+        return Answer(
+            ans.qtype, self.spark.createDataFrame(rows, schema), ans.terms
+        )
+
+    def _dispatch(self, q: str, k: int) -> Answer:
         if m := _RELATED_RE.match(q):
             return Answer("RelatedWords", self.related(m.group(1)))
         if m := _FREQ_RE.match(q):

@@ -68,12 +68,15 @@ class Searcher:
         cache_size: int = 256,
         cache_ttl_s: float = 300.0,
         max_fetch_blocks: int = 20_000,
+        version_check_interval_s: float = 1.0,
     ) -> None:
         self.spark = spark
         self.store = store
         self._cache_size = cache_size
         self._cache_ttl_s = cache_ttl_s
         self._max_fetch_blocks = max_fetch_blocks
+        self._version_check_interval_s = version_check_interval_s
+        self._last_version_check = float("-inf")
         self._cache: OrderedDict[Tuple, Tuple[float, List[Tuple[int, float]]]]
         self._cache = OrderedDict()
         self._open()
@@ -87,6 +90,13 @@ class Searcher:
         self._version = _segments_version(self.store)
 
     def _check_snapshot(self) -> None:
+        # throttled: stat-scanning the segment directory per QUERY is a
+        # metadata-service hot-spot at scale; the version is trusted for
+        # version_check_interval_s (staleness bound, reference-style)
+        now = time.monotonic()
+        if now - self._last_version_check < self._version_check_interval_s:
+            return
+        self._last_version_check = now
         v = _segments_version(self.store)
         if v != self._version:
             self._cache.clear()

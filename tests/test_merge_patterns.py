@@ -79,3 +79,40 @@ def test_upsert_pages_rewrites_only_touched_buckets(spark, tmp_path):
         assert after[b] == before[b], f"bucket {b} was rewritten"
     # at most 3 buckets may change for 3 urls
     assert len(changed) <= 3
+
+
+def test_trigram_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """The trigram store mirrors the pages upsert: hash(trigram)
+    buckets, and an incremental batch rewrites only the buckets its
+    trigrams hash into (round-2: the merge was O(store) per batch)."""
+    import time
+
+    store = str(tmp_path / "trigrams_bkt")
+    base = spark.createDataFrame(
+        [(i, f"orð{i} miðja{i} endir{i} auka{i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    merge_trigram_counts(spark, store, base, n_buckets=16)
+    before = _bucket_mtimes(store)
+    assert len(before) > 4
+
+    time.sleep(1.1)
+    batch = spark.createDataFrame(
+        [(100, "orð0 miðja0 endir0")], "doc_id long, text string"
+    )
+    merge_trigram_counts(spark, store, batch, n_buckets=16)
+    after = _bucket_mtimes(store)
+
+    changed = {b for b in after if after[b] != before.get(b)}
+    untouched = set(before) - changed
+    assert untouched, "some buckets must be untouched"
+    for b in untouched:
+        assert after[b] == before[b], f"bucket {b} was rewritten"
+    # one trigram -> exactly one bucket rewritten
+    assert len(changed) == 1
+
+    got = {r.trigram: r.freq for r in spark.read.parquet(store).collect()}
+    assert got["orð0 miðja0 endir0"] == 2  # accumulated across batches
+    full = base.unionByName(batch)
+    want = {r.trigram: r.freq for r in word_trigram_counts(full).collect()}
+    assert {k: v for k, v in got.items()} == want

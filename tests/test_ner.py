@@ -103,3 +103,33 @@ def test_last_word_backref(spark):
     # doc 3: e1 at 0, e9 at 3; pos 3-4 covered by e9, no backref row there
     assert (3, 0, "e1") in got and (3, 3, "e9") in got
     assert sum(1 for d, _, _ in got if d == 3) == 2
+
+
+def test_genitive_backref_variants(spark):
+    """Possessive/case-variant surname back-reference: the reference
+    resolves 'Jóns' -> Jón via BÍN case folding (nertokenizer.py:
+    173-232); the suffix-folding dim covers the productive '-s'/'-ar'
+    genitives."""
+    ents = [("e1", "Jón Einarsson"), ("e2", "Hildur Knútsdóttir")]
+    docs = spark.createDataFrame(
+        [
+            # '-s' genitive of the surname back-references the entity
+            (1, "Jón Einarsson mætti. Ræða Einarssons var löng."),
+            # '-ar' genitive
+            (2, "Hildur Knútsdóttir skrifaði. Bók Knútsdóttirar kom út."),
+            # genitive BEFORE the full mention: no backref
+            (3, "Ræða Einarssons. Jón Einarsson mætti svo."),
+            # exact bare surname still works alongside the variants
+            (4, "Jón Einarsson kom. Einarsson fór."),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.pos, r.entity_id)
+        for r in recognize_entities(docs, ents).collect()
+    }
+    assert (1, 0, "e1") in got and (1, 4, "e1") in got
+    assert (2, 0, "e2") in got and (2, 4, "e2") in got
+    assert not any(d == 3 and p == 1 for d, p, _ in got)
+    assert (3, 2, "e1") in got
+    assert (4, 0, "e1") in got and (4, 3, "e1") in got

@@ -153,3 +153,71 @@ def test_tfidf_keywords_shape(spark):
         # rank order follows tfidf desc
         s = sorted(doc_rows, key=lambda r: r.rk)
         assert s[0].tfidf >= s[1].tfidf
+
+
+def test_router_cache_hit_and_append_invalidation(spark, tmp_path):
+    """Router.execute caches materialized answers (TTL + snapshot
+    invalidation, reference queries/__init__.py:1295-1324); an
+    append_pages commit must invalidate so the cache never serves a
+    pre-append answer."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from greynirserver_spark.corpus import generate_pages
+    from greynirserver_spark.plans.lineage import append_pages
+
+    pages = generate_pages(spark, 300).cache()
+    first = pages.where(F.xxhash64("url") % 4 != 0)
+    second = pages.where(F.xxhash64("url") % 4 == 0)
+    store = build_index_checkpointed(
+        spark, first, str(tmp_path / "rc"), n_shards=4
+    )
+    router = Router(spark, store, version_check_interval_s=0.0)
+
+    q = " ".join(indexable_stems_by_rank(2))
+    a1 = router.execute(q, k=20)
+    assert len(router._cache) == 1
+    # cache hit: same rows, no recompute (local relation replay)
+    a2 = router.execute(q, k=20)
+    assert [tuple(r) for r in a2.df.collect()] == [
+        tuple(r) for r in a1.df.collect()
+    ]
+    assert len(router._cache) == 1
+
+    # "hversu margar greinar um X" over the pre-append store
+    c1 = router.execute(f"article count for {q}").df.first()["n_docs"]
+
+    append_pages(spark, store, second)
+    # snapshot changed -> cache cleared, fresh answers include appends
+    c2 = router.execute(f"article count for {q}").df.first()["n_docs"]
+    assert c2 > c1
+    a3 = router.execute(q, k=20)
+    # appended docs are eligible: result sets differ or scores moved
+    assert [tuple(r) for r in a3.df.collect()] != [
+        tuple(r) for r in a1.df.collect()
+    ]
+
+
+def test_router_cache_ttl_expiry(spark, tmp_path):
+    import time as _time
+
+    pages_pdf = generate_pages_pdf(150)
+    store = build_index_checkpointed(
+        spark, spark.createDataFrame(pages_pdf), str(tmp_path / "ttl"),
+        n_shards=4,
+    )
+    router = Router(spark, store, cache_ttl_s=0.2)
+    q = " ".join(indexable_stems_by_rank(2))
+    first = router.execute(q, k=10)
+    key = (q.lower(), 10)
+    assert key in router._cache
+    _time.sleep(0.3)
+    t0 = _time.monotonic()
+    again = router.execute(q, k=10)
+    assert [tuple(r) for r in again.df.collect()] == [
+        tuple(r) for r in first.df.collect()
+    ]
+    # the entry was re-inserted after expiry, not served stale
+    inserted = router._cache[key][0]
+    assert inserted >= t0

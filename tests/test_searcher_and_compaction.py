@@ -104,7 +104,9 @@ def test_searcher_ttl_expiry(spark, store):
 
 
 def test_searcher_snapshot_invalidation(spark, store, tmp_path):
-    searcher = Searcher(spark, store)
+    # interval 0: check the snapshot on every query (the default trusts
+    # the version for 1s to keep dir-stats off the per-query path)
+    searcher = Searcher(spark, store, version_check_interval_s=0.0)
     terms = query_to_terms(" ".join(indexable_stems_by_rank(2)))
     searcher.search(terms, 10)
     assert len(searcher._cache) == 1
