@@ -517,6 +517,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_topk_positional": lambda s, d: P.phrase_topk_positional(
             P.positional_postings(_docs(s, d)), s, _PHRASE, k=20
         ),
+        # same phrase served from COMPRESSED positional segment blocks
+        # (delta+varint docs/poslens/positions, operators/posindex.py)
+        "phrase_topk_segments": lambda s, d: __import__(
+            "greynirserver_spark.operators.posindex", fromlist=["x"]
+        ).phrase_topk_positional_segments(
+            __import__(
+                "greynirserver_spark.operators.posindex", fromlist=["x"]
+            ).build_positional_segments(
+                P.positional_postings(_docs(s, d)), n_shards=8,
+                block_size=64,
+            ),
+            s, _PHRASE, k=20,
+        ),
         # keyword-in-context snippet around the first hit per doc
         "kwic_snippets": lambda s, d: P.kwic_snippets(
             _docs(s, d), "spark", window=4, k=20
@@ -651,6 +664,7 @@ FROM sc ORDER BY score DESC, doc_id ASC LIMIT 20
 """,
         "phrase_topk": _PHRASE_SQL,
         "phrase_topk_positional": _PHRASE_SQL,
+        "phrase_topk_segments": _PHRASE_SQL,
         "kwic_snippets": f"""
 WITH tokarr AS (
   SELECT doc_id,

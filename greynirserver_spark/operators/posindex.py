@@ -1,0 +1,371 @@
+"""Compressed positional posting segments: exact-phrase serving at
+segment-store cost.
+
+Round-2 state stored positions as raw ``array<long>`` parquet, so a
+phrase query scanned far more bytes than the equivalent BM25 query.
+This module extends the segment codec (operators/segments.py — the
+reference's ``words`` store re-imagined as delta+varint blocks,
+db/models.py:461-496) to positions:
+
+Per (shard, term), docID-sorted blocks of ``block_size`` docs:
+
+    term, shard, block_id, n_docs, first_doc, last_doc,
+    docs      (delta+varint doc ids, reset at block start),
+    poslens   (varint: #positions per doc),
+    positions (varint: per-doc delta-coded token positions — the first
+               position of each doc absolute, the rest gaps)
+
+Gap-coding positions is the classic IR win: in-document token gaps are
+small, so most gaps fit one varint byte. Shards are the SAME doc-range
+buckets as the BM25 segments (meta.json ``shard_size``), so incremental
+appends land delta blocks in consistent shard directories and the
+phrase scan prunes on ``term`` (parquet row-group stats; files written
+term-sorted) and ``shard`` (directory partition).
+
+Encoding is whole-batch NumPy under ``mapInPandas`` (same carry
+discipline as the BM25 encoder); the query path decodes only matched
+blocks and aligns offsets vectorized (no per-position Python).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .segments import varint_decode, varint_encode_with_lengths
+
+__all__ = [
+    "build_positional_segments",
+    "decode_positional_block",
+    "phrase_topk_positional_segments",
+    "POS_SEGMENT_SCHEMA",
+]
+
+POS_SEGMENT_SCHEMA = (
+    "term string, shard int, block_id int, n_docs int, "
+    "first_doc long, last_doc long, docs binary, poslens binary, "
+    "positions binary"
+)
+POS_SEGMENT_COLS = [c.split()[0] for c in POS_SEGMENT_SCHEMA.split(", ")]
+_POS_ID_SCHEMA = POS_SEGMENT_SCHEMA.replace("term string", "term_id long")
+
+
+def build_positional_segments(
+    pospostings: DataFrame,
+    n_shards: int = 32,
+    block_size: int = 128,
+    shard_size: int | None = None,
+) -> DataFrame:
+    """positional_postings(term, doc_id, tf, positions) -> compressed
+    positional blocks.
+
+    Plan shape mirrors ``build_segments``: terms dictionary-encoded to
+    int64 BEFORE the Arrow boundary (strings per posting row dominated
+    the BM25 encode; positions rows are equally granular), one shuffle
+    to doc-range shards, in-partition sort, whole-batch vectorized
+    encoder. Unlike the BM25 store, NO df-pruning: rare terms matter
+    most for phrases.
+    """
+    from .postings import assign_doc_ids
+
+    if shard_size is None:
+        max_doc = pospostings.agg(F.max("doc_id")).collect()[0][0]
+        n_docs = int(max_doc) + 1 if max_doc is not None else 1
+        shard_size = max(1, -(-n_docs // n_shards))
+
+    tdict = assign_doc_ids(
+        pospostings.select("term").distinct(), "term"
+    ).withColumnRenamed("doc_id", "term_id")
+
+    enriched = (
+        pospostings.join(tdict, "term")
+        .select(
+            "term_id",
+            "doc_id",
+            "positions",
+            (F.col("doc_id") / shard_size).cast("int").alias("shard"),
+        )
+    )
+
+    def _encode_batch(b: pd.DataFrame) -> pd.DataFrame:
+        shard = b["shard"].to_numpy(np.int64)
+        terms = b["term_id"].to_numpy(np.int64)
+        doc = b["doc_id"].to_numpy(np.int64)
+        plists = [np.asarray(p, dtype=np.int64) for p in b["positions"]]
+        lens = np.fromiter((len(p) for p in plists), dtype=np.int64,
+                           count=len(plists))
+        n = len(b)
+
+        grp_change = np.empty(n, dtype=bool)
+        grp_change[0] = True
+        grp_change[1:] = (terms[1:] != terms[:-1]) | (shard[1:] != shard[:-1])
+        grp_starts = np.nonzero(grp_change)[0]
+        grp_id = np.cumsum(grp_change) - 1
+        pos_in_grp = np.arange(n) - grp_starts[grp_id]
+        seg_change = (pos_in_grp % block_size) == 0
+        seg_starts = np.nonzero(seg_change)[0]
+        seg_ends = np.append(seg_starts[1:], n) - 1
+
+        deltas = doc.copy()
+        deltas[1:] -= doc[:-1]
+        deltas[seg_starts] = doc[seg_starts]
+
+        flat = (np.concatenate(plists) if plists
+                else np.empty(0, dtype=np.int64))
+        row_flat_starts = np.concatenate(([0], np.cumsum(lens)))
+        pdeltas = flat.copy()
+        if flat.size:
+            pdeltas[1:] -= flat[:-1]
+            nz = row_flat_starts[:-1][lens > 0]
+            pdeltas[nz] = flat[nz]  # reset: first position per doc absolute
+
+        d_buf, d_len = varint_encode_with_lengths(deltas.astype(np.uint64))
+        l_buf, l_len = varint_encode_with_lengths(lens.astype(np.uint64))
+        p_buf, p_len = varint_encode_with_lengths(pdeltas.astype(np.uint64))
+        d_off = np.concatenate(([0], np.cumsum(d_len)))
+        l_off = np.concatenate(([0], np.cumsum(l_len)))
+        p_voff = np.concatenate(([0], np.cumsum(p_len)))
+        # byte offset of each ROW's position run = offset of its first value
+        p_row_off = p_voff[row_flat_starts]
+
+        d_bytes = d_buf.tobytes()
+        l_bytes = l_buf.tobytes()
+        p_bytes = p_buf.tobytes()
+
+        return pd.DataFrame(
+            {
+                "term_id": terms[seg_starts],
+                "shard": shard[seg_starts].astype(np.int32),
+                "block_id": (pos_in_grp[seg_starts] // block_size).astype(
+                    np.int32
+                ),
+                "n_docs": (seg_ends - seg_starts + 1).astype(np.int32),
+                "first_doc": doc[seg_starts],
+                "last_doc": doc[seg_ends],
+                "docs": [
+                    d_bytes[d_off[s]: d_off[e + 1]]
+                    for s, e in zip(seg_starts, seg_ends)
+                ],
+                "poslens": [
+                    l_bytes[l_off[s]: l_off[e + 1]]
+                    for s, e in zip(seg_starts, seg_ends)
+                ],
+                "positions": [
+                    p_bytes[p_row_off[s]: p_row_off[e + 1]]
+                    for s, e in zip(seg_starts, seg_ends)
+                ],
+            }
+        )
+
+    def encode_partition(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for b in batches:
+            if carry is not None and len(carry):
+                b = pd.concat([carry, b], ignore_index=True)
+            if not len(b):
+                continue
+            tail = (b["shard"] == b["shard"].iloc[-1]) & (
+                b["term_id"] == b["term_id"].iloc[-1]
+            )
+            carry = b.loc[tail]
+            head = b.loc[~tail]
+            if len(head):
+                yield _encode_batch(head.reset_index(drop=True))
+        if carry is not None and len(carry):
+            yield _encode_batch(carry.reset_index(drop=True))
+
+    encoded = (
+        enriched.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "term_id", "doc_id")
+        .mapInPandas(encode_partition, _POS_ID_SCHEMA)
+    )
+    return (
+        encoded.join(F.broadcast(tdict.select("term_id", "term")), "term_id")
+        .select(*POS_SEGMENT_COLS)
+    )
+
+
+def decode_positional_block(docs_b, poslens_b, positions_b):
+    """-> (doc_ids int64[], poslens int64[], flat_positions int64[]):
+    flat_positions holds each doc's absolute token positions
+    back-to-back (split points = cumsum(poslens))."""
+    doc = np.cumsum(varint_decode(docs_b).astype(np.int64))
+    lens = varint_decode(poslens_b).astype(np.int64)
+    pdeltas = varint_decode(positions_b).astype(np.int64)
+    if pdeltas.size == 0:
+        return doc, lens, pdeltas
+    total = np.cumsum(pdeltas)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    nz = starts[lens > 0]
+    base = total[nz] - pdeltas[nz]
+    rep = np.repeat(base, lens[lens > 0])
+    return doc, lens, total - rep
+
+
+def phrase_topk_positional_segments(
+    segments: DataFrame,
+    spark: SparkSession,
+    phrase: Sequence[str],
+    k: int = 20,
+) -> DataFrame:
+    """Exact consecutive-phrase top-k over COMPRESSED positional blocks
+    — rank-identical to :func:`operators.phrase.phrase_topk_positional`
+    over the raw table.
+
+    The ``term IN (phrase)`` filter prunes at the parquet scan (blocks
+    written term-sorted per file; shard dirs prune on the partition
+    column); each shard's matched blocks are decoded whole-batch and
+    offset-aligned in NumPy: every (term, offset) pair votes
+    ``position - offset`` for a phrase start, a (doc, start) with all
+    distinct offsets voting is one occurrence. Shards hold disjoint doc
+    ranges, so per-shard counts are final — no cross-shard merge.
+    """
+    words = [w.lower() for w in phrase]
+    n = len(words)
+    if n == 0:
+        raise ValueError("empty phrase")
+    pairs = [(w, o) for o, w in enumerate(words)]
+    uniq = sorted(set(words))
+
+    matched = segments.where(F.col("term").isin(uniq))
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0 or len(set(pdf["term"])) < len(set(words)):
+            return pd.DataFrame({"doc_id": [], "phrase_tf": []}).astype(
+                {"doc_id": "int64", "phrase_tf": "int64"}
+            )
+        # decode per term: docs repeated per position + absolute positions
+        per_term: dict = {}
+        for term, g in pdf.groupby("term", sort=False):
+            d_all, p_all = [], []
+            for r in g.itertuples(index=False):
+                doc, lens, flat = decode_positional_block(
+                    r.docs, r.poslens, r.positions
+                )
+                d_all.append(np.repeat(doc, lens))
+                p_all.append(flat)
+            per_term[term] = (np.concatenate(d_all), np.concatenate(p_all))
+        votes_d, votes_s, votes_p = [], [], []
+        for pi, (w, o) in enumerate(pairs):
+            d, p = per_term[w]
+            s = p - o
+            m = s >= 0
+            votes_d.append(d[m])
+            votes_s.append(s[m])
+            votes_p.append(np.full(int(m.sum()), pi, dtype=np.int64))
+        D = np.concatenate(votes_d)
+        S = np.concatenate(votes_s)
+        if D.size == 0:
+            return pd.DataFrame({"doc_id": [], "phrase_tf": []}).astype(
+                {"doc_id": "int64", "phrase_tf": "int64"}
+            )
+        # count distinct offsets per (doc, start): positions are unique
+        # within a (term, doc), so each pair votes a (doc, start) at
+        # most once — a plain group size equals the distinct-pair count
+        order = np.lexsort((S, D))
+        D, S = D[order], S[order]
+        change = np.empty(D.size, dtype=bool)
+        change[0] = True
+        change[1:] = (D[1:] != D[:-1]) | (S[1:] != S[:-1])
+        gstart = np.nonzero(change)[0]
+        gsize = np.diff(np.append(gstart, D.size))
+        full = gsize == n
+        hit_docs = D[gstart[full]]
+        udocs, cnts = np.unique(hit_docs, return_counts=True)
+        return pd.DataFrame(
+            {"doc_id": udocs.astype(np.int64),
+             "phrase_tf": cnts.astype(np.int64)}
+        )
+
+    hits = matched.groupBy("shard").applyInPandas(
+        score, "doc_id long, phrase_tf long"
+    )
+    return hits.orderBy(F.desc("phrase_tf"), F.asc("doc_id")).limit(k)
+
+
+def compact_positional_segments(
+    segments: DataFrame, block_size: int = 128
+) -> DataFrame:
+    """Re-pack append-fragmented positional blocks per (shard, term)
+    into full *block_size* blocks — the positional twin of
+    ``compact_segments``. Blocks are concatenated in doc order
+    (``first_doc``, NOT block_id: appends reuse block ids) and
+    re-encoded; the result decodes identically (tests assert it)."""
+
+    def compact_partition(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+
+        def emit(head: pd.DataFrame) -> pd.DataFrame:
+            rows: list = []
+            for (shard, term), g in head.groupby(
+                ["shard", "term"], sort=False
+            ):
+                g = g.sort_values("first_doc", kind="mergesort")
+                doc_l, len_l, pos_l = [], [], []
+                for r in g.itertuples(index=False):
+                    d, l, f = decode_positional_block(
+                        r.docs, r.poslens, r.positions
+                    )
+                    doc_l.append(d)
+                    len_l.append(l)
+                    pos_l.append(f)
+                doc = np.concatenate(doc_l)
+                if doc.size > 1 and not (doc[1:] > doc[:-1]).all():
+                    raise ValueError(
+                        "compact_positional_segments: overlapping doc "
+                        f"ranges in (shard={shard}, term={term!r})"
+                    )
+                lens = np.concatenate(len_l)
+                flat = np.concatenate(pos_l)
+                fstart = np.concatenate(([0], np.cumsum(lens)))
+                for b0 in range(0, doc.size, block_size):
+                    sl = slice(b0, min(b0 + block_size, doc.size))
+                    d = doc[sl]
+                    l = lens[sl]
+                    f = flat[fstart[sl.start]: fstart[sl.stop]]
+                    dd = d.copy()
+                    dd[1:] -= d[:-1]
+                    fd = f.copy()
+                    if f.size:
+                        fd[1:] -= f[:-1]
+                        st = np.concatenate(([0], np.cumsum(l)[:-1]))
+                        nz = st[l > 0]
+                        fd[nz] = f[nz]
+                    db, _ = varint_encode_with_lengths(dd.astype(np.uint64))
+                    lb, _ = varint_encode_with_lengths(l.astype(np.uint64))
+                    pb, _ = varint_encode_with_lengths(fd.astype(np.uint64))
+                    rows.append(
+                        (term, int(shard), b0 // block_size, int(d.size),
+                         int(d[0]), int(d[-1]), db.tobytes(), lb.tobytes(),
+                         pb.tobytes())
+                    )
+            return pd.DataFrame(rows, columns=POS_SEGMENT_COLS)
+
+        for b in batches:
+            if carry is not None and len(carry):
+                b = pd.concat([carry, b], ignore_index=True)
+            if not len(b):
+                continue
+            tail = (b["shard"] == b["shard"].iloc[-1]) & (
+                b["term"] == b["term"].iloc[-1]
+            )
+            carry = b.loc[tail]
+            head = b.loc[~tail]
+            if len(head):
+                yield emit(head.reset_index(drop=True))
+        if carry is not None and len(carry):
+            yield emit(carry.reset_index(drop=True))
+
+    return (
+        segments.repartition("shard")
+        .sortWithinPartitions("shard", "term", "first_doc")
+        .mapInPandas(compact_partition, POS_SEGMENT_SCHEMA)
+    )

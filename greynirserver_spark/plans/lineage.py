@@ -278,16 +278,6 @@ def build_index_checkpointed(
         b += _commit_table(tstats, store.term_stats)
         return spark.read.parquet(store.term_stats).count(), b
 
-    if with_positions:
-        def s_positions():
-            from ..operators.phrase import positional_postings
-
-            pos = positional_postings(docs.select("doc_id", "text"))
-            b = _commit_table(pos, store.positions)
-            return spark.read.parquet(store.positions).count(), b
-
-        stage("positions", s_positions)
-
     stage("stats", s_stats)
     term_stats = spark.read.parquet(store.term_stats)
     doc_stats = spark.read.parquet(store.doc_stats)
@@ -307,6 +297,34 @@ def build_index_checkpointed(
         with open(meta_path, "w") as fh:
             json.dump({"shard_size": shard_size, "n_shards": n_shards,
                        "block_size": block_size, "min_df": min_df}, fh)
+
+    if with_positions:
+        # positional blocks share the pinned doc-range shards, so the
+        # stage runs after meta.json is fixed; the store holds the
+        # COMPRESSED positional segment format (operators/posindex.py)
+        # — raw array<long> positions cost a phrase query far more scan
+        # bytes than the equivalent BM25 query paid
+        def s_positions():
+            from ..operators.phrase import positional_postings
+            from ..operators.posindex import build_positional_segments
+
+            pos = positional_postings(docs.select("doc_id", "text"))
+            psegs = build_positional_segments(
+                pos, n_shards=n_shards, block_size=block_size,
+                shard_size=shard_size,
+            ).repartition("shard").sortWithinPartitions("term", "block_id")
+            staging = store.positions + f".staging-{uuid.uuid4().hex[:8]}"
+            psegs.write.partitionBy("shard").mode("overwrite").parquet(
+                staging
+            )
+            if os.path.isdir(store.positions):
+                shutil.rmtree(store.positions)
+            os.rename(staging, store.positions)
+            spark.catalog.refreshByPath(store.positions)
+            n = spark.read.parquet(store.positions).count()
+            return n, _dir_bytes(store.positions)
+
+        stage("positions", s_positions)
 
     missing = [s for s in range(n_shards) if s not in done]
     if missing:
@@ -397,22 +415,28 @@ def _reconcile_appends(
         for fp in open_intents["input_fingerprint"]
     )
     t0 = time.time()
-    for name in ("doc_map", "postings", "positions"):
+    for name in ("doc_map", "postings"):
         if not store.has(name):
             continue
         path = getattr(store, name)
         df = spark.read.parquet(path)
         if df.where(F.col("doc_id") >= offset).limit(1).count() > 0:
             _commit_table(df.where(F.col("doc_id") < offset), path)
-    if store.has("segments"):
-        segs = spark.read.parquet(store.segments)
+    # block stores (BM25 segments + positional segments): delta blocks
+    # contain only new docs, so first_doc >= offset identifies them;
+    # only shard dirs holding orphaned blocks are rewritten
+    for name in ("positions", "segments"):
+        if not store.has(name):
+            continue
+        root_path = getattr(store, name)
+        segs = spark.read.parquet(root_path)
         bad_shards = [
             r["shard"]
             for r in segs.where(F.col("first_doc") >= offset)
             .select("shard").distinct().collect()
         ]
         for s in bad_shards:
-            sdir = os.path.join(store.segments, f"shard={s}")
+            sdir = os.path.join(root_path, f"shard={s}")
             kept = spark.read.parquet(sdir).where(
                 F.col("first_doc") < offset
             )
@@ -422,7 +446,7 @@ def _reconcile_appends(
             else:
                 _commit_table(kept, sdir)
         if bad_shards:
-            spark.catalog.refreshByPath(store.segments)
+            spark.catalog.refreshByPath(root_path)
     # stats recompute from the rolled-back postings (the crashed append
     # may have refreshed them after its postings write)
     postings = spark.read.parquet(store.postings)
@@ -538,10 +562,15 @@ def append_pages(
 
         if store.has("positions"):
             from ..operators.phrase import positional_postings
+            from ..operators.posindex import build_positional_segments
 
-            positional_postings(
-                new_docs.select("doc_id", "text")
-            ).write.mode("append").parquet(store.positions)
+            build_positional_segments(
+                positional_postings(new_docs.select("doc_id", "text")),
+                n_shards=meta["n_shards"], block_size=meta["block_size"],
+                shard_size=meta["shard_size"],
+            ).write.mode("append").partitionBy("shard").parquet(
+                store.positions
+            )
             spark.catalog.refreshByPath(store.positions)
 
         vocab = spark.createDataFrame(vocabulary()[["stem", "cat"]])
@@ -619,6 +648,22 @@ def rebuild_segments(spark: SparkSession, store: IndexStore) -> None:
         shutil.rmtree(store.segments)
     os.rename(staging, store.segments)
     spark.catalog.refreshByPath(store.segments)
+    if store.has("positions"):
+        # positional blocks never go stale (no idf) but appends leave
+        # short tail blocks; re-pack them in the same rebuild pass
+        from ..operators.posindex import compact_positional_segments
+
+        packed = compact_positional_segments(
+            spark.read.parquet(store.positions),
+            block_size=meta["block_size"],
+        ).repartition("shard").sortWithinPartitions("term", "block_id")
+        pstaging = store.positions + f".staging-{uuid.uuid4().hex[:8]}"
+        packed.write.mode("overwrite").partitionBy("shard").parquet(
+            pstaging
+        )
+        shutil.rmtree(store.positions)
+        os.rename(pstaging, store.positions)
+        spark.catalog.refreshByPath(store.positions)
     _append_lineage(
         store.root,
         dict(stage="rebuild_segments", partition_id="-",

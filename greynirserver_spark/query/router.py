@@ -169,17 +169,19 @@ class Router:
 
     def phrase(self, words: List[str], k: int = 10) -> DataFrame:
         """Exact consecutive-phrase top-k joined to urls. Serves from the
-        store's positional-postings table when the build persisted one
-        (phrase terms prune at the parquet scan); otherwise computes
-        positions ad hoc from the stored text."""
+        store's COMPRESSED positional segments when the build persisted
+        them (phrase terms prune at the parquet scan, shard dirs prune
+        on the partition column); otherwise computes positions ad hoc
+        from the stored text."""
         k = min(k, _MAXLEN_ANSWER)
         if not words:
             return self.spark.createDataFrame(
                 [], "doc_id long, url string, phrase_tf long")
-        from ..operators.phrase import phrase_topk, phrase_topk_positional
+        from ..operators.phrase import phrase_topk
+        from ..operators.posindex import phrase_topk_positional_segments
 
         if self.store.has("positions"):
-            hits = phrase_topk_positional(
+            hits = phrase_topk_positional_segments(
                 self.store.load(self.spark, "positions"), self.spark,
                 words, k,
             )

@@ -100,9 +100,19 @@ def test_append_maintains_positions_for_phrase(spark, tmp_path):
     hits = Router(spark, store).execute(phrase, k=1000).df
     assert appended.url in {r.url for r in hits.collect()}, phrase
 
-    # positions table covers exactly the doc_map ids
-    pos_docs = store.load(spark, "positions").select("doc_id").distinct()
-    assert pos_docs.count() == dm.select("doc_id").distinct().count()
+    # positional blocks cover the appended id range (delta blocks hold
+    # only new docs) and never exceed the doc_map ids
+    psegs = store.load(spark, "positions")
+    assert psegs.agg(F.max("last_doc")).first()[0] == dm.count() - 1
+    assert psegs.where(F.col("first_doc") >= n0).count() > 0
+
+    # a rebuild re-packs the fragmented positional blocks; phrase
+    # results are unchanged
+    before = sorted((r.url, r.phrase_tf) for r in hits.collect())
+    rebuild_segments(spark, store)
+    router2 = Router(spark, store, version_check_interval_s=0.0)
+    hits2 = router2.execute(phrase, k=1000).df
+    assert sorted((r.url, r.phrase_tf) for r in hits2.collect()) == before
 
 
 def _rank(spark, store, terms):
@@ -138,11 +148,11 @@ def test_crashed_append_reconciles_without_data_loss(spark, tmp_path):
         assert dm.count() == n_is, window
         assert dm.select("doc_id").distinct().count() == n_is, window
         assert dm.agg(F.max("doc_id")).first()[0] == n_is - 1, window
-        # every doc_map row has postings AND positions behind it
+        # every doc_map row has postings AND positional blocks behind it
         post_docs = store.load(spark, "postings").select("doc_id").distinct()
         assert post_docs.count() == n_is, window
-        pos_docs = store.load(spark, "positions").select("doc_id").distinct()
-        assert pos_docs.count() == n_is, window
+        psegs = store.load(spark, "positions")
+        assert psegs.agg(F.max("last_doc")).first()[0] == n_is - 1, window
         # no orphaned segment blocks beyond the id range
         segs = store.load_segments(spark)
         assert segs.agg(F.max("last_doc")).first()[0] <= n_is - 1, window
@@ -150,14 +160,18 @@ def test_crashed_append_reconciles_without_data_loss(spark, tmp_path):
         assert (lin["stage"] == "append_rollback").sum() == 1, window
         assert (lin["stage"] == "append").sum() == 1, window
 
-        # after rebuild, ranking matches a from-scratch build
-        rebuild_segments(spark, store)
-        scratch = build_index_checkpointed(
-            spark, all_pages, str(tmp_path / f"scratch_{window}"),
-            n_shards=4,
-        )
-        terms = query_to_terms(" ".join(indexable_stems_by_rank(2)))
-        assert _rank(spark, store, terms) == _rank(spark, scratch, terms)
+        # after rebuild, ranking matches a from-scratch build (rank
+        # compare once, on the last window — the scratch build is
+        # identical across windows and dominates test wall time)
+        if window == "segments":
+            rebuild_segments(spark, store)
+            scratch = build_index_checkpointed(
+                spark, all_pages, str(tmp_path / "scratch"), n_shards=4,
+            )
+            terms = query_to_terms(" ".join(indexable_stems_by_rank(2)))
+            assert _rank(spark, store, terms) == _rank(
+                spark, scratch, terms
+            )
 
 
 def test_append_returns_delta_block_count(spark, tmp_path):

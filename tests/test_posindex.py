@@ -1,0 +1,110 @@
+"""Compressed positional segments: codec round-trip, rank identity with
+the raw positional table, and compaction equivalence."""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from greynirserver_spark.operators.phrase import (
+    phrase_topk_positional,
+    positional_postings,
+)
+from greynirserver_spark.operators.posindex import (
+    build_positional_segments,
+    compact_positional_segments,
+    decode_positional_block,
+    phrase_topk_positional_segments,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+
+
+@pytest.fixture(scope="module")
+def pos(spark, docs):
+    return positional_postings(docs).cache()
+
+
+@pytest.fixture(scope="module")
+def psegs(pos):
+    return build_positional_segments(pos, n_shards=4, block_size=16).cache()
+
+
+def _decode_all(rows):
+    out = {}
+    for r in rows:
+        d, l, f = decode_positional_block(r.docs, r.poslens, r.positions)
+        s = np.concatenate(([0], np.cumsum(l)))
+        for i, doc in enumerate(d):
+            out[(r.term, int(doc))] = list(f[s[i]: s[i + 1]])
+    return out
+
+
+def test_roundtrip_exact(pos, psegs):
+    raw = {(r.term, r.doc_id): list(r.positions) for r in pos.collect()}
+    assert _decode_all(psegs.collect()) == raw
+
+
+def test_block_invariants(psegs):
+    rows = psegs.collect()
+    for r in rows:
+        d, l, f = decode_positional_block(r.docs, r.poslens, r.positions)
+        assert r.n_docs == len(d) <= 16
+        assert r.first_doc == d[0] and r.last_doc == d[-1]
+        assert (np.diff(d) > 0).all()  # strictly increasing doc ids
+        assert len(f) == l.sum()
+
+
+def test_phrase_rank_identity(spark, pos, psegs, docs):
+    texts = [r.text.lower().split() for r in docs.limit(8).collect()]
+    phrases = [t[2:4] for t in texts if len(t) > 6][:5]
+    phrases.append(["og", "og"])  # repeated-word phrase
+    phrases.append(["aldrei_i_korpus", "ekki"])  # no match
+    for ph in phrases:
+        a = [
+            (r.doc_id, r.phrase_tf)
+            for r in phrase_topk_positional(pos, spark, ph, 20).collect()
+        ]
+        b = [
+            (r.doc_id, r.phrase_tf)
+            for r in phrase_topk_positional_segments(
+                psegs, spark, ph, 20
+            ).collect()
+        ]
+        assert a == b, ph
+
+
+def test_compaction_is_lossless_and_packs(spark, pos):
+    # tiny blocks -> fragmented store; compaction must decode identically
+    # with full blocks
+    frag = build_positional_segments(pos, n_shards=2, block_size=4)
+    packed = compact_positional_segments(frag, block_size=64)
+    assert _decode_all(packed.collect()) == _decode_all(frag.collect())
+    # fewer, fuller blocks
+    assert packed.count() < frag.count()
+    over = packed.where(F.col("n_docs") > 64).count()
+    assert over == 0
+
+
+def test_append_then_compact_roundtrip(spark, pos):
+    # split the posting space in two, encode separately (as an append
+    # would), union, compact: identical to one-shot encode over the whole
+    lo = pos.where(F.col("doc_id") < 250)
+    hi = pos.where(F.col("doc_id") >= 250)
+    a = build_positional_segments(lo, n_shards=2, block_size=16,
+                                  shard_size=300)
+    b = build_positional_segments(hi, n_shards=2, block_size=16,
+                                  shard_size=300)
+    merged = compact_positional_segments(a.unionByName(b), block_size=16)
+    whole = build_positional_segments(pos, n_shards=2, block_size=16,
+                                      shard_size=300)
+    assert _decode_all(merged.collect()) == _decode_all(whole.collect())
