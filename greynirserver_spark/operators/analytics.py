@@ -124,8 +124,11 @@ def related_terms(
     words self-join (db/sql.py:291-302), top-21.
 
     Shape: semi-join to the doc set (no payload carried), then re-join
-    postings. The root term's doc set can be huge for head terms — at
-    scale the semi-join side is broadcast when small, salted otherwise.
+    postings. Scale note: AQE broadcasts the doc set while it fits; for
+    a head term it falls back to a shuffled semi-join — which is safe
+    WITHOUT salting, because the join key is ``doc_id`` and a doc set
+    is near-unique per key (skew mitigation targets hot KEYS; there are
+    none here — the term column never becomes a join key).
     """
     postings = document_postings(docs)
     doc_set = postings.where(F.col("term") == root_term).select("doc_id")

@@ -77,9 +77,13 @@ def build_positional_segments(
         n_docs = int(max_doc) + 1 if max_doc is not None else 1
         shard_size = max(1, -(-n_docs // n_shards))
 
-    tdict = assign_doc_ids(
-        pospostings.select("term").distinct(), "term"
-    ).withColumnRenamed("doc_id", "term_id")
+    from pyspark import StorageLevel
+
+    tdict = (
+        assign_doc_ids(pospostings.select("term").distinct(), "term")
+        .withColumnRenamed("doc_id", "term_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)  # feeds two subtrees
+    )
 
     enriched = (
         pospostings.join(tdict, "term")

@@ -211,9 +211,16 @@ def build_segments(
     if shard_size is None:
         shard_size = max(1, -(-n_docs // n_shards))  # ceil
 
-    tdict = assign_doc_ids(
-        term_stats.select("term", "idf"), "term"
-    ).withColumnRenamed("doc_id", "term_id")
+    from pyspark import StorageLevel
+
+    # persist: the dictionary feeds TWO subtrees (posting-row join +
+    # block-row string re-attach); without it the distributed assigner's
+    # mapInPandas runs twice per action
+    tdict = (
+        assign_doc_ids(term_stats.select("term", "idf"), "term")
+        .withColumnRenamed("doc_id", "term_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     enriched = (
         postings.join(tdict, "term")
