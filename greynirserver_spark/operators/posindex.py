@@ -41,6 +41,7 @@ from .segments import varint_decode, varint_encode_with_lengths
 __all__ = [
     "build_positional_segments",
     "decode_positional_block",
+    "phrase_counts_pandas",
     "phrase_topk_positional_segments",
     "POS_SEGMENT_SCHEMA",
 ]
@@ -231,66 +232,71 @@ def phrase_topk_positional_segments(
     ranges, so per-shard counts are final — no cross-shard merge.
     """
     words = [w.lower() for w in phrase]
-    n = len(words)
-    if n == 0:
+    if not words:
         raise ValueError("empty phrase")
-    pairs = [(w, o) for o, w in enumerate(words)]
     uniq = sorted(set(words))
 
     matched = segments.where(F.col("term").isin(uniq))
-
-    def score(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) == 0 or len(set(pdf["term"])) < len(set(words)):
-            return pd.DataFrame({"doc_id": [], "phrase_tf": []}).astype(
-                {"doc_id": "int64", "phrase_tf": "int64"}
-            )
-        # decode per term: docs repeated per position + absolute positions
-        per_term: dict = {}
-        for term, g in pdf.groupby("term", sort=False):
-            d_all, p_all = [], []
-            for r in g.itertuples(index=False):
-                doc, lens, flat = decode_positional_block(
-                    r.docs, r.poslens, r.positions
-                )
-                d_all.append(np.repeat(doc, lens))
-                p_all.append(flat)
-            per_term[term] = (np.concatenate(d_all), np.concatenate(p_all))
-        votes_d, votes_s, votes_p = [], [], []
-        for pi, (w, o) in enumerate(pairs):
-            d, p = per_term[w]
-            s = p - o
-            m = s >= 0
-            votes_d.append(d[m])
-            votes_s.append(s[m])
-            votes_p.append(np.full(int(m.sum()), pi, dtype=np.int64))
-        D = np.concatenate(votes_d)
-        S = np.concatenate(votes_s)
-        if D.size == 0:
-            return pd.DataFrame({"doc_id": [], "phrase_tf": []}).astype(
-                {"doc_id": "int64", "phrase_tf": "int64"}
-            )
-        # count distinct offsets per (doc, start): positions are unique
-        # within a (term, doc), so each pair votes a (doc, start) at
-        # most once — a plain group size equals the distinct-pair count
-        order = np.lexsort((S, D))
-        D, S = D[order], S[order]
-        change = np.empty(D.size, dtype=bool)
-        change[0] = True
-        change[1:] = (D[1:] != D[:-1]) | (S[1:] != S[:-1])
-        gstart = np.nonzero(change)[0]
-        gsize = np.diff(np.append(gstart, D.size))
-        full = gsize == n
-        hit_docs = D[gstart[full]]
-        udocs, cnts = np.unique(hit_docs, return_counts=True)
-        return pd.DataFrame(
-            {"doc_id": udocs.astype(np.int64),
-             "phrase_tf": cnts.astype(np.int64)}
-        )
-
     hits = matched.groupBy("shard").applyInPandas(
-        score, "doc_id long, phrase_tf long"
+        lambda pdf: phrase_counts_pandas(pdf, words),
+        "doc_id long, phrase_tf long",
     )
     return hits.orderBy(F.desc("phrase_tf"), F.asc("doc_id")).limit(k)
+
+
+def phrase_counts_pandas(
+    pdf: pd.DataFrame, words: Sequence[str]
+) -> pd.DataFrame:
+    """(doc_id, phrase_tf) from a frame of matched positional block
+    rows. Docs live in exactly one shard, so the rows may span any
+    number of shards — counts stay per-doc exact. Shared by the
+    distributed ``applyInPandas`` path and the in-process Searcher."""
+    n = len(words)
+    pairs = [(w, o) for o, w in enumerate(words)]
+    empty = pd.DataFrame({"doc_id": [], "phrase_tf": []}).astype(
+        {"doc_id": "int64", "phrase_tf": "int64"}
+    )
+    if len(pdf) == 0 or len(set(pdf["term"])) < len(set(words)):
+        return empty
+    # decode per term: docs repeated per position + absolute positions
+    per_term: dict = {}
+    for term, g in pdf.groupby("term", sort=False):
+        d_all, p_all = [], []
+        for r in g.itertuples(index=False):
+            doc, lens, flat = decode_positional_block(
+                r.docs, r.poslens, r.positions
+            )
+            d_all.append(np.repeat(doc, lens))
+            p_all.append(flat)
+        per_term[term] = (np.concatenate(d_all), np.concatenate(p_all))
+    votes_d, votes_s = [], []
+    for w, o in pairs:
+        d, p = per_term[w]
+        s = p - o
+        m = s >= 0
+        votes_d.append(d[m])
+        votes_s.append(s[m])
+    D = np.concatenate(votes_d)
+    S = np.concatenate(votes_s)
+    if D.size == 0:
+        return empty
+    # count distinct offsets per (doc, start): positions are unique
+    # within a (term, doc), so each pair votes a (doc, start) at
+    # most once — a plain group size equals the distinct-pair count
+    order = np.lexsort((S, D))
+    D, S = D[order], S[order]
+    change = np.empty(D.size, dtype=bool)
+    change[0] = True
+    change[1:] = (D[1:] != D[:-1]) | (S[1:] != S[:-1])
+    gstart = np.nonzero(change)[0]
+    gsize = np.diff(np.append(gstart, D.size))
+    full = gsize == n
+    hit_docs = D[gstart[full]]
+    udocs, cnts = np.unique(hit_docs, return_counts=True)
+    return pd.DataFrame(
+        {"doc_id": udocs.astype(np.int64),
+         "phrase_tf": cnts.astype(np.int64)}
+    )
 
 
 def compact_positional_segments(

@@ -84,6 +84,10 @@ class Searcher:
     def _open(self) -> None:
         self._segments = self.store.load_segments(self.spark)
         self._corpus_df = self.store.load(self.spark, "corpus")
+        self._positions = (
+            self.store.load(self.spark, "positions")
+            if self.store.has("positions") else None
+        )
         crow = self._corpus_df.collect()[0]
         self.avgdl = float(crow["avgdl"])
         self.n_docs = int(crow["n_docs"])
@@ -148,6 +152,62 @@ class Searcher:
                         allhits["score"].astype(float),
                     )
                 )
+        self._cache[key] = (now, result)
+        if len(self._cache) > self._cache_size:
+            self._cache.popitem(last=False)
+        return result
+
+    def phrase(
+        self, words: Sequence[str], k: int = 10
+    ) -> List[Tuple[int, int]]:
+        """[(doc_id, phrase_tf)] — exact consecutive-phrase top-k served
+        in-process from the COMPRESSED positional segments
+        (operators/posindex.py), with the same guard rails as
+        :meth:`search`: term-pruned capped fetch, distributed fallback
+        above the cap, TTL cache. Requires a store built
+        ``with_positions=True``."""
+        from ..operators.posindex import (
+            phrase_counts_pandas,
+            phrase_topk_positional_segments,
+        )
+
+        if self._positions is None:
+            raise ValueError(
+                "store has no positional segments "
+                "(build with with_positions=True)"
+            )
+        self._check_snapshot()
+        words = [w.lower() for w in words]
+        if not words:
+            return []
+        key = ("phrase", tuple(words), k)
+        now = time.monotonic()
+        hit = self._cache.get(key)
+        if hit is not None:
+            inserted, result = hit
+            if now - inserted <= self._cache_ttl_s:
+                self._cache.move_to_end(key)
+                return result
+            del self._cache[key]
+        matched = self._positions.where(
+            F.col("term").isin(sorted(set(words)))
+        )
+        pdf = matched.limit(self._max_fetch_blocks + 1).toPandas()
+        if len(pdf) > self._max_fetch_blocks:
+            rows = phrase_topk_positional_segments(
+                self._positions, self.spark, words, k
+            ).collect()
+            result = [(int(r["doc_id"]), int(r["phrase_tf"])) for r in rows]
+        else:
+            counts = phrase_counts_pandas(pdf, words)
+            counts = counts.sort_values(
+                ["phrase_tf", "doc_id"], ascending=[False, True],
+                kind="mergesort",
+            ).head(k)
+            result = list(
+                zip(counts["doc_id"].astype(int),
+                    counts["phrase_tf"].astype(int))
+            )
         self._cache[key] = (now, result)
         if len(self._cache) > self._cache_size:
             self._cache.popitem(last=False)

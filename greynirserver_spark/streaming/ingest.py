@@ -29,7 +29,7 @@ from ..extraction import extract_text_udf
 from ..operators.postings import build_postings
 from ..tokenization import apply_index_filter, tokenize_marked_text
 
-__all__ = ["stream_pages_to_postings", "windowed_event_counts"]
+__all__ = ["stream_pages_to_postings", "stream_append_to_store", "windowed_event_counts"]
 
 
 def stream_pages_to_postings(
@@ -103,3 +103,46 @@ def windowed_event_counts(
             "n_events",
         )
     )
+
+
+def stream_append_to_store(
+    spark: SparkSession,
+    store,
+    input_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: Optional[int] = None,
+):
+    """Continuous index maintenance: stream pages files INTO a built
+    :class:`~..plans.lineage.IndexStore` via ``append_pages`` per
+    micro-batch — the full reference cron loop (scrape batch -> process
+    -> index refresh, scripts/runscraper.sh) as one Structured
+    Streaming query.
+
+    Each micro-batch gets dense doc ids, postings/positions/segment
+    deltas and a stats refresh, crash-guarded by append-intent lineage
+    (plans/lineage.py); the file-source checkpoint gives exactly-once
+    per input file, and ``append_pages``' url anti-join makes replayed
+    batches no-ops — so the combination is idempotent end-to-end.
+    ``Trigger.AvailableNow`` bounds a run exactly like the reference's
+    cron budget; omit it for continuous 24/7 ingest.
+
+    Returns the StreamingQuery (caller awaits/stops it).
+    """
+    from ..plans.lineage import append_pages
+
+    reader = spark.readStream.schema(PAGES_SCHEMA).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    pages = reader.load(input_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        append_pages(batch_df.sparkSession, store, batch_df)
+
+    writer = (
+        pages.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -108,3 +108,75 @@ def test_append_then_compact_roundtrip(spark, pos):
     whole = build_positional_segments(pos, n_shards=2, block_size=16,
                                       shard_size=300)
     assert _decode_all(merged.collect()) == _decode_all(whole.collect())
+
+
+def test_searcher_phrase_matches_distributed(spark, tmp_path):
+    """Searcher.phrase (in-process decode of matched compressed blocks)
+    == the distributed applyInPandas plan, including under a fetch cap
+    of 1 (forces the fallback)."""
+    from greynirserver_spark.corpus import generate_pages
+    from greynirserver_spark.plans.lineage import build_index_checkpointed
+    from greynirserver_spark.query.searcher import Searcher
+
+    pages = generate_pages(spark, 300)
+    store = build_index_checkpointed(
+        spark, pages, str(tmp_path / "sp"), n_shards=4,
+        with_positions=True,
+    )
+    row = store.load(spark, "doc_map").select("text").first()
+    toks = [t for t in row.text.lower().split() if t.isalpha()]
+    words = toks[:2]
+
+    searcher = Searcher(spark, store)
+    got = searcher.phrase(words, 10)
+    want = [
+        (r.doc_id, r.phrase_tf)
+        for r in phrase_topk_positional_segments(
+            store.load(spark, "positions"), spark, words, 10
+        ).collect()
+    ]
+    assert got == want and len(got) > 0
+
+    capped = Searcher(spark, store, max_fetch_blocks=1).phrase(words, 10)
+    assert capped == want
+
+    # cached on repeat
+    t_key = ("phrase", tuple(words), 10)
+    assert t_key in searcher._cache
+    assert searcher.phrase(words, 10) == got
+
+
+def test_stream_append_to_store(spark, tmp_path):
+    """Structured-Streaming store maintenance: two page-file batches
+    streamed through append_pages == one batch append; replay is a
+    no-op (checkpoint + url anti-join)."""
+    from greynirserver_spark.corpus import generate_pages
+    from greynirserver_spark.plans.lineage import build_index_checkpointed
+    from greynirserver_spark.streaming.ingest import stream_append_to_store
+
+    all_pages = generate_pages(spark, 450).cache()
+    h = F.pmod(F.xxhash64("url"), F.lit(3))
+    base = all_pages.where(h == 0)
+    b1 = all_pages.where(h == 1)
+    b2 = all_pages.where(h == 2)
+
+    store = build_index_checkpointed(
+        spark, base, str(tmp_path / "stream_store"), n_shards=4,
+    )
+    indir = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    b1.write.mode("append").parquet(indir)
+    b2.write.mode("append").parquet(indir)
+
+    q = stream_append_to_store(spark, store, indir, ckpt)
+    q.awaitTermination(300)
+
+    n_is = all_pages.where(F.col("lang") == "is").count()
+    dm = store.load(spark, "doc_map")
+    assert dm.count() == n_is
+    assert dm.select("doc_id").distinct().count() == n_is
+
+    # replay: new query over the same checkpoint sees no new files
+    q2 = stream_append_to_store(spark, store, indir, ckpt)
+    q2.awaitTermination(300)
+    assert store.load(spark, "doc_map").count() == n_is
