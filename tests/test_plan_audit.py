@@ -142,3 +142,29 @@ def test_segment_encode_has_no_single_partition_exchange(spark, docs):
                           n_shards=4, block_size=32)
     plan = _plan(segs)
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_positional_scan_prunes_on_term(spark, tmp_path_factory):
+    """The phrase query's `term IN (...)` must reach the positional
+    segment parquet scan as a pushed filter, and only the binary block
+    columns + metadata may be read (no full-store scan)."""
+    from greynirserver_spark.corpus import generate_pages_pdf
+    from greynirserver_spark.operators.phrase import positional_postings
+    from greynirserver_spark.operators.posindex import (
+        build_positional_segments,
+        phrase_topk_positional_segments,
+    )
+
+    docs = spark.createDataFrame(generate_pages_pdf(60)).selectExpr(
+        "cast(xxhash64(url) as long) as doc_id", "text"
+    )
+    pos = positional_postings(docs)
+    path = str(tmp_path_factory.mktemp("ppl") / "pseg")
+    build_positional_segments(pos, n_shards=4, block_size=16).repartition(
+        "shard"
+    ).sortWithinPartitions("term", "block_id").write.partitionBy(
+        "shard"
+    ).parquet(path)
+    segs = spark.read.parquet(path)
+    plan = _plan(phrase_topk_positional_segments(segs, spark, ["a", "b"], 5))
+    assert "PushedFilters: [In(term, [a,b])]" in plan, plan
