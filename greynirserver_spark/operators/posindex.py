@@ -218,6 +218,7 @@ def phrase_topk_positional_segments(
     spark: SparkSession,
     phrase: Sequence[str],
     k: int = 20,
+    max_blocks_per_shard: int | None = 500_000,
 ) -> DataFrame:
     """Exact consecutive-phrase top-k over COMPRESSED positional blocks
     — rank-identical to :func:`operators.phrase.phrase_topk_positional`
@@ -230,6 +231,15 @@ def phrase_topk_positional_segments(
     ``position - offset`` for a phrase start, a (doc, start) with all
     distinct offsets voting is one occurrence. Shards hold disjoint doc
     ranges, so per-shard counts are final — no cross-shard merge.
+
+    Memory guard: the per-shard ``applyInPandas`` holds one shard's
+    matched blocks in one task — unbounded for a stopword phrase at web
+    scale. A cheap pruned count checks the worst shard first; above
+    ``max_blocks_per_shard`` the plan switches to a streamed
+    vote-shuffle (bounded per-batch memory, one aggregation shuffle —
+    the same volume the raw-table plan always shuffles, paid only when
+    needed). Pass ``max_blocks_per_shard=None`` to skip the extra count
+    job when the phrase is known to be rare.
     """
     words = [w.lower() for w in phrase]
     if not words:
@@ -237,11 +247,80 @@ def phrase_topk_positional_segments(
     uniq = sorted(set(words))
 
     matched = segments.where(F.col("term").isin(uniq))
+
+    if max_blocks_per_shard is not None:
+        worst = (
+            matched.groupBy("shard").agg(F.count("*").alias("c"))
+            .agg(F.max("c")).first()[0]
+        )
+        if worst is not None and worst > max_blocks_per_shard:
+            # stopword-phrase guard: a head term's matched blocks in one
+            # shard would exceed one task's memory under applyInPandas.
+            # Stream-decode blocks into (doc, start, pair) votes instead
+            # (bounded memory per Arrow batch) and let a shuffled
+            # aggregation count full-offset starts — the same volume the
+            # raw-table plan shuffles, paid only when actually needed.
+            return _phrase_topk_vote_shuffle(matched, words, k)
+
     hits = matched.groupBy("shard").applyInPandas(
         lambda pdf: phrase_counts_pandas(pdf, words),
         "doc_id long, phrase_tf long",
     )
     return hits.orderBy(F.desc("phrase_tf"), F.asc("doc_id")).limit(k)
+
+
+def _phrase_topk_vote_shuffle(
+    matched: DataFrame, words: Sequence[str], k: int
+) -> DataFrame:
+    """Bounded-memory phrase plan: decode each block independently,
+    emit phrase-start votes, aggregate by (doc, start). Each (term,
+    offset) pair votes a (doc, start) at most once (positions unique
+    per (term, doc)), so a plain count equals the distinct-pair
+    count."""
+    n = len(words)
+    pairs = [(w, o) for o, w in enumerate(words)]
+
+    def votes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out_d, out_s, out_p = [], [], []
+            for r in b.itertuples(index=False):
+                doc, lens, flat = decode_positional_block(
+                    r.docs, r.poslens, r.positions
+                )
+                d_rep = np.repeat(doc, lens)
+                for pi, (w, o) in enumerate(pairs):
+                    if r.term != w:
+                        continue
+                    s = flat - o
+                    m = s >= 0
+                    out_d.append(d_rep[m])
+                    out_s.append(s[m])
+                    out_p.append(
+                        np.full(int(m.sum()), pi, dtype=np.int64)
+                    )
+            if out_d:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(out_d),
+                        "start": np.concatenate(out_s),
+                        "pair": np.concatenate(out_p),
+                    }
+                )
+
+    v = matched.select("term", "docs", "poslens", "positions").mapInPandas(
+        votes, "doc_id long, start long, pair long"
+    )
+    starts = (
+        v.groupBy("doc_id", "start")
+        .agg(F.count("*").alias("hits"))
+        .where(F.col("hits") == n)
+    )
+    return (
+        starts.groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("phrase_tf"))
+        .orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
+        .limit(k)
+    )
 
 
 def phrase_counts_pandas(

@@ -180,3 +180,26 @@ def test_stream_append_to_store(spark, tmp_path):
     q2 = stream_append_to_store(spark, store, indir, ckpt)
     q2.awaitTermination(300)
     assert store.load(spark, "doc_map").count() == n_is
+
+
+def test_vote_shuffle_fallback_matches(spark, pos, psegs, docs):
+    """The bounded-memory vote-shuffle plan (forced via
+    max_blocks_per_shard=0) ranks identically to the per-shard
+    applyInPandas plan, including a repeated-word phrase."""
+    texts = [r.text.lower().split() for r in docs.limit(5).collect()]
+    phrases = [t[1:3] for t in texts if len(t) > 5][:3]
+    phrases.append(["og", "og"])
+    for ph in phrases:
+        a = [
+            (r.doc_id, r.phrase_tf)
+            for r in phrase_topk_positional_segments(
+                psegs, spark, ph, 20
+            ).collect()
+        ]
+        b = [
+            (r.doc_id, r.phrase_tf)
+            for r in phrase_topk_positional_segments(
+                psegs, spark, ph, 20, max_blocks_per_shard=0
+            ).collect()
+        ]
+        assert a == b, ph
