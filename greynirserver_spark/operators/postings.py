@@ -28,6 +28,9 @@ __all__ = [
     "assign_doc_ids",
     "build_postings",
     "build_term_stats",
+    "build_term_counts",
+    "merge_term_counts",
+    "derive_term_stats",
     "build_doc_stats",
     "corpus_stats",
 ]
@@ -222,9 +225,112 @@ def build_doc_stats(postings: DataFrame) -> DataFrame:
 
 
 def corpus_stats(doc_stats: DataFrame) -> DataFrame:
-    """1-row (n_docs, avgdl). avgdl = exact integer sum / count, so it is
-    bit-reproducible across engines (summation-order independent)."""
+    """1-row (n_docs, avgdl, total_doclen). avgdl = exact integer sum /
+    count, so it is bit-reproducible across engines (summation-order
+    independent). ``total_doclen`` is carried so incremental appends can
+    update the row EXACTLY (old total + new integer sum) instead of
+    reconstructing the total from the rounded double."""
     return doc_stats.agg(
         F.count("*").alias("n_docs"),
         (F.sum("doclen").cast("double") / F.count("*")).alias("avgdl"),
+        F.sum("doclen").cast("long").alias("total_doclen"),
+    )
+
+
+def build_term_counts(postings: DataFrame) -> DataFrame:
+    """(term, df, cf) — UNPRUNED per-term document and collection
+    frequencies. The mergeable form of the term statistics: df/cf are
+    pure sums, so an incremental batch's counts fold in with one
+    bucketed MERGE (:func:`merge_term_counts`) instead of re-scanning
+    the whole postings table; pruning and idf (which depend on the
+    GLOBAL min_df/N) are derived at read time by
+    :func:`derive_term_stats`."""
+    return postings.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+
+
+def merge_term_counts(
+    spark, store_path: str, delta: DataFrame, n_buckets: int = 64
+) -> None:
+    """MERGE a batch's (term, df, cf) deltas into the bucketed term
+    counts store — hash(term) buckets, only buckets present in the
+    delta are read, summed and atomically swapped (the trigram-store
+    pattern, analytics.py::merge_trigram_counts). On Iceberg:
+    ``MERGE INTO term_counts USING delta ON term WHEN MATCHED THEN
+    UPDATE SET df = t.df + d.df, cf = t.cf + d.cf``."""
+    import os
+    import shutil
+    import uuid
+
+    delta = delta.withColumn(
+        "bkt", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+    )
+    touched = sorted(
+        r["bkt"] for r in delta.select("bkt").distinct().collect()
+    )
+
+    def bdir(root: str, b: int) -> str:
+        return os.path.join(root, f"bkt={b}")
+
+    if os.path.isdir(store_path):
+        existing_dirs = [
+            b for b in touched if os.path.isdir(bdir(store_path, b))
+        ]
+        if existing_dirs:
+            existing = spark.read.parquet(
+                *[bdir(store_path, b) for b in existing_dirs]
+            ).withColumn(
+                "bkt",
+                F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
+            )
+            merged = (
+                existing.unionByName(delta)
+                .groupBy("term", "bkt")
+                .agg(
+                    F.sum("df").cast("long").alias("df"),
+                    F.sum("cf").cast("long").alias("cf"),
+                )
+                .select("term", "df", "cf", "bkt")
+            )
+        else:
+            merged = delta
+    else:
+        os.makedirs(store_path, exist_ok=True)
+        merged = delta
+    staging = store_path + f".staging-{uuid.uuid4().hex[:8]}"
+    merged.write.partitionBy("bkt").mode("overwrite").parquet(staging)
+    for b in touched:
+        src = bdir(staging, b)
+        dst = bdir(store_path, b)
+        if not os.path.isdir(src):
+            continue
+        tmp_old = dst + ".old"
+        if os.path.isdir(dst):
+            os.rename(dst, tmp_old)
+        os.rename(src, dst)
+        shutil.rmtree(tmp_old, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+    spark.catalog.refreshByPath(store_path)
+
+
+def derive_term_stats(
+    term_counts: DataFrame, corpus: DataFrame, min_df: int = 3
+) -> DataFrame:
+    """(term, df, cf, idf) from the mergeable counts + the 1-row corpus
+    — identical to :func:`build_term_stats` over the full postings
+    (same pruning, same BM25 idf), but reading only vocab-size data."""
+    return (
+        term_counts.where(F.col("df") >= min_df)
+        .crossJoin(F.broadcast(corpus.select("n_docs")))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+        )
+        .select("term", "df", "cf", "idf")
     )

@@ -125,6 +125,10 @@ class IndexStore:
         return os.path.join(self.root, "term_stats")
 
     @property
+    def term_counts(self) -> str:
+        return os.path.join(self.root, "term_counts")
+
+    @property
     def doc_stats(self) -> str:
         return os.path.join(self.root, "doc_stats")
 
@@ -268,12 +272,30 @@ def build_index_checkpointed(
 
     # ---- stage 3: statistics -----------------------------------------
     def s_stats():
+        from ..operators.postings import (
+            build_term_counts,
+            derive_term_stats,
+            merge_term_counts,
+        )
+
         dstats = build_doc_stats(postings)
         b = _commit_table(dstats, store.doc_stats)
         corp = corpus_stats(spark.read.parquet(store.doc_stats))
         b += _commit_table(corp, store.corpus)
-        tstats = build_term_stats(
-            postings, min_df=min_df, corpus=spark.read.parquet(store.corpus)
+        # term_counts: the MERGEABLE (unpruned df/cf, hash-bucketed)
+        # form — appends fold their deltas in without re-scanning the
+        # postings table; term_stats is derived from it (vocab-size
+        # read) and committed for the query/rebuild consumers
+        if os.path.isdir(store.term_counts):
+            shutil.rmtree(store.term_counts)
+        merge_term_counts(
+            spark, store.term_counts, build_term_counts(postings)
+        )
+        b += _dir_bytes(store.term_counts)
+        tstats = derive_term_stats(
+            spark.read.parquet(store.term_counts),
+            spark.read.parquet(store.corpus),
+            min_df=min_df,
         )
         b += _commit_table(tstats, store.term_stats)
         return spark.read.parquet(store.term_stats).count(), b
@@ -415,7 +437,7 @@ def _reconcile_appends(
         for fp in open_intents["input_fingerprint"]
     )
     t0 = time.time()
-    for name in ("doc_map", "postings"):
+    for name in ("doc_map", "postings", "doc_stats"):
         if not store.has(name):
             continue
         path = getattr(store, name)
@@ -448,16 +470,24 @@ def _reconcile_appends(
         if bad_shards:
             spark.catalog.refreshByPath(root_path)
     # stats recompute from the rolled-back postings (the crashed append
-    # may have refreshed them after its postings write)
+    # may have refreshed them after its postings write). Full rebuild of
+    # the mergeable term_counts too — O(postings), recovery-path-only.
+    from ..operators.postings import build_term_counts, derive_term_stats
+    from ..operators.postings import merge_term_counts as _mtc
+
     postings = spark.read.parquet(store.postings)
     _commit_table(build_doc_stats(postings), store.doc_stats)
     _commit_table(
         corpus_stats(spark.read.parquet(store.doc_stats)), store.corpus
     )
+    if os.path.isdir(store.term_counts):
+        shutil.rmtree(store.term_counts)
+    _mtc(spark, store.term_counts, build_term_counts(postings))
     _commit_table(
-        build_term_stats(
-            postings, min_df=meta["min_df"],
-            corpus=spark.read.parquet(store.corpus),
+        derive_term_stats(
+            spark.read.parquet(store.term_counts),
+            spark.read.parquet(store.corpus),
+            min_df=meta["min_df"],
         ),
         store.term_stats,
     )
@@ -488,8 +518,13 @@ def append_pages(
     * postings/doc_map grow by parquet append — and so does the
       positions table when the store was built ``with_positions=True``,
       so exact-phrase results include appended docs immediately,
-    * the global stats tables (doc_stats, corpus, term_stats) are
-      recomputed — cheap aggregates, no re-tokenize of old docs,
+    * the global stats tables are maintained INCREMENTALLY — O(batch),
+      never O(store postings): doc_stats appends the new docs' rows,
+      corpus folds exactly via its carried ``total_doclen``, and term
+      df/cf deltas MERGE into the hash-bucketed ``term_counts`` store
+      (touched buckets only) from which the pruned+idf ``term_stats``
+      table is re-derived at vocabulary size (idf depends on the global
+      N, so that rewrite is inherent — but it never re-scans postings),
     * delta segments are built ONLY from the new docs' postings, with
       the UPDATED global idf. Blocks written in earlier batches keep
       their build-time idf/block_max until :func:`rebuild_segments` —
@@ -584,14 +619,52 @@ def append_pages(
         if fail_after == "postings":
             raise RuntimeError("injected append failure after postings")
 
-        # global stats refresh: aggregates over the grown postings table
-        postings = spark.read.parquet(store.postings)
-        _commit_table(build_doc_stats(postings), store.doc_stats)
+        # global stats refresh — INCREMENTAL, never O(store postings):
+        #   doc_stats: append-only (an existing doc's doclen never
+        #     changes — appends add postings only for new docs),
+        #   corpus: exact fold of the old 1-row totals with the new
+        #     docs' integer doclen sum (total_doclen carried so no
+        #     double round-trips),
+        #   term df/cf: bucketed MERGE of the batch's deltas into
+        #     term_counts (touched buckets only); term_stats (pruned +
+        #     idf for the CURRENT N) re-derived from the vocab-size
+        #     counts — the only full rewrite left is vocabulary-sized,
+        #     not postings-sized.
+        from ..operators.postings import (
+            build_term_counts,
+            derive_term_stats,
+            merge_term_counts,
+        )
+
+        new_dstats = build_doc_stats(new_postings).persist(StorageLevel.DISK_ONLY)
+        dagg = new_dstats.agg(
+            F.count("*").alias("n"), F.sum("doclen").alias("s")
+        ).collect()[0]
+        new_dstats.write.mode("append").parquet(store.doc_stats)
+        new_dstats.unpersist()
+        spark.catalog.refreshByPath(store.doc_stats)
         doc_stats = spark.read.parquet(store.doc_stats)
-        _commit_table(corpus_stats(doc_stats), store.corpus)
-        corpus = spark.read.parquet(store.corpus)
+
+        old_c = spark.read.parquet(store.corpus).collect()[0]
+        n2 = int(old_c["n_docs"]) + int(dagg["n"])
+        total2 = int(old_c["total_doclen"]) + int(dagg["s"] or 0)
         _commit_table(
-            build_term_stats(postings, min_df=meta["min_df"], corpus=corpus),
+            spark.createDataFrame(
+                [(n2, float(total2) / n2, total2)],
+                "n_docs long, avgdl double, total_doclen long",
+            ),
+            store.corpus,
+        )
+        corpus = spark.read.parquet(store.corpus)
+
+        merge_term_counts(
+            spark, store.term_counts, build_term_counts(new_postings)
+        )
+        _commit_table(
+            derive_term_stats(
+                spark.read.parquet(store.term_counts), corpus,
+                min_df=meta["min_df"],
+            ),
             store.term_stats,
         )
         term_stats = spark.read.parquet(store.term_stats)

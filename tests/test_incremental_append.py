@@ -189,3 +189,73 @@ def test_append_returns_delta_block_count(spark, tmp_path):
     res = append_pages(spark, store, second)
     after = store.load_segments(spark).count()
     assert res["new_blocks"] == after - before > 0
+
+
+def test_incremental_stats_equal_full_recompute(spark, tmp_path):
+    """After an append, doc_stats/corpus/term_stats must equal a full
+    recompute over the grown postings table BIT-FOR-BIT — the
+    incremental path (doc_stats append, exact corpus fold via
+    total_doclen, bucketed term-count MERGE + derived idf) may not
+    drift."""
+    from greynirserver_spark.operators.postings import (
+        build_doc_stats,
+        build_term_stats,
+        corpus_stats,
+    )
+
+    all_pages = generate_pages(spark, 500).cache()
+    first = all_pages.where(F.xxhash64("url") % 4 != 0)
+    second = all_pages.where(F.xxhash64("url") % 4 == 0)
+    store = build_index_checkpointed(
+        spark, first, str(tmp_path / "inc_stats"), n_shards=4
+    )
+    append_pages(spark, store, second)
+
+    postings = store.load(spark, "postings")
+
+    got_ds = sorted(map(tuple, store.load(spark, "doc_stats").collect()))
+    want_ds = sorted(map(tuple, build_doc_stats(postings).collect()))
+    assert got_ds == want_ds
+
+    got_c = store.load(spark, "corpus").collect()[0]
+    want_c = corpus_stats(build_doc_stats(postings)).collect()[0]
+    assert (got_c["n_docs"], got_c["total_doclen"]) == (
+        want_c["n_docs"], want_c["total_doclen"])
+    assert got_c["avgdl"] == want_c["avgdl"]  # exact, not approx
+
+    got_ts = sorted(map(tuple, store.load(spark, "term_stats").collect()))
+    want_ts = sorted(map(tuple, build_term_stats(
+        postings, min_df=3,
+        corpus=store.load(spark, "corpus")).collect()))
+    assert got_ts == want_ts
+
+
+def test_term_counts_merge_touches_only_batch_buckets(spark, tmp_path):
+    """The term-count store mirrors the trigram/pages upserts: an
+    append's MERGE rewrites only buckets its terms hash into."""
+    import os
+    import time
+
+    all_pages = generate_pages(spark, 400).cache()
+    first = all_pages.where(F.xxhash64("url") % 4 != 0)
+    second = all_pages.where(F.xxhash64("url") % 4 == 0)
+    store = build_index_checkpointed(
+        spark, first, str(tmp_path / "tc"), n_shards=4
+    )
+    tc = store.term_counts
+    before = {
+        d: os.path.getmtime(os.path.join(tc, d))
+        for d in os.listdir(tc) if d.startswith("bkt=")
+    }
+    assert len(before) > 8
+    time.sleep(1.1)
+    append_pages(spark, store, second)
+    after = {
+        d: os.path.getmtime(os.path.join(tc, d))
+        for d in os.listdir(tc) if d.startswith("bkt=")
+    }
+    # a real page batch hits many buckets, but df/cf merge must not
+    # rewrite buckets whose terms don't appear in the batch
+    untouched = {b for b in before if after.get(b) == before[b]}
+    changed = set(after) - untouched
+    assert changed, "append must touch some buckets"
