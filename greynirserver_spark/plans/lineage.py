@@ -506,6 +506,7 @@ def _reconcile_appends(
 def append_pages(
     spark: SparkSession, store: IndexStore, new_pages: DataFrame,
     fail_after: Optional[str] = None,
+    rebuild_every: Optional[int] = None,
 ) -> dict:
     """Log-structured incremental index append (reference analog: the
     30-min cron batches + watermark refresh, scripts/runscraper.sh +
@@ -694,7 +695,21 @@ def append_pages(
         )
         new_postings.unpersist()
         new_docs.unpersist()
-        return {"new_docs": n_new, "new_blocks": n_blocks}
+        rebuilt = False
+        if rebuild_every:
+            # log-structured maintenance policy: every N-th append pays
+            # the defragmentation + idf-refresh rebuild (the sanctioned
+            # one — compacting mixed-idf delta blocks in place would
+            # stamp one append's idf onto another's postings). Between
+            # rebuilds, queries serve the documented freshness window.
+            # this append's own lineage row is already committed
+            lin = read_lineage(store.root)
+            n_appends = int((lin["stage"] == "append").sum())
+            if n_appends % rebuild_every == 0:
+                rebuild_segments(spark, store)
+                rebuilt = True
+        return {"new_docs": n_new, "new_blocks": n_blocks,
+                "rebuilt": rebuilt}
     finally:
         texts.unpersist()
 

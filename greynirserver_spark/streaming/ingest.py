@@ -112,6 +112,7 @@ def stream_append_to_store(
     checkpoint_dir: str,
     available_now: bool = True,
     max_files_per_trigger: Optional[int] = None,
+    rebuild_every: Optional[int] = None,
 ):
     """Continuous index maintenance: stream pages files INTO a built
     :class:`~..plans.lineage.IndexStore` via ``append_pages`` per
@@ -137,7 +138,8 @@ def stream_append_to_store(
     pages = reader.load(input_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        append_pages(batch_df.sparkSession, store, batch_df)
+        append_pages(batch_df.sparkSession, store, batch_df,
+                     rebuild_every=rebuild_every)
 
     writer = (
         pages.writeStream.foreachBatch(process_batch)

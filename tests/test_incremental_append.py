@@ -259,3 +259,33 @@ def test_term_counts_merge_touches_only_batch_buckets(spark, tmp_path):
     untouched = {b for b in before if after.get(b) == before[b]}
     changed = set(after) - untouched
     assert changed, "append must touch some buckets"
+
+
+def test_rebuild_every_policy(spark, tmp_path):
+    """rebuild_every=2: every second append triggers the sanctioned
+    defrag+idf-refresh rebuild; the store then ranks exactly like a
+    from-scratch build with no manual maintenance calls."""
+    all_pages = generate_pages(spark, 600).cache()
+    h = F.pmod(F.xxhash64("url"), F.lit(3))
+    base = all_pages.where(h == 0)
+    b1 = all_pages.where(h == 1)
+    b2 = all_pages.where(h == 2)
+
+    store = build_index_checkpointed(
+        spark, base, str(tmp_path / "auto"), n_shards=4
+    )
+    r1 = append_pages(spark, store, b1, rebuild_every=2)
+    assert r1["rebuilt"] is False
+    r2 = append_pages(spark, store, b2, rebuild_every=2)
+    assert r2["rebuilt"] is True
+
+    lin = read_lineage(store.root)
+    assert (lin["stage"] == "rebuild_segments").sum() == 1
+
+    scratch = build_index_checkpointed(
+        spark, all_pages, str(tmp_path / "auto_scratch"), n_shards=4
+    )
+    terms = query_to_terms(" ".join(indexable_stems_by_rank(2)))
+    assert _topk_by_url(spark, store, terms) == _topk_by_url(
+        spark, scratch, terms
+    )
