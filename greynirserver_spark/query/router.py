@@ -81,6 +81,7 @@ class Router:
         cache_size: int = 256,
         cache_ttl_s: float = 300.0,
         version_check_interval_s: float = 1.0,
+        log_queries: bool = False,
     ) -> None:
         self.spark = spark
         self.store = store
@@ -89,6 +90,7 @@ class Router:
         self._version_check_interval_s = version_check_interval_s
         self._last_version_check = float("-inf")
         self._cache: "OrderedDict" = OrderedDict()
+        self.log_queries = log_queries
         self._open()
 
     def _open(self) -> None:
@@ -128,15 +130,40 @@ class Router:
                     qtype, self.spark.createDataFrame(rows, schema), terms
                 )
             del self._cache[key]
+        t0 = time.monotonic()
         ans = self._dispatch(q, k)
         rows = ans.df.collect()
         schema = ans.df.schema
+        if self.log_queries:
+            self._log_query(q, ans.qtype, k, len(rows),
+                            time.monotonic() - t0)
         self._cache[key] = (now, ans.qtype, ans.terms, schema, rows)
         if len(self._cache) > self._cache_size:
             self._cache.popitem(last=False)
         return Answer(
             ans.qtype, self.spark.createDataFrame(rows, schema), ans.terms
         )
+
+    def _log_query(
+        self, q: str, qtype: str, k: int, n_rows: int, wall_s: float
+    ) -> None:
+        """Append one query-log record — the reference logs every query
+        with timestamp/client/answer to its ``queries`` table
+        (queries/__init__.py:1352-1378). One JSON line per executed
+        (non-cache-hit) query under the store root; on Iceberg this is
+        an append to a metrics table, batched by the writer."""
+        import json
+        import os
+        import uuid
+
+        d = os.path.join(self.store.root, "_querylog")
+        os.makedirs(d, exist_ok=True)
+        rec = dict(ts=time.time(), q=q, qtype=qtype, k=k,
+                   n_rows=n_rows, wall_ms=int(wall_s * 1000))
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(json.dumps(rec) + "\n")
+        os.rename(tmp, os.path.join(d, f"q-{uuid.uuid4().hex[:12]}.json"))
 
     def _dispatch(self, q: str, k: int) -> Answer:
         if m := _RELATED_RE.match(q):

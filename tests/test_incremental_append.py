@@ -127,7 +127,7 @@ def test_crashed_append_reconciles_without_data_loss(spark, tmp_path):
     re-processes every document."""
     import pytest
 
-    all_pages = generate_pages(spark, 600).cache()
+    all_pages = generate_pages(spark, 450).cache()
     first = all_pages.where(F.xxhash64("url") % 3 != 0)
     second = all_pages.where(F.xxhash64("url") % 3 == 0)
 
@@ -265,7 +265,7 @@ def test_rebuild_every_policy(spark, tmp_path):
     """rebuild_every=2: every second append triggers the sanctioned
     defrag+idf-refresh rebuild; the store then ranks exactly like a
     from-scratch build with no manual maintenance calls."""
-    all_pages = generate_pages(spark, 600).cache()
+    all_pages = generate_pages(spark, 450).cache()
     h = F.pmod(F.xxhash64("url"), F.lit(3))
     base = all_pages.where(h == 0)
     b1 = all_pages.where(h == 1)

@@ -221,3 +221,34 @@ def test_router_cache_ttl_expiry(spark, tmp_path):
     # the entry was re-inserted after expiry, not served stale
     inserted = router._cache[key][0]
     assert inserted >= t0
+
+
+def test_router_query_log(spark, tmp_path):
+    """log_queries=True appends one record per executed (non-cache-hit)
+    query — the reference's query logging (queries/__init__.py:
+    1352-1378); cache hits don't log."""
+    import json
+    import os
+
+    pages_pdf = generate_pages_pdf(150)
+    store = build_index_checkpointed(
+        spark, spark.createDataFrame(pages_pdf), str(tmp_path / "ql"),
+        n_shards=4,
+    )
+    router = Router(spark, store, log_queries=True)
+    q = " ".join(indexable_stems_by_rank(2))
+    router.execute(q, k=5)
+    router.execute(q, k=5)  # cache hit: not logged
+    router.execute("newest articles")
+
+    d = os.path.join(store.root, "_querylog")
+    recs = []
+    for fn in os.listdir(d):
+        if fn.endswith(".json"):
+            with open(os.path.join(d, fn)) as f:
+                recs.append(json.loads(f.read()))
+    assert len(recs) == 2
+    qtypes = sorted(r["qtype"] for r in recs)
+    assert qtypes == ["NewestArticles", "Search"]
+    for r in recs:
+        assert r["wall_ms"] >= 0 and r["n_rows"] >= 0
