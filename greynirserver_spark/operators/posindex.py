@@ -379,13 +379,21 @@ def phrase_counts_pandas(
 
 
 def compact_positional_segments(
-    segments: DataFrame, block_size: int = 128
+    segments: DataFrame, block_size: int = 128,
+    drop_docs: "set | frozenset | None" = None,
 ) -> DataFrame:
     """Re-pack append-fragmented positional blocks per (shard, term)
     into full *block_size* blocks — the positional twin of
     ``compact_segments``. Blocks are concatenated in doc order
     (``first_doc``, NOT block_id: appends reuse block ids) and
-    re-encoded; the result decodes identically (tests assert it)."""
+    re-encoded; the result decodes identically (tests assert it).
+
+    *drop_docs*: doc ids to purge during the re-pack (tombstoned
+    documents, plans/lineage.py::delete_urls) — their postings vanish
+    from the rewritten blocks."""
+    drop_arr = (
+        np.fromiter(drop_docs, dtype=np.int64) if drop_docs else None
+    )
 
     def compact_partition(
         batches: Iterator[pd.DataFrame],
@@ -414,6 +422,14 @@ def compact_positional_segments(
                     )
                 lens = np.concatenate(len_l)
                 flat = np.concatenate(pos_l)
+                if drop_arr is not None and drop_arr.size:
+                    keep = ~np.isin(doc, drop_arr)
+                    if not keep.all():
+                        pos_keep = np.repeat(keep, lens)
+                        doc, lens = doc[keep], lens[keep]
+                        flat = flat[pos_keep]
+                        if doc.size == 0:
+                            continue
                 fstart = np.concatenate(([0], np.cumsum(lens)))
                 for b0 in range(0, doc.size, block_size):
                     sl = slice(b0, min(b0 + block_size, doc.size))

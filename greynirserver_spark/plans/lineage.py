@@ -57,6 +57,7 @@ __all__ = [
     "read_lineage",
     "read_store_meta",
     "append_pages",
+    "delete_urls",
     "rebuild_segments",
 ]
 
@@ -143,6 +144,10 @@ class IndexStore:
     @property
     def segments(self) -> str:
         return os.path.join(self.root, "segments")
+
+    @property
+    def tombstones(self) -> str:
+        return os.path.join(self.root, "tombstones")
 
     def has(self, name: str) -> bool:
         return os.path.isdir(getattr(self, name))
@@ -714,12 +719,112 @@ def append_pages(
         texts.unpersist()
 
 
+def delete_urls(
+    spark: SparkSession, store: IndexStore, urls
+) -> int:
+    """Tombstone documents by url — the reference's article deletion
+    (per-url delete+reinsert, article.py:473-477), split into the
+    log-structured two phases:
+
+    1. this call appends ``(doc_id, url)`` tombstone rows (idempotent —
+       already-tombstoned or unknown urls are dropped). Query layers
+       (Router/Searcher) exclude tombstoned docs IMMEDIATELY by
+       anti-join/overfetch; global stats stay uncorrected until
+       rebuild, the same bounded freshness window appends accept.
+    2. the next :func:`rebuild_segments` purges them PHYSICALLY from
+       doc_map/postings/doc_stats and both block stores, recomputes the
+       stats over the survivors, and clears the tombstone table —
+       ranking is then exactly a from-scratch build over the remaining
+       corpus (tested).
+
+    *urls* is a list of url strings or a DataFrame with a ``url``
+    column. Returns the number of NEW tombstones written. On Iceberg:
+    ``DELETE FROM`` writes positional delete files; the rebuild is the
+    rewrite-data-files compaction.
+    """
+    if not isinstance(urls, DataFrame):
+        urls = spark.createDataFrame(
+            [(u,) for u in urls], "url string"
+        )
+    doc_map = spark.read.parquet(store.doc_map)
+    victims = doc_map.join(urls.select("url").distinct(), "url").select(
+        "doc_id", "url"
+    )
+    if os.path.isdir(store.tombstones):
+        existing = spark.read.parquet(store.tombstones)
+        victims = victims.join(existing.select("doc_id"), "doc_id",
+                               "left_anti")
+    from pyspark import StorageLevel
+
+    victims = victims.persist(StorageLevel.MEMORY_AND_DISK)
+    n = victims.count()
+    if n:
+        t0 = time.time()
+        victims.write.mode("append").parquet(store.tombstones)
+        spark.catalog.refreshByPath(store.tombstones)
+        _append_lineage(
+            store.root,
+            dict(stage="delete", partition_id="-",
+                 input_fingerprint="urls", status="done", started_ts=t0,
+                 finished_ts=time.time(), rows_out=n, bytes_out=-1,
+                 wall_ms=int((time.time() - t0) * 1000)),
+        )
+    victims.unpersist()
+    return n
+
+
 def rebuild_segments(spark: SparkSession, store: IndexStore) -> None:
     """Full segment rebuild from the accumulated postings (no
     re-tokenize): refreshes every block's idf/block_max to the current
-    global stats and re-packs append-fragmented blocks. After this,
-    ranking is exactly the from-scratch build's (proven in tests)."""
+    global stats, re-packs append-fragmented blocks, and — when
+    tombstones exist — purges deleted docs physically and recomputes
+    every stats table over the survivors. After this, ranking is
+    exactly the from-scratch build's over the live corpus (proven in
+    tests)."""
     meta = read_store_meta(store)
+
+    drop_docs: set = set()
+    if store.has("tombstones"):
+        tomb = spark.read.parquet(store.tombstones).select("doc_id")
+        drop_docs = {int(r["doc_id"]) for r in tomb.collect()}
+    if drop_docs:
+        # physical purge: doc tables filtered, stats recomputed over the
+        # survivors (rebuild IS the O(store) maintenance op); positional
+        # blocks drop the docs inside the same re-pack pass below. The
+        # tombstone table itself is cleared only after everything else
+        # committed, so a crash mid-rebuild re-runs the purge.
+        from ..operators.postings import (
+            build_term_counts,
+            derive_term_stats,
+            merge_term_counts,
+        )
+
+        for name in ("doc_map", "postings"):
+            path = getattr(store, name)
+            _commit_table(
+                spark.read.parquet(path).join(tomb, "doc_id", "left_anti"),
+                path,
+            )
+        postings = spark.read.parquet(store.postings)
+        _commit_table(build_doc_stats(postings), store.doc_stats)
+        _commit_table(
+            corpus_stats(spark.read.parquet(store.doc_stats)),
+            store.corpus,
+        )
+        if os.path.isdir(store.term_counts):
+            shutil.rmtree(store.term_counts)
+        merge_term_counts(
+            spark, store.term_counts, build_term_counts(postings)
+        )
+        _commit_table(
+            derive_term_stats(
+                spark.read.parquet(store.term_counts),
+                spark.read.parquet(store.corpus),
+                min_df=meta["min_df"],
+            ),
+            store.term_stats,
+        )
+
     postings = spark.read.parquet(store.postings)
     term_stats = spark.read.parquet(store.term_stats)
     doc_stats = spark.read.parquet(store.doc_stats)
@@ -743,7 +848,7 @@ def rebuild_segments(spark: SparkSession, store: IndexStore) -> None:
 
         packed = compact_positional_segments(
             spark.read.parquet(store.positions),
-            block_size=meta["block_size"],
+            block_size=meta["block_size"], drop_docs=drop_docs,
         ).repartition("shard").sortWithinPartitions("term", "block_id")
         pstaging = store.positions + f".staging-{uuid.uuid4().hex[:8]}"
         packed.write.mode("overwrite").partitionBy("shard").parquet(
@@ -752,6 +857,8 @@ def rebuild_segments(spark: SparkSession, store: IndexStore) -> None:
         shutil.rmtree(store.positions)
         os.rename(pstaging, store.positions)
         spark.catalog.refreshByPath(store.positions)
+    if store.has("tombstones"):
+        shutil.rmtree(store.tombstones)
     _append_lineage(
         store.root,
         dict(stage="rebuild_segments", partition_id="-",

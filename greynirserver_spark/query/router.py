@@ -98,6 +98,21 @@ class Router:
         self.corpus = self.store.load(self.spark, "corpus")
         self.postings = self.store.load(self.spark, "postings")
         self.doc_map = self.store.load(self.spark, "doc_map")
+        # tombstoned docs vanish from EVERY handler immediately: the
+        # doc_map/postings views are anti-joined here, and the top-k
+        # paths overfetch by the (rebuild-bounded) tombstone count so k
+        # results survive the filter; the next rebuild purges physically
+        self._n_tombstones = 0
+        if self.store.has("tombstones"):
+            tomb = self.store.load(self.spark, "tombstones").select(
+                "doc_id"
+            )
+            self._n_tombstones = tomb.count()
+            if self._n_tombstones:
+                self.doc_map = self.doc_map.join(tomb, "doc_id",
+                                                 "left_anti")
+                self.postings = self.postings.join(tomb, "doc_id",
+                                                   "left_anti")
         self._version = _segments_version(self.store)
 
     def _check_snapshot(self) -> None:
@@ -186,10 +201,19 @@ class Router:
     def search(self, terms: List[str], k: int = 10) -> DataFrame:
         """BM25 top-k joined to urls — the reference's similarity answer
         list (search.py:119-214), capped like _MAXLEN_SEARCH."""
+        from pyspark.sql.window import Window
+
         k = min(k, _MAXLEN_ANSWER)
-        hits = wand_topk(self.segments, terms, self.corpus, k)
+        hits = wand_topk(
+            self.segments, terms, self.corpus, k + self._n_tombstones
+        )
+        # the doc_map join drops tombstoned docs (anti-joined view);
+        # re-rank the survivors and cut back to k
+        w = Window.orderBy("rank")
         return (
             hits.join(self.doc_map.select("doc_id", "url", "warc_ts"), "doc_id")
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
             .orderBy("rank")
             .select("rank", "doc_id", "url", "warc_ts", "score")
         )
@@ -210,7 +234,7 @@ class Router:
         if self.store.has("positions"):
             hits = phrase_topk_positional_segments(
                 self.store.load(self.spark, "positions"), self.spark,
-                words, k,
+                words, k + self._n_tombstones,
             )
         else:
             hits = phrase_topk(
@@ -219,6 +243,7 @@ class Router:
         return (
             hits.join(self.doc_map.select("doc_id", "url"), "doc_id")
             .orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
+            .limit(k)
             .select("doc_id", "url", "phrase_tf")
         )
 

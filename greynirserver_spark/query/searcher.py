@@ -46,15 +46,18 @@ __all__ = ["Searcher"]
 
 
 def _segments_version(store: IndexStore) -> float:
-    """Cheap snapshot marker: newest mtime under the segments directory.
-    On Iceberg this would be the table's current snapshot id."""
+    """Cheap snapshot marker: newest mtime under the segments AND
+    tombstones directories (a delete must invalidate query caches even
+    though it touches no segment file). On Iceberg this would be the
+    table's current snapshot id."""
     latest = 0.0
-    try:
-        with os.scandir(store.segments) as it:
-            for e in it:
-                latest = max(latest, e.stat().st_mtime)
-    except FileNotFoundError:
-        pass
+    for path in (store.segments, store.tombstones):
+        try:
+            with os.scandir(path) as it:
+                for e in it:
+                    latest = max(latest, e.stat().st_mtime)
+        except FileNotFoundError:
+            pass
     return latest
 
 
@@ -88,6 +91,16 @@ class Searcher:
             self.store.load(self.spark, "positions")
             if self.store.has("positions") else None
         )
+        # tombstoned docs (bounded by rebuild cadence) are excluded by
+        # overfetch-and-filter until the next rebuild purges them
+        self._tombstones: frozenset = frozenset()
+        if self.store.has("tombstones"):
+            self._tombstones = frozenset(
+                int(r["doc_id"])
+                for r in self.store.load(
+                    self.spark, "tombstones"
+                ).select("doc_id").collect()
+            )
         crow = self._corpus_df.collect()[0]
         self.avgdl = float(crow["avgdl"])
         self.n_docs = int(crow["n_docs"])
@@ -121,6 +134,9 @@ class Searcher:
         terms_u = sorted(set(terms))
         if not terms_u:
             return []
+        # overfetch by the (rebuild-bounded) tombstone count so filtered
+        # results still fill k
+        kk = k + len(self._tombstones)
         matched = self._segments.where(F.col("term").isin(terms_u))
         # one fetch job, capped: if the cap+1-th block exists the matched
         # volume is too big for the driver — fall back to the distributed
@@ -128,7 +144,7 @@ class Searcher:
         pdf = matched.limit(self._max_fetch_blocks + 1).toPandas()
         if len(pdf) > self._max_fetch_blocks:
             rows = wand_topk(
-                self._segments, terms_u, self._corpus_df, k
+                self._segments, terms_u, self._corpus_df, kk
             ).collect()
             result = [(int(r["doc_id"]), float(r["score"])) for r in rows]
         else:
@@ -138,20 +154,23 @@ class Searcher:
                 # score each shard independently (blocks of one shard
                 # share a doc range), merge, global top-k
                 tops = [
-                    shard_topk_pandas(g, k, self.avgdl)
+                    shard_topk_pandas(g, kk, self.avgdl)
                     for _, g in pdf.groupby("shard", sort=False)
                 ]
                 allhits = pd.concat(tops, ignore_index=True)
                 allhits = allhits.sort_values(
                     ["score", "doc_id"], ascending=[False, True],
                     kind="mergesort",
-                ).head(k)
+                ).head(kk)
                 result = list(
                     zip(
                         allhits["doc_id"].astype(int),
                         allhits["score"].astype(float),
                     )
                 )
+        if self._tombstones:
+            result = [r for r in result if r[0] not in self._tombstones]
+        result = result[:k]
         self._cache[key] = (now, result)
         if len(self._cache) > self._cache_size:
             self._cache.popitem(last=False)
@@ -189,13 +208,14 @@ class Searcher:
                 self._cache.move_to_end(key)
                 return result
             del self._cache[key]
+        kk = k + len(self._tombstones)
         matched = self._positions.where(
             F.col("term").isin(sorted(set(words)))
         )
         pdf = matched.limit(self._max_fetch_blocks + 1).toPandas()
         if len(pdf) > self._max_fetch_blocks:
             rows = phrase_topk_positional_segments(
-                self._positions, self.spark, words, k
+                self._positions, self.spark, words, kk
             ).collect()
             result = [(int(r["doc_id"]), int(r["phrase_tf"])) for r in rows]
         else:
@@ -203,11 +223,14 @@ class Searcher:
             counts = counts.sort_values(
                 ["phrase_tf", "doc_id"], ascending=[False, True],
                 kind="mergesort",
-            ).head(k)
+            ).head(kk)
             result = list(
                 zip(counts["doc_id"].astype(int),
                     counts["phrase_tf"].astype(int))
             )
+        if self._tombstones:
+            result = [r for r in result if r[0] not in self._tombstones]
+        result = result[:k]
         self._cache[key] = (now, result)
         if len(self._cache) > self._cache_size:
             self._cache.popitem(last=False)
