@@ -228,9 +228,11 @@ def main() -> None:
     timed("q10_phrase_raw_positions", lambda: PH.phrase_topk_positional(
         raw_t, spark, words, k=20
     ).count())
+    # known-rare phrase: skip the stopword-guard's extra count job
+    # (max_blocks_per_shard=None is the documented rare-phrase escape)
     timed("q10_phrase_pos_segments",
           lambda: phrase_topk_positional_segments(
-              seg_t, spark, words, k=20
+              seg_t, spark, words, k=20, max_blocks_per_shard=None
           ).count())
     extras = {
         # matched-row payload a phrase query fetches from each format
