@@ -203,3 +203,71 @@ def test_vote_shuffle_fallback_matches(spark, pos, psegs, docs):
             ).collect()
         ]
         assert a == b, ph
+
+
+def test_codec_property_roundtrip():
+    """Property test (no Spark): random posting shapes round-trip the
+    positional block codec exactly."""
+    from hypothesis import given, settings, strategies as st
+
+    from greynirserver_spark.operators.segments import (
+        varint_decode,
+        varint_encode,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=2**63 - 1),
+                 min_size=0, max_size=200)
+    )
+    def roundtrip(vals):
+        arr = np.array(vals, dtype=np.uint64)
+        assert list(varint_decode(varint_encode(arr))) == vals
+
+    roundtrip()
+
+
+def test_positional_block_property_roundtrip():
+    """Random (doc_ids, per-doc positions) encode+decode exactly via the
+    same delta paths the builder uses."""
+    import random
+
+    from greynirserver_spark.operators.segments import (
+        varint_encode_with_lengths,
+    )
+
+    rnd = random.Random(1234)
+    for _ in range(50):
+        n = rnd.randint(1, 60)
+        docs = np.cumsum(
+            np.array([rnd.randint(1, 1000) for _ in range(n)],
+                     dtype=np.int64)
+        )
+        plists = [
+            np.cumsum(
+                np.array(
+                    [rnd.randint(0, 50) + (1 if i else 0)
+                     for i in range(rnd.randint(1, 30))],
+                    dtype=np.int64,
+                )
+            )
+            for _ in range(n)
+        ]
+        lens = np.array([len(p) for p in plists], dtype=np.int64)
+        flat = np.concatenate(plists)
+        # encode exactly as the builder does
+        dd = docs.copy()
+        dd[1:] -= docs[:-1]
+        fd = flat.copy()
+        fd[1:] -= flat[:-1]
+        st_ = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        fd[st_] = flat[st_]
+        db, _ = varint_encode_with_lengths(dd.astype(np.uint64))
+        lb, _ = varint_encode_with_lengths(lens.astype(np.uint64))
+        pb, _ = varint_encode_with_lengths(fd.astype(np.uint64))
+        d2, l2, f2 = decode_positional_block(
+            db.tobytes(), lb.tobytes(), pb.tobytes()
+        )
+        assert list(d2) == list(docs)
+        assert list(l2) == list(lens)
+        assert list(f2) == list(flat)
