@@ -234,6 +234,19 @@ def main() -> None:
           lambda: phrase_topk_positional_segments(
               seg_t, spark, words, k=20, max_blocks_per_shard=None
           ).count())
+    # guarded DEFAULT path with the store-maintained summary
+    # (pos_heavy.json semantics): the guard decision is a dict lookup,
+    # so this must be within noise of the None escape above (round-3
+    # verdict item #3's done-criterion). No term exceeds the floor at
+    # this corpus size, so the summary is {floor, {}} — exactly what
+    # update_positional_block_counts writes.
+    from greynirserver_spark.operators.posindex import DEFAULT_HEAVY_FLOOR
+
+    timed("q10_phrase_pos_segments_guarded",
+          lambda: phrase_topk_positional_segments(
+              seg_t, spark, words, k=20,
+              block_counts={"floor": DEFAULT_HEAVY_FLOOR, "terms": {}},
+          ).count())
     extras = {
         # matched-row payload a phrase query fetches from each format
         "pos_raw_query_bytes": int(

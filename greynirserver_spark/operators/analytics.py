@@ -284,7 +284,9 @@ def word_trigrams(docs: DataFrame, limit: int = 100) -> DataFrame:
 
 
 def merge_trigram_counts(
-    spark, store_path: str, docs: DataFrame, n_buckets: int = 64
+    spark, store_path: str, docs: DataFrame, n_buckets: int = 64,
+    batch_id: "str | None" = None,
+    fail_after_buckets: "int | None" = None,
 ) -> int:
     """Accumulate a batch's trigram counts into a persistent store —
     the reference's per-row ``ON CONFLICT (t1,t2,t3) DO UPDATE SET
@@ -299,62 +301,24 @@ def merge_trigram_counts(
     an incremental cron batch with a bounded trigram set costs
     O(batch + touched buckets), never O(store) (round-2: the
     whole-store union+overwrite was flagged as the wrong scale path).
-    Each touched bucket swaps atomically; untouched buckets are not
-    read, not rewritten, not even stat'd.
+    Crash safety comes from the shared merge protocol
+    (operators/bucketed.py): a durable merge intent before the bucket
+    swaps, roll-forward reconcile on every read/merge, and *batch_id*
+    replay dedup — a crashed batch can be replayed without double
+    counting, and no ``bkt=N.old`` dir is ever visible to partition
+    discovery.
 
     Returns the number of distinct trigrams in the merged store.
     """
-    import os
-    import shutil
-    import uuid
+    from .bucketed import load_bucketed, merge_bucketed_counts
 
-    batch = word_trigram_counts(docs).withColumn(
-        "bkt", F.pmod(F.xxhash64("trigram"), F.lit(n_buckets)).cast("int")
+    batch = word_trigram_counts(docs)
+    merge_bucketed_counts(
+        spark, store_path, batch, key_cols=["trigram"],
+        sum_cols=["freq"], n_buckets=n_buckets, batch_id=batch_id,
+        fail_after_buckets=fail_after_buckets,
     )
-    touched = sorted(
-        r["bkt"] for r in batch.select("bkt").distinct().collect()
-    )
-
-    def bdir(root: str, b: int) -> str:
-        return os.path.join(root, f"bkt={b}")
-
-    if os.path.isdir(store_path):
-        existing_dirs = [
-            b for b in touched if os.path.isdir(bdir(store_path, b))
-        ]
-        if existing_dirs:
-            existing = spark.read.parquet(
-                *[bdir(store_path, b) for b in existing_dirs]
-            ).withColumn(
-                "bkt",
-                F.pmod(F.xxhash64("trigram"), F.lit(n_buckets)).cast("int"),
-            )
-            merged = (
-                existing.unionByName(batch)
-                .groupBy("trigram", "bkt")
-                .agg(F.sum("freq").cast("long").alias("freq"))
-                .select("trigram", "freq", "bkt")
-            )
-        else:
-            merged = batch
-    else:
-        os.makedirs(store_path, exist_ok=True)
-        merged = batch
-    staging = store_path + f".staging-{uuid.uuid4().hex[:8]}"
-    merged.write.partitionBy("bkt").mode("overwrite").parquet(staging)
-    for b in touched:
-        src = bdir(staging, b)
-        dst = bdir(store_path, b)
-        if not os.path.isdir(src):
-            continue
-        tmp_old = dst + ".old"
-        if os.path.isdir(dst):
-            os.rename(dst, tmp_old)
-        os.rename(src, dst)
-        shutil.rmtree(tmp_old, ignore_errors=True)
-    shutil.rmtree(staging, ignore_errors=True)
-    spark.catalog.refreshByPath(store_path)
-    return spark.read.parquet(store_path).count()
+    return load_bucketed(spark, store_path).count()
 
 
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

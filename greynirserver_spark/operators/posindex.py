@@ -43,6 +43,8 @@ __all__ = [
     "decode_positional_block",
     "phrase_counts_pandas",
     "phrase_topk_positional_segments",
+    "update_positional_block_counts",
+    "load_positional_block_counts",
     "POS_SEGMENT_SCHEMA",
 ]
 
@@ -190,10 +192,11 @@ def build_positional_segments(
         .sortWithinPartitions("shard", "term_id", "doc_id")
         .mapInPandas(encode_partition, _POS_ID_SCHEMA)
     )
-    return (
-        encoded.join(F.broadcast(tdict.select("term_id", "term")), "term_id")
-        .select(*POS_SEGMENT_COLS)
-    )
+    # size-gated broadcast + cached-dict handoff (segments.py): plain
+    # shuffle join at 10^8-term vocabularies, release after the action
+    from .segments import attach_term_strings
+
+    return attach_term_strings(encoded, tdict, POS_SEGMENT_COLS)
 
 
 def decode_positional_block(docs_b, poslens_b, positions_b):
@@ -219,6 +222,7 @@ def phrase_topk_positional_segments(
     phrase: Sequence[str],
     k: int = 20,
     max_blocks_per_shard: int | None = 500_000,
+    block_counts: dict | None = None,
 ) -> DataFrame:
     """Exact consecutive-phrase top-k over COMPRESSED positional blocks
     — rank-identical to :func:`operators.phrase.phrase_topk_positional`
@@ -234,12 +238,20 @@ def phrase_topk_positional_segments(
 
     Memory guard: the per-shard ``applyInPandas`` holds one shard's
     matched blocks in one task — unbounded for a stopword phrase at web
-    scale. A cheap pruned count checks the worst shard first; above
-    ``max_blocks_per_shard`` the plan switches to a streamed
-    vote-shuffle (bounded per-batch memory, one aggregation shuffle —
-    the same volume the raw-table plan always shuffles, paid only when
-    needed). Pass ``max_blocks_per_shard=None`` to skip the extra count
-    job when the phrase is known to be rare.
+    scale. Above ``max_blocks_per_shard`` matched blocks in the worst
+    shard, the plan switches to a streamed vote-shuffle (bounded
+    per-batch memory, one aggregation shuffle — the same volume the
+    raw-table plan always shuffles, paid only when needed).
+
+    The guard decision is FREE when *block_counts* is passed — the
+    store-maintained heavy-term summary (``pos_heavy.json``, kept exact
+    at build/append/rebuild time by
+    :func:`update_positional_block_counts`): a term absent from it has
+    at most ``floor`` blocks in any shard, a present term carries its
+    exact per-shard maximum, so no count job runs per query. Without it
+    (ad-hoc DataFrames), a cheap pruned count decides; pass
+    ``max_blocks_per_shard=None`` to skip the guard entirely when the
+    phrase is known to be rare.
     """
     words = [w.lower() for w in phrase]
     if not words:
@@ -249,11 +261,23 @@ def phrase_topk_positional_segments(
     matched = segments.where(F.col("term").isin(uniq))
 
     if max_blocks_per_shard is not None:
-        worst = (
-            matched.groupBy("shard").agg(F.count("*").alias("c"))
-            .agg(F.max("c")).first()[0]
-        )
-        if worst is not None and worst > max_blocks_per_shard:
+        exceeds: bool | None = None
+        if (
+            block_counts is not None
+            and block_counts.get("floor", 1 << 62) <= max_blocks_per_shard
+        ):
+            terms_map = block_counts.get("terms", {})
+            # absent term => per-shard blocks <= floor <= max: safe
+            exceeds = any(
+                terms_map.get(w, 0) > max_blocks_per_shard for w in uniq
+            )
+        if exceeds is None:
+            worst = (
+                matched.groupBy("shard").agg(F.count("*").alias("c"))
+                .agg(F.max("c")).first()[0]
+            )
+            exceeds = worst is not None and worst > max_blocks_per_shard
+        if exceeds:
             # stopword-phrase guard: a head term's matched blocks in one
             # shard would exceed one task's memory under applyInPandas.
             # Stream-decode blocks into (doc, start, pair) votes instead
@@ -381,6 +405,8 @@ def phrase_counts_pandas(
 def compact_positional_segments(
     segments: DataFrame, block_size: int = 128,
     drop_docs: "set | frozenset | None" = None,
+    drop_docs_df: DataFrame | None = None,
+    shard_size: int | None = None,
 ) -> DataFrame:
     """Re-pack append-fragmented positional blocks per (shard, term)
     into full *block_size* blocks — the positional twin of
@@ -388,12 +414,44 @@ def compact_positional_segments(
     (``first_doc``, NOT block_id: appends reuse block ids) and
     re-encoded; the result decodes identically (tests assert it).
 
-    *drop_docs*: doc ids to purge during the re-pack (tombstoned
-    documents, plans/lineage.py::delete_urls) — their postings vanish
-    from the rewritten blocks."""
+    Tombstone purge has two shapes:
+
+    * *drop_docs* — a small in-memory id set, broadcast with the task
+      closure (tests / bounded interactive deletes),
+    * *drop_docs_df* — a ``doc_id`` DataFrame, the SCALE path
+      (plans/lineage.py::rebuild_segments): never collected to the
+      driver. Each tombstone is routed to its doc-range shard
+      (*shard_size*, the store's pinned meta.json value), equi-joined
+      to that shard's block rows and range-filtered to the blocks whose
+      ``[first_doc, last_doc]`` contain it, then grouped into a
+      per-block ``_drop_ids`` array the re-pack filters against —
+      a 10^8-row mass delete stays a shuffle join, with per-task
+      memory bounded by one block's in-range tombstones.
+    """
     drop_arr = (
         np.fromiter(drop_docs, dtype=np.int64) if drop_docs else None
     )
+    if drop_docs_df is not None:
+        if shard_size is None:
+            raise ValueError("drop_docs_df requires shard_size")
+        t = drop_docs_df.select(
+            F.col("doc_id").alias("_drop_id"),
+            (F.col("doc_id") / shard_size).cast("int").alias("shard"),
+        )
+        hit = (
+            segments.select("shard", "term", "block_id", "first_doc",
+                            "last_doc")
+            .join(t, "shard")
+            .where(
+                (F.col("_drop_id") >= F.col("first_doc"))
+                & (F.col("_drop_id") <= F.col("last_doc"))
+            )
+            .groupBy("shard", "term", "block_id", "first_doc")
+            .agg(F.sort_array(F.collect_list("_drop_id")).alias("_drop_ids"))
+        )
+        segments = segments.join(
+            hit, ["shard", "term", "block_id", "first_doc"], "left"
+        )
 
     def compact_partition(
         batches: Iterator[pd.DataFrame],
@@ -422,8 +480,19 @@ def compact_positional_segments(
                     )
                 lens = np.concatenate(len_l)
                 flat = np.concatenate(pos_l)
-                if drop_arr is not None and drop_arr.size:
-                    keep = ~np.isin(doc, drop_arr)
+                gd = drop_arr
+                if "_drop_ids" in g.columns:
+                    extra = [
+                        np.asarray(x, dtype=np.int64)
+                        for x in g["_drop_ids"]
+                        if x is not None and len(x)
+                    ]
+                    if extra:
+                        if gd is not None and gd.size:
+                            extra.append(gd)
+                        gd = np.unique(np.concatenate(extra))
+                if gd is not None and gd.size:
+                    keep = ~np.isin(doc, gd)
                     if not keep.all():
                         pos_keep = np.repeat(keep, lens)
                         doc, lens = doc[keep], lens[keep]
@@ -474,3 +543,103 @@ def compact_positional_segments(
         .sortWithinPartitions("shard", "term", "first_doc")
         .mapInPandas(compact_partition, POS_SEGMENT_SCHEMA)
     )
+
+
+# ------------------------------------------------- block-count summary
+
+DEFAULT_HEAVY_FLOOR = 4096  # blocks/shard ≈ 0.5M postings of one term
+
+
+def _pos_counts_path(store_root: str) -> str:
+    import os
+
+    return os.path.join(store_root, "pos_counts")
+
+
+def _pos_heavy_path(store_root: str) -> str:
+    import os
+
+    return os.path.join(store_root, "pos_heavy.json")
+
+
+def update_positional_block_counts(
+    spark: SparkSession,
+    store_root: str,
+    blocks: DataFrame,
+    heavy_floor: int = DEFAULT_HEAVY_FLOOR,
+    reset: bool = False,
+) -> None:
+    """Maintain the per-(term, shard) positional block counts and the
+    heavy-term summary the phrase guard reads for free.
+
+    Round-3 verdict item: the ``max_blocks_per_shard`` guard cost one
+    pruned count job per guarded phrase query, but the counts are fully
+    knowable at build/append time. *blocks* is the block-row DataFrame
+    just written (the delta on appends, the full store on
+    build/rebuild with ``reset=True``); its (term, shard) counts MERGE
+    into the bucketed ``pos_counts`` store (operators/bucketed.py —
+    hash on ``term`` only, so every shard row of a batch term lands in
+    a touched bucket), and terms whose per-shard maximum exceeds
+    *heavy_floor* are folded into ``pos_heavy.json``:
+
+        {"floor": F, "terms": {term: max_blocks_in_any_shard}}
+
+    The summary is exact by construction: a term's count only changes
+    in batches that add blocks for it, and that batch's merge touches
+    its bucket — so every floor crossing is observed. Query-side
+    contract: absent term ⇒ ≤ floor blocks per shard; present term ⇒
+    its recorded maximum (phrase_topk_positional_segments).
+    """
+    import json
+    import os
+    import shutil
+    import uuid
+
+    from .bucketed import merge_bucketed_counts, read_buckets
+
+    cpath = _pos_counts_path(store_root)
+    hpath = _pos_heavy_path(store_root)
+    if reset:
+        if os.path.isdir(cpath):
+            shutil.rmtree(cpath)
+        if os.path.exists(hpath):
+            os.remove(hpath)
+    heavy = {"floor": int(heavy_floor), "terms": {}}
+    if os.path.exists(hpath):
+        with open(hpath) as f:
+            heavy = json.load(f)
+
+    counts = blocks.groupBy("term", "shard").agg(
+        F.count("*").cast("long").alias("n_blocks")
+    )
+    touched = merge_bucketed_counts(
+        spark, cpath, counts, key_cols=["term", "shard"],
+        sum_cols=["n_blocks"], hash_cols=["term"],
+    )
+    sub = read_buckets(spark, cpath, touched or [])
+    if sub is not None:
+        rows = (
+            sub.groupBy("term")
+            .agg(F.max("n_blocks").alias("m"))
+            .where(F.col("m") > F.lit(int(heavy["floor"])))
+            .collect()
+        )
+        for r in rows:
+            heavy["terms"][r["term"]] = int(r["m"])
+    tmp = hpath + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(heavy, f)
+    os.rename(tmp, hpath)
+
+
+def load_positional_block_counts(store_root: str) -> dict | None:
+    """The heavy-term summary for the free phrase guard, or None when
+    the store predates it (guard falls back to the count job)."""
+    import json
+    import os
+
+    hpath = _pos_heavy_path(store_root)
+    if not os.path.exists(hpath):
+        return None
+    with open(hpath) as f:
+        return json.load(f)

@@ -252,67 +252,27 @@ def build_term_counts(postings: DataFrame) -> DataFrame:
 
 
 def merge_term_counts(
-    spark, store_path: str, delta: DataFrame, n_buckets: int = 64
-) -> None:
+    spark, store_path: str, delta: DataFrame, n_buckets: int = 64,
+    batch_id: Optional[str] = None,
+    fail_after_buckets: Optional[int] = None,
+):
     """MERGE a batch's (term, df, cf) deltas into the bucketed term
     counts store — hash(term) buckets, only buckets present in the
-    delta are read, summed and atomically swapped (the trigram-store
-    pattern, analytics.py::merge_trigram_counts). On Iceberg:
-    ``MERGE INTO term_counts USING delta ON term WHEN MATCHED THEN
-    UPDATE SET df = t.df + d.df, cf = t.cf + d.cf``."""
-    import os
-    import shutil
-    import uuid
+    delta are read, summed and swapped under the crash-safe merge
+    protocol (operators/bucketed.py: durable merge intent, roll-forward
+    reconcile, batch-id replay dedup). On Iceberg: ``MERGE INTO
+    term_counts USING delta ON term WHEN MATCHED THEN UPDATE SET
+    df = t.df + d.df, cf = t.cf + d.cf``.
 
-    delta = delta.withColumn(
-        "bkt", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+    Returns the sorted touched-bucket list (None when *batch_id* was
+    already merged)."""
+    from .bucketed import merge_bucketed_counts
+
+    return merge_bucketed_counts(
+        spark, store_path, delta, key_cols=["term"],
+        sum_cols=["df", "cf"], n_buckets=n_buckets, batch_id=batch_id,
+        fail_after_buckets=fail_after_buckets,
     )
-    touched = sorted(
-        r["bkt"] for r in delta.select("bkt").distinct().collect()
-    )
-
-    def bdir(root: str, b: int) -> str:
-        return os.path.join(root, f"bkt={b}")
-
-    if os.path.isdir(store_path):
-        existing_dirs = [
-            b for b in touched if os.path.isdir(bdir(store_path, b))
-        ]
-        if existing_dirs:
-            existing = spark.read.parquet(
-                *[bdir(store_path, b) for b in existing_dirs]
-            ).withColumn(
-                "bkt",
-                F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
-            )
-            merged = (
-                existing.unionByName(delta)
-                .groupBy("term", "bkt")
-                .agg(
-                    F.sum("df").cast("long").alias("df"),
-                    F.sum("cf").cast("long").alias("cf"),
-                )
-                .select("term", "df", "cf", "bkt")
-            )
-        else:
-            merged = delta
-    else:
-        os.makedirs(store_path, exist_ok=True)
-        merged = delta
-    staging = store_path + f".staging-{uuid.uuid4().hex[:8]}"
-    merged.write.partitionBy("bkt").mode("overwrite").parquet(staging)
-    for b in touched:
-        src = bdir(staging, b)
-        dst = bdir(store_path, b)
-        if not os.path.isdir(src):
-            continue
-        tmp_old = dst + ".old"
-        if os.path.isdir(dst):
-            os.rename(dst, tmp_old)
-        os.rename(src, dst)
-        shutil.rmtree(tmp_old, ignore_errors=True)
-    shutil.rmtree(staging, ignore_errors=True)
-    spark.catalog.refreshByPath(store_path)
 
 
 def derive_term_stats(

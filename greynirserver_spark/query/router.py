@@ -200,23 +200,38 @@ class Router:
 
     def search(self, terms: List[str], k: int = 10) -> DataFrame:
         """BM25 top-k joined to urls — the reference's similarity answer
-        list (search.py:119-214), capped like _MAXLEN_SEARCH."""
+        list (search.py:119-214), capped like _MAXLEN_SEARCH.
+
+        Tombstone overfetch is CAPPED at k + min(n_tomb, 3k) (round-3
+        advice: a mass-delete backlog must not inflate every query's k
+        linearly — the cap also bounds the single-partition re-rank
+        window to ≤4k rows). Only when the capped pass is exhausted by
+        the filter (needs >3k tombstoned top hits) does one counted
+        retry escalate to the full k + n_tomb."""
         from pyspark.sql.window import Window
 
+        from .searcher import Searcher
+
         k = min(k, _MAXLEN_ANSWER)
-        hits = wand_topk(
-            self.segments, terms, self.corpus, k + self._n_tombstones
-        )
-        # the doc_map join drops tombstoned docs (anti-joined view);
-        # re-rank the survivors and cut back to k
-        w = Window.orderBy("rank")
-        return (
-            hits.join(self.doc_map.select("doc_id", "url", "warc_ts"), "doc_id")
-            .withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .orderBy("rank")
-            .select("rank", "doc_id", "url", "warc_ts", "score")
-        )
+        plan = Searcher._overfetch_plan(k, self._n_tombstones)
+        for i, kk in enumerate(plan):
+            hits = wand_topk(self.segments, terms, self.corpus, kk)
+            # the doc_map join drops tombstoned docs (anti-joined view);
+            # re-rank the survivors and cut back to k
+            w = Window.orderBy("rank")
+            out = (
+                hits.join(
+                    self.doc_map.select("doc_id", "url", "warc_ts"),
+                    "doc_id",
+                )
+                .withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .orderBy("rank")
+                .select("rank", "doc_id", "url", "warc_ts", "score")
+            )
+            if i == len(plan) - 1 or out.count() >= k:
+                break
+        return out
 
     def phrase(self, words: List[str], k: int = 10) -> DataFrame:
         """Exact consecutive-phrase top-k joined to urls. Serves from the
@@ -229,23 +244,38 @@ class Router:
             return self.spark.createDataFrame(
                 [], "doc_id long, url string, phrase_tf long")
         from ..operators.phrase import phrase_topk
-        from ..operators.posindex import phrase_topk_positional_segments
+        from ..operators.posindex import (
+            load_positional_block_counts,
+            phrase_topk_positional_segments,
+        )
+        from .searcher import Searcher
 
-        if self.store.has("positions"):
-            hits = phrase_topk_positional_segments(
-                self.store.load(self.spark, "positions"), self.spark,
-                words, k + self._n_tombstones,
-            )
-        else:
+        if not self.store.has("positions"):
             hits = phrase_topk(
                 self.spark, self.doc_map.select("doc_id", "text"), words, k,
             )
-        return (
-            hits.join(self.doc_map.select("doc_id", "url"), "doc_id")
-            .orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
-            .limit(k)
-            .select("doc_id", "url", "phrase_tf")
-        )
+            return (
+                hits.join(self.doc_map.select("doc_id", "url"), "doc_id")
+                .orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
+                .limit(k)
+                .select("doc_id", "url", "phrase_tf")
+            )
+        block_counts = load_positional_block_counts(self.store.root)
+        plan = Searcher._overfetch_plan(k, self._n_tombstones)
+        for i, kk in enumerate(plan):
+            hits = phrase_topk_positional_segments(
+                self.store.load(self.spark, "positions"), self.spark,
+                words, kk, block_counts=block_counts,
+            )
+            out = (
+                hits.join(self.doc_map.select("doc_id", "url"), "doc_id")
+                .orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
+                .limit(k)
+                .select("doc_id", "url", "phrase_tf")
+            )
+            if i == len(plan) - 1 or out.count() >= k:
+                break
+        return out
 
     def related(self, word: str, limit: int = 21) -> DataFrame:
         """Co-occurring terms, top-21 (db/sql.py:287-316)."""

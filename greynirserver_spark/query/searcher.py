@@ -85,12 +85,17 @@ class Searcher:
         self._open()
 
     def _open(self) -> None:
+        from ..operators.posindex import load_positional_block_counts
+
         self._segments = self.store.load_segments(self.spark)
         self._corpus_df = self.store.load(self.spark, "corpus")
         self._positions = (
             self.store.load(self.spark, "positions")
             if self.store.has("positions") else None
         )
+        # store-maintained heavy-term summary: the distributed phrase
+        # fallback's memory guard decides from this dict, no count job
+        self._block_counts = load_positional_block_counts(self.store.root)
         # tombstoned docs (bounded by rebuild cadence) are excluded by
         # overfetch-and-filter until the next rebuild purges them
         self._tombstones: frozenset = frozenset()
@@ -119,6 +124,15 @@ class Searcher:
             self._cache.clear()
             self._open()
 
+    @staticmethod
+    def _overfetch_plan(k: int, n_tomb: int) -> List[int]:
+        """Overfetch sizes to try in order: capped first (bounds both
+        the fetch and any downstream re-rank), full k+n_tomb only when
+        the capped pass is exhausted by the tombstone filter."""
+        capped = k + min(n_tomb, 3 * k)
+        full = k + n_tomb
+        return [capped] if capped >= full else [capped, full]
+
     def search(self, terms: Sequence[str], k: int = 10) -> List[Tuple[int, float]]:
         """[(doc_id, score)] — deterministic (score desc, doc_id asc)."""
         self._check_snapshot()
@@ -134,21 +148,27 @@ class Searcher:
         terms_u = sorted(set(terms))
         if not terms_u:
             return []
-        # overfetch by the (rebuild-bounded) tombstone count so filtered
-        # results still fill k
-        kk = k + len(self._tombstones)
-        matched = self._segments.where(F.col("term").isin(terms_u))
-        # one fetch job, capped: if the cap+1-th block exists the matched
-        # volume is too big for the driver — fall back to the distributed
-        # plan (executors score, only top-k rows return)
-        pdf = matched.limit(self._max_fetch_blocks + 1).toPandas()
-        if len(pdf) > self._max_fetch_blocks:
-            rows = wand_topk(
-                self._segments, terms_u, self._corpus_df, kk
-            ).collect()
-            result = [(int(r["doc_id"]), float(r["score"])) for r in rows]
-        else:
-            if len(pdf) == 0:
+        # overfetch so tombstone-filtered results still fill k — CAPPED
+        # (round-3 advice): a large delete backlog must not inflate
+        # every query's k linearly, so fetch k + min(n_tomb, 3k) first
+        # and escalate to the full k + n_tomb only if the filter
+        # actually exhausts the results (rare: >3k of the top hits
+        # tombstoned)
+        n_tomb = len(self._tombstones)
+        for kk in self._overfetch_plan(k, n_tomb):
+            matched = self._segments.where(F.col("term").isin(terms_u))
+            # one fetch job, capped: if the cap+1-th block exists the
+            # matched volume is too big for the driver — fall back to
+            # the distributed plan (executors score, only top-k return)
+            pdf = matched.limit(self._max_fetch_blocks + 1).toPandas()
+            if len(pdf) > self._max_fetch_blocks:
+                rows = wand_topk(
+                    self._segments, terms_u, self._corpus_df, kk
+                ).collect()
+                result = [
+                    (int(r["doc_id"]), float(r["score"])) for r in rows
+                ]
+            elif len(pdf) == 0:
                 result = []
             else:
                 # score each shard independently (blocks of one shard
@@ -168,8 +188,13 @@ class Searcher:
                         allhits["score"].astype(float),
                     )
                 )
-        if self._tombstones:
-            result = [r for r in result if r[0] not in self._tombstones]
+            n_found = len(result)
+            if self._tombstones:
+                result = [
+                    r for r in result if r[0] not in self._tombstones
+                ]
+            if len(result) >= k or n_found < kk:
+                break  # filled k, or the index itself ran dry
         result = result[:k]
         self._cache[key] = (now, result)
         if len(self._cache) > self._cache_size:
@@ -208,28 +233,37 @@ class Searcher:
                 self._cache.move_to_end(key)
                 return result
             del self._cache[key]
-        kk = k + len(self._tombstones)
-        matched = self._positions.where(
-            F.col("term").isin(sorted(set(words)))
-        )
-        pdf = matched.limit(self._max_fetch_blocks + 1).toPandas()
-        if len(pdf) > self._max_fetch_blocks:
-            rows = phrase_topk_positional_segments(
-                self._positions, self.spark, words, kk
-            ).collect()
-            result = [(int(r["doc_id"]), int(r["phrase_tf"])) for r in rows]
-        else:
-            counts = phrase_counts_pandas(pdf, words)
-            counts = counts.sort_values(
-                ["phrase_tf", "doc_id"], ascending=[False, True],
-                kind="mergesort",
-            ).head(kk)
-            result = list(
-                zip(counts["doc_id"].astype(int),
-                    counts["phrase_tf"].astype(int))
+        n_tomb = len(self._tombstones)
+        for kk in self._overfetch_plan(k, n_tomb):
+            matched = self._positions.where(
+                F.col("term").isin(sorted(set(words)))
             )
-        if self._tombstones:
-            result = [r for r in result if r[0] not in self._tombstones]
+            pdf = matched.limit(self._max_fetch_blocks + 1).toPandas()
+            if len(pdf) > self._max_fetch_blocks:
+                rows = phrase_topk_positional_segments(
+                    self._positions, self.spark, words, kk,
+                    block_counts=self._block_counts,
+                ).collect()
+                result = [
+                    (int(r["doc_id"]), int(r["phrase_tf"])) for r in rows
+                ]
+            else:
+                counts = phrase_counts_pandas(pdf, words)
+                counts = counts.sort_values(
+                    ["phrase_tf", "doc_id"], ascending=[False, True],
+                    kind="mergesort",
+                ).head(kk)
+                result = list(
+                    zip(counts["doc_id"].astype(int),
+                        counts["phrase_tf"].astype(int))
+                )
+            n_found = len(result)
+            if self._tombstones:
+                result = [
+                    r for r in result if r[0] not in self._tombstones
+                ]
+            if len(result) >= k or n_found < kk:
+                break
         result = result[:k]
         self._cache[key] = (now, result)
         if len(self._cache) > self._cache_size:

@@ -108,19 +108,21 @@ def test_last_word_backref(spark):
 def test_genitive_backref_variants(spark):
     """Possessive/case-variant surname back-reference: the reference
     resolves 'Jóns' -> Jón via BÍN case folding (nertokenizer.py:
-    173-232); the suffix-folding dim covers the productive '-s'/'-ar'
-    genitives."""
+    173-232); the declension-folding dim covers the '-s' possessive
+    plus the real patronymic genitives ('-sonar', '-dóttur')."""
     ents = [("e1", "Jón Einarsson"), ("e2", "Hildur Knútsdóttir")]
     docs = spark.createDataFrame(
         [
-            # '-s' genitive of the surname back-references the entity
+            # '-s' possessive of the surname back-references the entity
             (1, "Jón Einarsson mætti. Ræða Einarssons var löng."),
-            # '-ar' genitive
-            (2, "Hildur Knútsdóttir skrifaði. Bók Knútsdóttirar kom út."),
+            # true patronymic genitive '-sonar'
+            (2, "Jón Einarsson mætti. Ræða Einarssonar var löng."),
             # genitive BEFORE the full mention: no backref
             (3, "Ræða Einarssons. Jón Einarsson mætti svo."),
             # exact bare surname still works alongside the variants
             (4, "Jón Einarsson kom. Einarsson fór."),
+            # feminine patronymic genitive: dóttir -> dóttur
+            (5, "Hildur Knútsdóttir skrifaði. Bók Knútsdóttur kom út."),
         ],
         "doc_id long, text string",
     )
@@ -129,7 +131,53 @@ def test_genitive_backref_variants(spark):
         for r in recognize_entities(docs, ents).collect()
     }
     assert (1, 0, "e1") in got and (1, 4, "e1") in got
-    assert (2, 0, "e2") in got and (2, 4, "e2") in got
+    assert (2, 0, "e1") in got and (2, 4, "e1") in got
     assert not any(d == 3 and p == 1 for d, p, _ in got)
     assert (3, 2, "e1") in got
     assert (4, 0, "e1") in got and (4, 3, "e1") in got
+    assert (5, 0, "e2") in got and (5, 4, "e2") in got
+    # the old blind '+ar' concatenation must be gone: 'dóttirar' is not
+    # a word and must not be generated as a foldable token
+    docs_bad = spark.createDataFrame(
+        [(9, "Hildur Knútsdóttir skrifaði. Bók Knútsdóttirar kom út.")],
+        "doc_id long, text string",
+    )
+    got_bad = {
+        (r.doc_id, r.pos)
+        for r in recognize_entities(docs_bad, ents).collect()
+    }
+    assert (9, 4) not in got_bad
+
+
+def test_irregular_declension_backref(spark):
+    """Irregular/umlaut obliques (round-4): weak feminine u-umlaut
+    ('Halla' -> 'Höllu', 'Anna' -> 'Önnu'), plain weak -a ('Sigga' ->
+    'Siggu', 'María' -> 'Maríu'), weak masculine -i -> -a ('Bjarni' ->
+    'Bjarna') and strong -ur -> -ar ('Guðmundur' -> 'Guðmundar'),
+    mirroring the reference's BÍN case folds (nertokenizer.py:173-232)
+    for the productive paradigm classes."""
+    ents = [
+        ("h", "Dóra Halla"),
+        ("a", "Dóra Anna"),
+        ("m", "Dóra María"),
+        ("b", "Jón Bjarni"),
+        ("g", "Jón Guðmundur"),
+    ]
+    docs = spark.createDataFrame(
+        [
+            (1, "Dóra Halla kom. Ræða Höllu var góð."),
+            (2, "Dóra Anna kom. Ræða Önnu var góð."),
+            (3, "Dóra María kom. Ræða Maríu var góð."),
+            (4, "Jón Bjarni kom. Ræða Bjarna var góð."),
+            (5, "Jón Guðmundur kom. Ræða Guðmundar var góð."),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.pos, r.entity_id)
+        for r in recognize_entities(docs, ents).collect()
+    }
+    for d, eid in [(1, "h"), (2, "a"), (3, "m"), (4, "b"), (5, "g")]:
+        assert (d, 0, eid) in got, (d, eid)
+        # tokens: <first>(0) <last>(1) kom(2) ræða(3) <oblique>(4)
+        assert (d, 4, eid) in got, (d, eid)  # oblique back-reference

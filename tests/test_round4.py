@@ -1,0 +1,357 @@
+"""Round-4 hardening: crash-safe bucketed merges, driver-free mass
+tombstone purge, store-maintained phrase guard, capped tombstone
+overfetch, dictionary unpersist, Icelandic collation."""
+
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import pytest
+from pyspark.sql import functions as F
+
+from greynirserver_spark.corpus import generate_pages, indexable_stems_by_rank
+from greynirserver_spark.operators.bucketed import (
+    load_bucketed,
+    merge_bucketed_counts,
+    reconcile_bucketed_store,
+)
+
+
+def _counts(spark, path):
+    return {
+        r["k"]: r["v"]
+        for r in load_bucketed(spark, path).select("k", "v").collect()
+    }
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, "k string, v long")
+
+
+# ------------------------------------------------ crash-safe merges
+
+def test_bucketed_merge_crash_rolls_forward(spark, tmp_path):
+    """A crash mid-bucket-swap must leave no half-merged store: the
+    durable intent makes the next reader/merger roll the whole batch
+    forward (round-3 advice: the old protocol left some buckets merged
+    and some not, with replay double-counting)."""
+    store = str(tmp_path / "cnt")
+    merge_bucketed_counts(
+        spark, store, _kv(spark, [("a", 1), ("b", 2), ("c", 3), ("d", 4)]),
+        ["k"], ["v"], n_buckets=8,
+    )
+    with pytest.raises(RuntimeError, match="injected"):
+        merge_bucketed_counts(
+            spark, store,
+            _kv(spark, [("a", 10), ("b", 20), ("c", 30), ("d", 40)]),
+            ["k"], ["v"], n_buckets=8, batch_id="b2",
+            fail_after_buckets=1,
+        )
+    # an open intent exists; reconcile-then-read sees the FULL merge
+    assert any(
+        fn.startswith("_merge_intent-") for fn in os.listdir(store)
+    )
+    assert _counts(spark, store) == {"a": 11, "b": 22, "c": 33, "d": 44}
+    assert not any(
+        fn.startswith("_merge_intent-") for fn in os.listdir(store)
+    )
+    # replaying the crashed batch is a no-op (ledger dedup), not a
+    # double count
+    out = merge_bucketed_counts(
+        spark, store,
+        _kv(spark, [("a", 10), ("b", 20), ("c", 30), ("d", 40)]),
+        ["k"], ["v"], n_buckets=8, batch_id="b2",
+    )
+    assert out is None
+    assert _counts(spark, store) == {"a": 11, "b": 22, "c": 33, "d": 44}
+
+
+def test_bucketed_merge_crash_before_intent_is_clean(spark, tmp_path):
+    """A staging dir without an intent (writer died before the intent
+    was durable) is garbage: the store reads pre-merge and the stray is
+    swept."""
+    import shutil
+
+    store = str(tmp_path / "cnt2")
+    merge_bucketed_counts(
+        spark, store, _kv(spark, [("a", 1)]), ["k"], ["v"], n_buckets=4
+    )
+    # simulate: staged output exists, intent never written
+    stray = store + ".staging-deadbeef"
+    shutil.copytree(store, stray, ignore=shutil.ignore_patterns("_*"))
+    assert _counts(spark, store) == {"a": 1}
+    assert not os.path.isdir(stray)
+
+
+def test_legacy_old_dirs_are_purged(spark, tmp_path):
+    """bkt=N.old leftovers from the pre-round-4 protocol must never be
+    read back as partition value 'N.old'."""
+    import shutil
+
+    store = str(tmp_path / "cnt3")
+    merge_bucketed_counts(
+        spark, store, _kv(spark, [("a", 1), ("b", 2)]), ["k"], ["v"],
+        n_buckets=4,
+    )
+    bkts = [fn for fn in os.listdir(store) if fn.startswith("bkt=")]
+    shutil.copytree(
+        os.path.join(store, bkts[0]), os.path.join(store, bkts[0] + ".old")
+    )
+    reconcile_bucketed_store(store)
+    assert not any(fn.endswith(".old") for fn in os.listdir(store))
+    assert _counts(spark, store) == {"a": 1, "b": 2}
+
+
+def test_trigram_merge_replay_safe(spark, tmp_path):
+    """merge_trigram_counts carries the same batch-id dedup."""
+    from greynirserver_spark.operators.analytics import (
+        merge_trigram_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a b x")], "doc_id long, text string"
+    )
+    store = str(tmp_path / "tri")
+    n1 = merge_trigram_counts(spark, store, docs, batch_id="t1")
+    n2 = merge_trigram_counts(spark, store, docs, batch_id="t1")
+    assert n1 == n2
+    freqs = {
+        r["trigram"]: r["freq"]
+        for r in load_bucketed(spark, store).collect()
+    }
+    assert freqs["a b c"] == 2  # not 4
+
+
+# ------------------------------------- distributed tombstone purge
+
+def test_compact_positional_mass_delete_distributed(spark, tmp_path):
+    """100k+ tombstones purge through the shard-equi range join —
+    nothing collected to the driver — and the re-packed blocks are
+    byte-identical to a from-scratch build over the survivors."""
+    from greynirserver_spark.operators.posindex import (
+        build_positional_segments,
+        compact_positional_segments,
+    )
+
+    n_docs = 200_000
+    shard_size = 6_250  # 32 shards
+    base = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.array(
+            (F.col("id") % 5).cast("long"),
+            (F.col("id") % 5 + 3).cast("long"),
+        ).alias("positions"),
+    )
+    pos = base.select(F.lit("alpha").alias("term"), "doc_id", "positions") \
+        .unionByName(
+            base.where(F.col("doc_id") % 3 == 0).select(
+                F.lit("beta").alias("term"), "doc_id", "positions"
+            )
+        )
+    blocks = build_positional_segments(
+        pos, n_shards=32, block_size=128, shard_size=shard_size
+    )
+    drops = spark.range(n_docs).where(F.col("id") % 2 == 1).select(
+        F.col("id").alias("doc_id")
+    )
+    assert drops.count() == 100_000
+    compacted = compact_positional_segments(
+        blocks, block_size=128, drop_docs_df=drops, shard_size=shard_size
+    )
+    want = build_positional_segments(
+        pos.join(drops, "doc_id", "left_anti"),
+        n_shards=32, block_size=128, shard_size=shard_size,
+    )
+    cols = ["term", "shard", "block_id", "n_docs", "first_doc",
+            "last_doc", "docs", "poslens", "positions"]
+    got_rows = sorted(map(tuple, compacted.select(*cols).collect()))
+    want_rows = sorted(map(tuple, want.select(*cols).collect()))
+    assert got_rows == want_rows
+
+
+# ------------------------------------------- free phrase guard
+
+@pytest.fixture(scope="module")
+def pos_store(spark, tmp_path_factory):
+    from greynirserver_spark.plans.lineage import build_index_checkpointed
+
+    pages = generate_pages(spark, 400).cache()
+    root = str(tmp_path_factory.mktemp("r4pos") / "store")
+    store = build_index_checkpointed(
+        spark, pages, root, n_shards=4, with_positions=True
+    )
+    return store, pages
+
+
+def test_phrase_guard_summary_maintained(spark, pos_store):
+    """pos_heavy.json + the bucketed pos_counts store exist after a
+    build and stay EXACT after an append (counts == groupBy of the
+    positions table)."""
+    from greynirserver_spark.operators.posindex import (
+        load_positional_block_counts,
+    )
+    from greynirserver_spark.plans.lineage import append_pages
+
+    store, pages = pos_store
+    bc = load_positional_block_counts(store.root)
+    assert bc is not None and "floor" in bc and "terms" in bc
+
+    extra = generate_pages(spark, 460).where(
+        F.xxhash64("url") % 11 == 3
+    )
+    append_pages(spark, store, extra)
+    got = {
+        (r["term"], r["shard"]): r["n_blocks"]
+        for r in load_bucketed(
+            spark, os.path.join(store.root, "pos_counts")
+        ).collect()
+    }
+    want = {
+        (r["term"], r["shard"]): r["c"]
+        for r in spark.read.parquet(store.positions)
+        .groupBy("term", "shard").agg(F.count("*").alias("c")).collect()
+    }
+    assert got == want
+
+
+def test_phrase_guard_fallback_rank_identical(spark, pos_store):
+    """The dict-driven guard decision selects the vote-shuffle plan
+    without a count job, and that plan is rank-identical to the
+    applyInPandas path."""
+    from greynirserver_spark.operators.posindex import (
+        phrase_topk_positional_segments,
+    )
+
+    store, pages = pos_store
+    row = spark.read.parquet(store.doc_map).first()
+    toks = [t for t in row["text"].lower().split() if t.isalpha()]
+    words = toks[:2]
+    positions = spark.read.parquet(store.positions)
+    normal = phrase_topk_positional_segments(
+        positions, spark, words, 10, max_blocks_per_shard=None
+    ).collect()
+    forced = phrase_topk_positional_segments(
+        positions, spark, words, 10,
+        max_blocks_per_shard=1,
+        block_counts={"floor": 0,
+                      "terms": {w: 10**9 for w in words}},
+    ).collect()
+    assert [tuple(r) for r in normal] == [tuple(r) for r in forced]
+    # and a safe verdict from the summary keeps the fast path
+    safe = phrase_topk_positional_segments(
+        positions, spark, words, 10,
+        max_blocks_per_shard=1000,
+        block_counts={"floor": 10, "terms": {}},
+    ).collect()
+    assert [tuple(r) for r in normal] == [tuple(r) for r in safe]
+
+
+# ------------------------------------------- capped overfetch
+
+def test_tombstone_overfetch_capped_with_escalation(spark, tmp_path):
+    """k + min(n_tomb, 3k) first, full k + n_tomb only when the filter
+    exhausts the capped results (round-3 advice)."""
+    from greynirserver_spark.plans.lineage import (
+        build_index_checkpointed,
+        delete_urls,
+    )
+    from greynirserver_spark.plans.pipeline import query_to_terms
+    from greynirserver_spark.query.router import Router
+    from greynirserver_spark.query.searcher import Searcher
+
+    assert Searcher._overfetch_plan(10, 5) == [15]
+    assert Searcher._overfetch_plan(10, 30) == [40]
+    assert Searcher._overfetch_plan(1, 4) == [4, 5]
+    assert Searcher._overfetch_plan(10, 1000) == [40, 1010]
+
+    pages = generate_pages(spark, 300).cache()
+    store = build_index_checkpointed(
+        spark, pages, str(tmp_path / "of"), n_shards=4,
+        with_positions=True,
+    )
+    q = " ".join(indexable_stems_by_rank(2))
+    terms = query_to_terms(q)
+    s = Searcher(spark, store, version_check_interval_s=0.0)
+    top5 = s.search(terms, 5)
+    assert len(top5) == 5
+    dm = spark.read.parquet(store.doc_map)
+    victims = [
+        r["url"] for r in dm.where(
+            F.col("doc_id").isin([d for d, _ in top5[:4]])
+        ).collect()
+    ]
+    delete_urls(spark, store, victims)
+    # k=1 with 4 tombstoned top hits: capped pass (kk=4) is exhausted,
+    # escalation (kk=5) must surface the 5th-ranked doc
+    s2 = Searcher(spark, store, version_check_interval_s=0.0)
+    got = s2.search(terms, 1)
+    assert got == [top5[4]]
+    r = Router(spark, store, version_check_interval_s=0.0)
+    rows = r.search(terms, 1).collect()
+    assert [(x["doc_id"], x["score"]) for x in rows] == [top5[4]]
+
+
+# ------------------------------------------- dictionary unpersist
+
+def test_builds_do_not_leak_persisted_dictionaries(spark, tmp_path):
+    """Repeated index builds must not grow the session's persisted-RDD
+    set (round-3 verdict #6: one vocabulary-sized MEMORY_AND_DISK leak
+    per build)."""
+    from greynirserver_spark.plans.lineage import build_index_checkpointed
+
+    pages = generate_pages(spark, 150).cache()
+    pages.count()
+
+    def n_persisted():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    build_index_checkpointed(
+        spark, pages, str(tmp_path / "s0"), n_shards=2,
+        with_positions=True,
+    )
+    base = n_persisted()
+    for i in (1, 2):
+        build_index_checkpointed(
+            spark, pages, str(tmp_path / f"s{i}"), n_shards=2,
+            with_positions=True,
+        )
+    assert n_persisted() == base
+
+
+# ------------------------------------------- Icelandic collation
+
+def test_icelandic_collation_order(spark):
+    """Pinned alphabet edge cases (ð/þ/æ/ö + accented vowels) in the
+    reference's strxfrm is_IS order (routes/people.py:96-104)."""
+    from greynirserver_spark.functions.collation import (
+        icelandic_collation_key,
+        people_sorted,
+    )
+
+    names = [
+        "Örn", "Anna", "Ásta", "Björn", "Dagur", "Ðra", "Einar",
+        "Élin", "Ingi", "Ívar", "Óli", "Þór", "Ægir", "Unnur", "Úlfur",
+        "Yrsa", "Ýr",
+    ]
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = [r["name"] for r in people_sorted(df, "name").collect()]
+    assert got == [
+        "Anna", "Ásta", "Björn", "Dagur", "Ðra", "Einar", "Élin",
+        "Ingi", "Ívar", "Óli", "Unnur", "Úlfur", "Yrsa", "Ýr", "Þór",
+        "Ægir", "Örn",
+    ]
+    # fallback key (engines without ICU collations) pins the same
+    # primary order on alphabet-only strings
+    fb = [
+        r["name"]
+        for r in df.orderBy(
+            F.translate(
+                F.lower(F.col("name")),
+                "aábcdðeéfghiíjklmnoópqrstuúvwxyýþæö",
+                "".join(chr(ord("A") + i) for i in range(35)),
+            )
+        ).collect()
+    ]
+    assert fb == got
