@@ -42,6 +42,12 @@ WITH tok AS (
 """
 
 _BM25_TERMS = ["spark", "join", "window", "stream"]
+# batched serving: N queries through ONE wand_topk_batch job
+_BM25_BATCH = {
+    "q0": ["spark", "join", "window", "stream"],
+    "q1": ["hash", "table", "scan", "filter"],
+    "q2": ["stream", "batch"],
+}
 _PHRASE = ["slow", "hash", "batch"]
 
 _PHRASE_SQL = f"""
@@ -475,6 +481,35 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _icelandic_collation_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Icelandic-collated name listing (reference routes/people.py:96-104,
+    strxfrm under is_IS): each document's first token, plus an
+    Icelandic-lettered variant (deterministic translate), ranked under
+    the ICU 'is' collation — á/ð/é/þ/ý sort by the Icelandic alphabet,
+    not byte order. DuckDB verifies via COLLATE \"is\" (same ICU rules)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from greynirserver_spark.functions.collation import (
+        icelandic_collation_key,
+    )
+
+    first = _docs(spark, sf_dir).select(
+        F.split(F.col("text"), " ").getItem(0).alias("name")
+    )
+    names = first.unionByName(
+        first.select(
+            F.translate("name", "aeodty", "áéóðþý").alias("name")
+        )
+    ).distinct()
+    win = Window.orderBy(
+        icelandic_collation_key(F.col("name")).asc(), F.col("name").asc()
+    )
+    return names.select(
+        F.row_number().over(win).alias("rank"), "name"
+    ).orderBy("rank")
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -519,6 +554,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # same oracle as bm25_topk, served through compressed segments + WAND
         "bm25_wand_topk": lambda s, d: T.bm25_wand_documents_topk(
             _docs(s, d), _BM25_TERMS, k=20
+        ),
+        "bm25_wand_batch": lambda s, d: T.bm25_wand_documents_topk_batch(
+            _docs(s, d), _BM25_BATCH, k=20
         ),
         "term_stats_top100": lambda s, d: (
             T.document_term_stats(_docs(s, d), min_df=3)
@@ -631,6 +669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_events_per_user": lambda s, d: A.top_events_per_user(s, d),
         "events_page": lambda s, d: A.events_page(s, d),
         "term_autocomplete": lambda s, d: A.term_autocomplete(_docs(s, d), "s"),
+        "icelandic_collation_sort": _icelandic_collation_sort,
         "token_count_bpe": lambda s, d: A.token_count_bpe(_docs(s, d)),
         "word_trigrams": lambda s, d: A.word_trigrams(_docs(s, d)),
         "pack_token_budget": lambda s, d: __import__(
@@ -981,6 +1020,20 @@ SELECT term, count(*)::BIGINT AS df
 FROM post WHERE term LIKE 's%'
 GROUP BY term ORDER BY df DESC, term ASC LIMIT 10
 """,
+        "icelandic_collation_sort": """
+WITH first_tok AS (
+  SELECT split_part(text, ' ', 1) AS name FROM documents
+), names AS (
+  SELECT DISTINCT name FROM (
+    SELECT name FROM first_tok
+    UNION ALL
+    SELECT translate(name, 'aeodty', 'áéóðþý') FROM first_tok
+  )
+)
+SELECT row_number() OVER (ORDER BY name COLLATE "is", name) AS rank,
+       name
+FROM names ORDER BY rank
+""",
         "token_count_bpe": r"""
 SELECT doc_id,
        len(regexp_extract_all(lower(text), '\p{L}+|[0-9]+|[^\s\p{L}0-9]'))::BIGINT
@@ -1111,4 +1164,34 @@ ORDER BY n_name
     }
     # the WAND-served query must match the same relational semantics
     out["bm25_wand_topk"] = out["bm25_topk"]
+    # batched WAND: per-qid ranked top-20, same scoring CTEs
+    batch_parts = []
+    for qid in sorted(_BM25_BATCH):
+        tin = ", ".join(f"'{t}'" for t in sorted(set(_BM25_BATCH[qid])))
+        batch_parts.append(f"""(
+  SELECT '{qid}' AS qid,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+         doc_id, score
+  FROM (
+    SELECT p.doc_id,
+           round(sum(tsi.idf * (p.tf * (1.2 + 1.0))
+                 / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doclen / corp.avgdl))), 4)
+             AS score
+    FROM post p
+    JOIN tsi USING (term)
+    JOIN dl ON dl.doc_id = p.doc_id, corp
+    WHERE p.term IN ({tin})
+    GROUP BY p.doc_id
+  ) ORDER BY score DESC, doc_id ASC LIMIT 20
+)""")
+    out["bm25_wand_batch"] = _TOK_CTE + """,
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS doclen FROM post GROUP BY 1),
+corp AS (SELECT count(*)::BIGINT AS n_docs,
+                sum(doclen)::DOUBLE / count(*) AS avgdl FROM dl),
+ts AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY 1
+       HAVING count(*) >= 3),
+tsi AS (SELECT term,
+               ln((corp.n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+        FROM ts, corp)
+""" + "\nUNION ALL\n".join(batch_parts) + "\nORDER BY qid, rank"
     return out

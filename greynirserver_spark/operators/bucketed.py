@@ -1,10 +1,14 @@
-"""Crash-safe hash-bucketed count stores (the shared MERGE substrate).
+"""Crash-safe hash-bucketed count stores (in-place MERGE substrate).
 
-Both incremental count stores — trigram frequencies
-(analytics.py::merge_trigram_counts, the reference's per-row
-``ON CONFLICT (t1,t2,t3) DO UPDATE SET frequency = frequency + new``,
-db/models.py:586-609) and term df/cf (postings.py::merge_term_counts)
-— share one layout and one merge protocol:
+Used by the trigram store (analytics.py::merge_trigram_counts, the
+reference's per-row ``ON CONFLICT (t1,t2,t3) DO UPDATE SET frequency =
+frequency + new``, db/models.py:586-609) — the right shape when a
+batch's key set is BOUNDED, so the merge genuinely touches few
+buckets. For unbounded batch keys (an index append's term deltas:
+thousands of distinct terms touch every bucket, making the merge
+O(vocabulary) in disguise) use the log-structured store in
+operators/runstore.py instead — measured comparison in
+scripts/append_stats_scaling.py. Layout and protocol:
 
 * layout: ``bkt=N/`` directories, N = ``pmod(xxhash64(keys), n_buckets)``;
   a batch MERGE reads, sums and swaps ONLY the buckets its keys hash

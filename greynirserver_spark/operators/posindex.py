@@ -568,6 +568,7 @@ def update_positional_block_counts(
     blocks: DataFrame,
     heavy_floor: int = DEFAULT_HEAVY_FLOOR,
     reset: bool = False,
+    run_id: "str | None" = None,
 ) -> None:
     """Maintain the per-(term, shard) positional block counts and the
     heavy-term summary the phrase guard reads for free.
@@ -576,56 +577,92 @@ def update_positional_block_counts(
     pruned count job per guarded phrase query, but the counts are fully
     knowable at build/append time. *blocks* is the block-row DataFrame
     just written (the delta on appends, the full store on
-    build/rebuild with ``reset=True``); its (term, shard) counts MERGE
-    into the bucketed ``pos_counts`` store (operators/bucketed.py —
-    hash on ``term`` only, so every shard row of a batch term lands in
-    a touched bucket), and terms whose per-shard maximum exceeds
-    *heavy_floor* are folded into ``pos_heavy.json``:
+    build/rebuild with ``reset=True``); its (term, shard) counts go
+    into the log-structured ``pos_counts`` store (operators/runstore.py
+    — an append WRITES one run and reads nothing, so maintenance is
+    O(batch), never O(vocab)). ``pos_heavy.json`` holds the summary the
+    guard reads:
 
-        {"floor": F, "terms": {term: max_blocks_in_any_shard}}
+        {"floor": F,
+         "terms": {term: upper-bound max blocks in any shard},
+         "warm":  [[term, shard, exact n] for n > F/2 at compaction]}
 
-    The summary is exact by construction: a term's count only changes
-    in batches that add blocks for it, and that batch's merge touches
-    its bucket — so every floor crossing is observed. Query-side
-    contract: absent term ⇒ ≤ floor blocks per shard; present term ⇒
-    its recorded maximum (phrase_topk_positional_segments).
+    Exact at every compaction (reset=True). Between compactions the
+    update stays conservative with bounded state: a shard total is
+    (base + run deltas); bases above F/2 are carried exactly in
+    ``warm`` (a tiny Zipf head), every other base is ≤ F/2 by
+    construction, so ub = runs_sum + min(base, F/2) is a sound upper
+    bound computed from the bounded-size runs alone. Query-side
+    contract (phrase_topk_positional_segments): absent term ⇒ ≤ floor
+    blocks per shard guaranteed; present term ⇒ ub ≥ true count, so
+    the guard can only fall back early (safe), never under-guard.
     """
     import json
     import os
-    import shutil
     import uuid
 
-    from .bucketed import merge_bucketed_counts, read_buckets
+    from .runstore import append_run, compact, current_epoch, load_runs_only
 
     cpath = _pos_counts_path(store_root)
     hpath = _pos_heavy_path(store_root)
-    if reset:
-        if os.path.isdir(cpath):
-            shutil.rmtree(cpath)
-        if os.path.exists(hpath):
-            os.remove(hpath)
-    heavy = {"floor": int(heavy_floor), "terms": {}}
-    if os.path.exists(hpath):
-        with open(hpath) as f:
-            heavy = json.load(f)
 
     counts = blocks.groupBy("term", "shard").agg(
         F.count("*").cast("long").alias("n_blocks")
     )
-    touched = merge_bucketed_counts(
-        spark, cpath, counts, key_cols=["term", "shard"],
-        sum_cols=["n_blocks"], hash_cols=["term"],
-    )
-    sub = read_buckets(spark, cpath, touched or [])
-    if sub is not None:
-        rows = (
-            sub.groupBy("term")
-            .agg(F.max("n_blocks").alias("m"))
-            .where(F.col("m") > F.lit(int(heavy["floor"])))
+
+    if reset:
+        compact(spark, cpath, counts)
+        floor = int(heavy_floor)
+        base = os.path.join(cpath, f"base-{current_epoch(cpath)}")
+        warm_rows = (
+            spark.read.parquet(base)
+            .where(F.col("n_blocks") > floor // 2)
             .collect()
         )
-        for r in rows:
-            heavy["terms"][r["term"]] = int(r["m"])
+        heavy = {
+            "floor": floor,
+            "terms": {},
+            "warm": [
+                [r["term"], int(r["shard"]), int(r["n_blocks"])]
+                for r in warm_rows
+            ],
+        }
+        for r in warm_rows:
+            if int(r["n_blocks"]) > floor:
+                heavy["terms"][r["term"]] = max(
+                    heavy["terms"].get(r["term"], 0), int(r["n_blocks"])
+                )
+    else:
+        heavy = {"floor": int(heavy_floor), "terms": {}, "warm": []}
+        if os.path.exists(hpath):
+            with open(hpath) as f:
+                heavy = json.load(f)
+        floor = int(heavy["floor"])
+        append_run(spark, cpath, counts, run_id=run_id)
+        runs = load_runs_only(spark, cpath, ["term", "shard"], ["n_blocks"])
+        if runs is not None:
+            if heavy.get("warm"):
+                warm_df = spark.createDataFrame(
+                    [(t, int(s), int(n)) for t, s, n in heavy["warm"]],
+                    "term string, shard int, base long",
+                )
+                tot = runs.join(warm_df, ["term", "shard"], "left")
+            else:
+                tot = runs.withColumn("base", F.lit(None).cast("long"))
+            rows = (
+                tot.select(
+                    "term",
+                    (F.col("n_blocks")
+                     + F.coalesce("base", F.lit(floor // 2))).alias("ub"),
+                )
+                .where(F.col("ub") > floor)
+                .groupBy("term").agg(F.max("ub").alias("m"))
+                .collect()
+            )
+            for r in rows:
+                heavy["terms"][r["term"]] = max(
+                    heavy["terms"].get(r["term"], 0), int(r["m"])
+                )
     tmp = hpath + f".tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
         json.dump(heavy, f)

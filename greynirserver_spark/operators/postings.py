@@ -29,7 +29,9 @@ __all__ = [
     "build_postings",
     "build_term_stats",
     "build_term_counts",
-    "merge_term_counts",
+    "append_term_counts_run",
+    "compact_term_counts",
+    "load_term_counts",
     "derive_term_stats",
     "build_doc_stats",
     "corpus_stats",
@@ -241,7 +243,7 @@ def build_term_counts(postings: DataFrame) -> DataFrame:
     """(term, df, cf) — UNPRUNED per-term document and collection
     frequencies. The mergeable form of the term statistics: df/cf are
     pure sums, so an incremental batch's counts fold in with one
-    bucketed MERGE (:func:`merge_term_counts`) instead of re-scanning
+    log-structured run append (:func:`append_term_counts_run`) instead of re-scanning
     the whole postings table; pruning and idf (which depend on the
     GLOBAL min_df/N) are derived at read time by
     :func:`derive_term_stats`."""
@@ -251,28 +253,48 @@ def build_term_counts(postings: DataFrame) -> DataFrame:
     )
 
 
-def merge_term_counts(
-    spark, store_path: str, delta: DataFrame, n_buckets: int = 64,
-    batch_id: Optional[str] = None,
-    fail_after_buckets: Optional[int] = None,
-):
-    """MERGE a batch's (term, df, cf) deltas into the bucketed term
-    counts store — hash(term) buckets, only buckets present in the
-    delta are read, summed and swapped under the crash-safe merge
-    protocol (operators/bucketed.py: durable merge intent, roll-forward
-    reconcile, batch-id replay dedup). On Iceberg: ``MERGE INTO
-    term_counts USING delta ON term WHEN MATCHED THEN UPDATE SET
-    df = t.df + d.df, cf = t.cf + d.cf``.
+def append_term_counts_run(
+    spark, store_path: str, delta: DataFrame, run_id: Optional[str] = None
+) -> bool:
+    """Append a batch's (term, df, cf) deltas as one LSM run
+    (operators/runstore.py) — O(batch) WRITE-ONLY, no read of the
+    store. This is what makes the index append loop vocabulary-
+    independent: the round-3 bucketed MERGE read+rewrote every bucket
+    its terms hashed into, and an append batch's thousands of distinct
+    terms touch essentially all buckets — O(vocab) in disguise
+    (measured, scripts/append_stats_scaling.py). On Iceberg: a
+    fast-append snapshot of the delta table. Returns False on
+    idempotent replay (*run_id* already appended)."""
+    from .runstore import append_run
 
-    Returns the sorted touched-bucket list (None when *batch_id* was
-    already merged)."""
-    from .bucketed import merge_bucketed_counts
+    return append_run(spark, store_path, delta, run_id=run_id)
 
-    return merge_bucketed_counts(
-        spark, store_path, delta, key_cols=["term"],
-        sum_cols=["df", "cf"], n_buckets=n_buckets, batch_id=batch_id,
-        fail_after_buckets=fail_after_buckets,
-    )
+
+def compact_term_counts(spark, store_path: str, counts: DataFrame) -> None:
+    """Publish authoritative full counts as the new base epoch —
+    build/rebuild/recovery path (O(vocab) there by definition)."""
+    from .runstore import compact
+
+    return compact(spark, store_path, counts)
+
+
+def load_term_counts(spark, store_path: str) -> DataFrame:
+    """The exact mergeable (term, df, cf) view: base ∪ runs re-summed.
+    Long sums are order-independent, so the view is bit-equal to
+    :func:`build_term_counts` over the full postings table. Reads a
+    pre-round-4 hash-bucketed store (``bkt=N`` dirs) transparently."""
+    import os
+
+    from .runstore import load_counts
+
+    df = load_counts(spark, store_path, ["term"], ["df", "cf"])
+    if df is not None:
+        return df
+    if os.path.isdir(store_path) and any(
+        d.startswith("bkt=") for d in os.listdir(store_path)
+    ):
+        return spark.read.parquet(store_path).select("term", "df", "cf")
+    return spark.createDataFrame([], "term string, df long, cf long")
 
 
 def derive_term_stats(

@@ -17,7 +17,10 @@ Each block row carries:
 
     term, shard, block_id, n_docs, first_doc, last_doc,
     block_max  (BM25 upper bound over the block's postings),
-    idf        (denormalized per row),
+    idf        (denormalized per row — the idf this bake priced with),
+    avgdl0     (the corpus avgdl this bake priced with; serving
+                rescales block_max by max(1, avgdl_now/avgdl0) so
+                pruning stays sound under corpus drift),
     docs, tfs, dls  (varint byte streams; docs are delta-coded)
 
 Storing doclen (dls) inside the block makes a block self-contained for
@@ -62,7 +65,7 @@ DEFAULT_BLOCK_SIZE = 128
 SEGMENT_SCHEMA = (
     "term string, shard int, block_id int, n_docs int, "
     "first_doc long, last_doc long, block_max double, idf double, "
-    "docs binary, tfs binary, dls binary"
+    "avgdl0 double, docs binary, tfs binary, dls binary"
 )
 SEGMENT_SCHEMA_COLS = [c.split()[0] for c in SEGMENT_SCHEMA.split(", ")]
 # encoder-internal schema: term carried as the dictionary id
@@ -229,8 +232,12 @@ def build_segments(
         .withColumn("shard", (F.col("doc_id") / shard_size).cast("int"))
     )
 
+    # avgdl0 = the corpus avgdl this bake priced block_max with: serving
+    # rescales bounds by max(1, avgdl_now/avgdl0) so pruning stays a
+    # SOUND upper bound when the corpus mean drifts between bakes
+    # (f(tf,dl,a) is increasing in a and f(a_now) <= f(a0) * a_now/a0)
     cols = ["term_id", "shard", "block_id", "n_docs", "first_doc",
-            "last_doc", "block_max", "idf", "docs", "tfs", "dls"]
+            "last_doc", "block_max", "idf", "avgdl0", "docs", "tfs", "dls"]
 
     def _encode_batch(b: pd.DataFrame) -> pd.DataFrame:
         """Encode one sorted batch with NO per-group Python: group and
@@ -283,6 +290,7 @@ def build_segments(
                 "last_doc": doc[seg_ends],
                 "block_max": np.maximum.reduceat(parts, seg_starts),
                 "idf": idf[seg_starts],
+                "avgdl0": np.full(len(seg_starts), avgdl, dtype=np.float64),
                 "docs": [
                     d_bytes[d_off[s]: d_off[e + 1]]
                     for s, e in zip(seg_starts, seg_ends)
@@ -388,7 +396,7 @@ def compact_segments(
     """
     avgdl = float(corpus.collect()[0]["avgdl"])
     cols = ["term", "shard", "block_id", "n_docs", "first_doc",
-            "last_doc", "block_max", "idf", "docs", "tfs", "dls"]
+            "last_doc", "block_max", "idf", "avgdl0", "docs", "tfs", "dls"]
 
     def compact_partition(
         batches: Iterator[pd.DataFrame],
@@ -425,7 +433,7 @@ def compact_segments(
                     db, tb, lb = encode_block(d, t, l)
                     rows.append(
                         (term, shard, b0 // block_size, len(d), int(d[0]),
-                         int(d[-1]), float(pscore[sl].max()), idf,
+                         int(d[-1]), float(pscore[sl].max()), idf, avgdl,
                          db, tb, lb)
                     )
             return pd.DataFrame(rows, columns=cols)

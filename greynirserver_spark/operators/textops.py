@@ -161,24 +161,11 @@ def bm25_documents_topk(
     )
 
 
-def bm25_wand_documents_topk(
-    docs: DataFrame, query_terms: Sequence[str], k: int = 20,
-    min_df: int = 3, n_shards: int = 8,
-) -> DataFrame:
-    """Same result as :func:`bm25_documents_topk`, computed through the
-    compressed segment store + block-max WAND (the serving path). Used by
-    the driver gate with the *same* oracle SQL — proving the compressed
-    path end-to-end against DuckDB.
-
-    Raw WAND scores are exact float64; for the cross-engine comparison the
-    top-(k+50) raw results are re-ranked by (round(score,4) desc, doc_id)
-    — the slack absorbs boundary docs whose rounded scores tie.
-    """
+def _documents_segment_index(docs: DataFrame, min_df: int, n_shards: int):
+    """(segments, corpus) — the compressed segment store built ad hoc
+    from the documents table (shared by the WAND driver-gate paths)."""
     from .segments import build_segments
-    from .wand import wand_topk
-    from pyspark.sql.window import Window as W
 
-    terms = sorted(set(query_terms))
     postings = document_postings(docs)
     doclen = postings.groupBy("doc_id").agg(
         F.sum("tf").cast("long").alias("doclen")
@@ -205,6 +192,27 @@ def bm25_wand_documents_topk(
     segments = build_segments(
         postings, tstats, doclen, corpus, n_shards=n_shards
     )
+    return segments, corpus
+
+
+def bm25_wand_documents_topk(
+    docs: DataFrame, query_terms: Sequence[str], k: int = 20,
+    min_df: int = 3, n_shards: int = 8,
+) -> DataFrame:
+    """Same result as :func:`bm25_documents_topk`, computed through the
+    compressed segment store + block-max WAND (the serving path). Used by
+    the driver gate with the *same* oracle SQL — proving the compressed
+    path end-to-end against DuckDB.
+
+    Raw WAND scores are exact float64; for the cross-engine comparison the
+    top-(k+50) raw results are re-ranked by (round(score,4) desc, doc_id)
+    — the slack absorbs boundary docs whose rounded scores tie.
+    """
+    from .wand import wand_topk
+    from pyspark.sql.window import Window as W
+
+    terms = sorted(set(query_terms))
+    segments, corpus = _documents_segment_index(docs, min_df, n_shards)
     raw = wand_topk(segments, terms, corpus, k + 50)
     w = W.orderBy(F.desc("score_r"), F.asc("doc_id"))
     return (
@@ -212,6 +220,29 @@ def bm25_wand_documents_topk(
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("rank", "doc_id", F.col("score_r").alias("score"))
+    )
+
+
+def bm25_wand_documents_topk_batch(
+    docs: DataFrame, queries, k: int = 20,
+    min_df: int = 3, n_shards: int = 8,
+) -> DataFrame:
+    """Batched serving path: (qid, rank, doc_id, score) for a mapping
+    qid -> terms, through ONE wand_topk_batch job — per-query results
+    identical to :func:`bm25_wand_documents_topk` (same round-then-
+    re-rank canonicalization per qid)."""
+    from .wand import wand_topk_batch
+    from pyspark.sql.window import Window as W
+
+    segments, corpus = _documents_segment_index(docs, min_df, n_shards)
+    raw = wand_topk_batch(segments, queries, corpus, k + 50)
+    w = W.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+    return (
+        raw.withColumn("score_r", F.round("score", 4))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .orderBy("qid", "rank")
+        .select("qid", "rank", "doc_id", F.col("score_r").alias("score"))
     )
 
 

@@ -48,25 +48,54 @@ from pyspark.sql.window import Window
 
 from .segments import bm25_partial
 
-__all__ = ["wand_topk", "shard_topk_pandas"]
+__all__ = ["wand_topk", "wand_topk_batch", "shard_topk_pandas"]
 
 
 class _TermBlocks:
-    """One (shard, term)'s block metadata + lazily decoded postings."""
+    """One (shard, term)'s block metadata + lazily decoded postings.
 
-    __slots__ = ("first", "last", "nd", "bmax", "idf", "docs_b", "tfs_b",
-                 "dls_b", "cache")
+    ``idf``/``avgdl0`` are PER-BLOCK vectors: an appended store mixes
+    block vintages (base blocks baked with build-time stats, delta
+    blocks with batch-local placeholder stats), so a single scalar per
+    (shard, term) would score one vintage with another's idf. Partials
+    are always recomputed from the raw tf/dl streams — with the current
+    idf when the caller supplies it (``idf_now``, the exact-stats
+    serving path), else each block's own baked idf.
+    """
+
+    __slots__ = ("first", "last", "nd", "bmax", "idf", "avgdl0",
+                 "docs_b", "tfs_b", "dls_b", "cache")
 
     def __init__(self, g: pd.DataFrame) -> None:
         self.first = g["first_doc"].to_numpy(np.int64)
         self.last = g["last_doc"].to_numpy(np.int64)
         self.bmax = g["block_max"].to_numpy(np.float64)
         self.nd = g["n_docs"].to_numpy(np.int64)
-        self.idf = float(g["idf"].iloc[0])
+        self.idf = g["idf"].to_numpy(np.float64)
+        self.avgdl0 = (
+            g["avgdl0"].to_numpy(np.float64)
+            if "avgdl0" in g.columns else None
+        )
         self.docs_b = g["docs"].tolist()
         self.tfs_b = g["tfs"].tolist()
         self.dls_b = g["dls"].tolist()
         self.cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+
+    def effective_bmax(self, avgdl_now: float, idf_now) -> np.ndarray:
+        """Per-block SOUND upper bounds under the serving-time stats:
+        the baked bound is rescaled by idf_now/idf0 when current idf is
+        supplied, and by max(1, avgdl_now/avgdl0) always — BM25's
+        tf-normalization is increasing in avgdl with
+        f(a_now) <= f(a0) * a_now/a0, so a corpus whose mean doclen
+        drifted up between bakes can never sneak a doc past the pruning
+        bound (latent unsoundness in the round-3 serving path, where
+        partials used current avgdl but bounds kept the baked one)."""
+        bm = self.bmax
+        if idf_now is not None:
+            bm = bm * (float(idf_now) / self.idf)
+        if self.avgdl0 is not None:
+            bm = bm * np.maximum(1.0, float(avgdl_now) / self.avgdl0)
+        return bm
 
     def covering_block(self, lo: int) -> int:
         """Index of the block whose doc range covers *lo*, or -1.
@@ -77,7 +106,7 @@ class _TermBlocks:
             return bi
         return -1
 
-    def decode(self, blocks: List[int], avgdl: float) -> None:
+    def decode(self, blocks: List[int], avgdl: float, idf_now=None) -> None:
         """Bulk-decode the listed (missing) blocks in 3 varint passes.
 
         Byte streams of arbitrary block subsets concatenate cleanly;
@@ -100,7 +129,12 @@ class _TermBlocks:
         starts = np.concatenate(([0], np.cumsum(nd)[:-1]))
         corr = np.where(starts > 0, cs[np.maximum(starts - 1, 0)], 0)
         docs_abs = cs - np.repeat(corr, nd)
-        parts = bm25_partial(tf, dl, self.idf, avgdl)
+        iv = (
+            float(idf_now)
+            if idf_now is not None
+            else np.repeat(self.idf[blocks], nd)
+        )
+        parts = bm25_partial(tf, dl, iv, avgdl)
         ends = np.cumsum(nd)
         for j, b in enumerate(blocks):
             self.cache[b] = (docs_abs[starts[j]:ends[j]],
@@ -113,24 +147,42 @@ def shard_topk_pandas(
     avgdl: float,
     stats_out: dict | None = None,
     interval_batch: int = 32,
+    term_idf: Dict[str, float] | None = None,
 ) -> pd.DataFrame:
     """Exact top-k over one shard's blocks via the θ-gated interval sweep
     described in the module docstring.
 
+    *term_idf* (exact-stats serving): current global idf per query
+    term. Blocks are scored and bounded with THESE stats instead of
+    their baked vintage (blocks store raw tf/dl, so the rescale is
+    exact) — an appended, never-rebuilt store then ranks identically
+    to a from-scratch build. Terms absent from the mapping are treated
+    as pruned (global df < min_df ⇒ zero contribution, matching the
+    scratch build that never wrote blocks for them).
+
     *stats_out* (optional dict) receives pruning observability counters:
     ``blocks_total``, ``blocks_decoded`` (== ``blocks_scored``),
     ``intervals_total``, ``intervals_processed``."""
+    if term_idf is not None:
+        pdf = pdf[pdf["term"].isin(set(term_idf))]
+        if not len(pdf):
+            return pd.DataFrame({"doc_id": [], "score": []})
     terms = sorted(pdf["term"].unique())
     tb: Dict[str, _TermBlocks] = {
         t: _TermBlocks(g.sort_values("first_doc").reset_index(drop=True))
         for t, g in pdf.groupby("term")
     }
 
+    def _idf_now(t: str):
+        return term_idf.get(t) if term_idf is not None else None
+
     # ---- metadata sweep: elementary intervals with summed block_max
+    # (bounds rescaled to the serving-time stats — see effective_bmax)
     events: List[Tuple[int, float]] = []
     for t in terms:
         m = tb[t]
-        for fd, ld, bm in zip(m.first, m.last, m.bmax):
+        bm_eff = m.effective_bmax(avgdl, _idf_now(t))
+        for fd, ld, bm in zip(m.first, m.last, bm_eff):
             events.append((int(fd), float(bm)))
             events.append((int(ld) + 1, -float(bm)))
     if not events:
@@ -178,7 +230,7 @@ def shard_topk_pandas(
             iv.append((lo, hi, cover))
         for t in terms:
             if need[t]:
-                tb[t].decode(sorted(need[t]), avgdl)
+                tb[t].decode(sorted(need[t]), avgdl, idf_now=_idf_now(t))
 
         # ---- whole-batch scoring: slices per term, term-sorted sums
         tslices: Dict[str, List[Tuple[np.ndarray, np.ndarray]]] = {
@@ -235,9 +287,18 @@ def wand_topk(
     query_terms: Sequence[str],
     corpus: DataFrame,
     k: int = 10,
+    term_idf: Dict[str, float] | None = None,
 ) -> DataFrame:
-    """Top-k (rank, doc_id, score) over the compressed segment store."""
+    """Top-k (rank, doc_id, score) over the compressed segment store.
+
+    *term_idf* switches on exact-stats serving (see
+    :func:`shard_topk_pandas`): pass the current global idf of the
+    query's terms (plans/lineage.py::lookup_term_idf) to rank an
+    appended, never-rebuilt store identically to a from-scratch build.
+    """
     terms = sorted(set(query_terms))
+    if term_idf is not None:
+        terms = [t for t in terms if t in term_idf]
     spark = segments.sparkSession
     if not terms:
         return spark.createDataFrame([], "rank long, doc_id long, score double")
@@ -257,7 +318,9 @@ def wand_topk(
             return
         pdf = pd.concat(chunks, ignore_index=True)
         for _, g in pdf.groupby("shard", sort=False):
-            yield shard_topk_pandas(g.reset_index(drop=True), k, avgdl)
+            yield shard_topk_pandas(
+                g.reset_index(drop=True), k, avgdl, term_idf=term_idf
+            )
 
     # a quarter of the cluster's slots: plenty of parallelism for the
     # tiny matched-block relation while keeping the per-task Python
@@ -273,4 +336,66 @@ def wand_topk(
         .limit(k)
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .select("rank", "doc_id", "score")
+    )
+
+
+def wand_topk_batch(
+    segments: DataFrame,
+    queries,
+    corpus: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k for a BATCH of queries in ONE job: (qid, rank, doc_id,
+    score), per-query rank-identical to :func:`wand_topk`.
+
+    *queries* maps qid -> term sequence. The segment scan is pruned to
+    the UNION of all query terms (one parquet open, one shuffle), each
+    task runs the θ-gated sweep per (query, local shard), and one
+    per-qid window takes the global top-k. This is the query-THROUGHPUT
+    shape at 10^12 docs: per-query jobs pay scheduling + scan-open
+    costs N times, the batch pays them once — the reference's
+    request-at-a-time simserver has no analog (vectors/simserver.py
+    scores one query per full-matrix matvec). Shared terms across
+    queries are fetched once; decode stays per-(query, shard) so each
+    query's pruning frontier is unaffected by the others.
+    """
+    qitems = sorted(
+        (str(q), sorted(set(ts))) for q, ts in dict(queries).items()
+    )
+    all_terms = sorted({t for _, ts in qitems for t in ts})
+    spark = segments.sparkSession
+    if not all_terms:
+        return spark.createDataFrame(
+            [], "qid string, rank long, doc_id long, score double"
+        )
+    crow = corpus.collect()[0]
+    avgdl = float(crow["avgdl"])
+
+    matched = segments.where(F.col("term").isin(all_terms))
+
+    def per_partition(batches):
+        chunks = [b for b in batches if len(b)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        for _, g in pdf.groupby("shard", sort=False):
+            for qid, ts in qitems:
+                sub = g[g["term"].isin(ts)]
+                if not len(sub):
+                    continue
+                out = shard_topk_pandas(sub.reset_index(drop=True), k, avgdl)
+                if len(out):
+                    out.insert(0, "qid", qid)
+                    yield out
+
+    n_tasks = max(1, spark.sparkContext.defaultParallelism // 4)
+    shard_tops = matched.repartition(n_tasks, "shard").mapInPandas(
+        per_partition, "qid string, doc_id long, score double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        shard_tops.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .orderBy("qid", "rank")
+        .select("qid", "rank", "doc_id", "score")
     )

@@ -55,6 +55,7 @@ __all__ = [
     "build_index_checkpointed",
     "read_lineage",
     "read_store_meta",
+    "lookup_term_idf",
     "append_pages",
     "delete_urls",
     "rebuild_segments",
@@ -179,20 +180,19 @@ class IndexStore:
         return spark.read.parquet(self.segments)
 
     def term_stats_df(self, spark: SparkSession) -> DataFrame:
-        """(term, df, cf, idf) DERIVED lazily from the mergeable
+        """(term, df, cf, idf) DERIVED lazily from the log-structured
         ``term_counts`` store + the 1-row corpus — never persisted as
         its own table. idf depends on the global N, so a stored idf
         table would need a vocabulary-sized rewrite on every append
         (the round-3 verdict's last O(vocab) job in the 30-min loop);
-        deriving at read time makes appends O(batch + touched buckets)
-        end to end. Mirror of the reference's occasionally-rebuilt
-        gensim stats (vectors/builder.py:565-592)."""
-        from ..operators.bucketed import load_bucketed
-        from ..operators.postings import derive_term_stats
+        deriving at read time makes appends O(batch) end to end.
+        Mirror of the reference's occasionally-rebuilt gensim stats
+        (vectors/builder.py:565-592)."""
+        from ..operators.postings import derive_term_stats, load_term_counts
 
         meta = read_store_meta(self)
         return derive_term_stats(
-            load_bucketed(spark, self.term_counts),
+            load_term_counts(spark, self.term_counts),
             spark.read.parquet(self.corpus),
             min_df=meta["min_df"],
         )
@@ -201,9 +201,9 @@ class IndexStore:
         if name == "term_stats":
             return self.term_stats_df(spark)
         if name == "term_counts":
-            from ..operators.bucketed import load_bucketed
+            from ..operators.postings import load_term_counts
 
-            return load_bucketed(spark, self.term_counts)
+            return load_term_counts(spark, self.term_counts)
         return spark.read.parquet(getattr(self, name))
 
 
@@ -300,36 +300,38 @@ def build_index_checkpointed(
 
     # ---- stage 3: statistics -----------------------------------------
     def s_stats():
-        from ..operators.postings import build_term_counts, merge_term_counts
+        from ..operators.postings import build_term_counts, compact_term_counts
 
         dstats = build_doc_stats(postings)
         b = _commit_table(dstats, store.doc_stats)
         corp = corpus_stats(spark.read.parquet(store.doc_stats))
         b += _commit_table(corp, store.corpus)
-        # term_counts: the MERGEABLE (unpruned df/cf, hash-bucketed)
-        # form is the ONLY persisted term statistic — appends fold
-        # their deltas in without re-scanning the postings table, and
-        # the pruned+idf term_stats view is derived from it lazily
-        # (IndexStore.term_stats_df), so no O(vocab) rewrite exists
-        # anywhere in the append loop
-        if os.path.isdir(store.term_counts):
-            shutil.rmtree(store.term_counts)
-        merge_term_counts(
-            spark, store.term_counts, build_term_counts(postings)
+        # term_counts: the log-structured (base + runs) mergeable form
+        # is the ONLY persisted term statistic — appends add a run
+        # without reading the store, and the pruned+idf term_stats
+        # view is derived lazily (IndexStore.term_stats_df), so no
+        # O(vocab) job exists anywhere in the append loop. The build
+        # publishes the full counts as the base epoch. Sorted by term
+        # inside partitions so query-time ≤10-term idf lookups prune
+        # at the parquet row-group level.
+        compact_term_counts(
+            spark, store.term_counts,
+            build_term_counts(postings).sortWithinPartitions("term"),
         )
         b += _dir_bytes(store.term_counts)
-        return spark.read.parquet(store.term_counts).count(), b
+        from ..operators.postings import load_term_counts as _ltc
+
+        return _ltc(spark, store.term_counts).count(), b
 
     stage("stats", s_stats)
-    from ..operators.bucketed import load_bucketed
-    from ..operators.postings import derive_term_stats
+    from ..operators.postings import derive_term_stats, load_term_counts
 
     doc_stats = spark.read.parquet(store.doc_stats)
     corpus = spark.read.parquet(store.corpus)
     # derived view, not a table (meta.json may not exist yet at initial
     # build — use this build's own min_df, pinned into meta below)
     term_stats = derive_term_stats(
-        load_bucketed(spark, store.term_counts), corpus, min_df=min_df
+        load_term_counts(spark, store.term_counts), corpus, min_df=min_df
     )
 
     # ---- stage 4: segments, committed per shard ----------------------
@@ -444,6 +446,34 @@ def read_store_meta(store: IndexStore) -> dict:
         return json.load(fh)
 
 
+def lookup_term_idf(
+    spark: SparkSession, store: IndexStore, terms, corpus=None
+) -> dict:
+    """Current global idf for a query's ≤10 terms — the exact-stats
+    serving lookup (Lucene-style stats-at-query-open). The filter on
+    the grouping key pushes below the term_counts view's aggregate to
+    the parquet scans, and the term-sorted base prunes at row-group
+    level, so this is a point read, not a vocabulary scan. idf is
+    computed by the SAME Spark expression as the build-time derivation
+    (derive_term_stats), so the values are bit-identical to what a
+    fresh bake would embed. Terms with global df < the store's min_df
+    are omitted — the serving layer scores them as zero, matching a
+    from-scratch build that never wrote blocks for them."""
+    from ..operators.postings import derive_term_stats, load_term_counts
+
+    meta = read_store_meta(store)
+    if corpus is None:
+        corpus = spark.read.parquet(store.corpus)
+    tc = load_term_counts(spark, store.term_counts).where(
+        F.col("term").isin(sorted(set(terms)))
+    )
+    rows = (
+        derive_term_stats(tc, corpus, min_df=meta["min_df"])
+        .select("term", "idf").collect()
+    )
+    return {r["term"]: float(r["idf"]) for r in rows}
+
+
 def _reconcile_appends(
     spark: SparkSession, store: IndexStore, meta: dict
 ) -> None:
@@ -526,21 +556,20 @@ def _reconcile_appends(
                     reset=True,
                 )
     # stats recompute from the rolled-back postings (the crashed append
-    # may have refreshed them after its postings write). Full rebuild of
-    # the mergeable term_counts too — O(postings), recovery-path-only.
-    # term_stats needs no repair: it is a derived view over
-    # term_counts + corpus (IndexStore.term_stats_df), never a table.
-    from ..operators.postings import build_term_counts
-    from ..operators.postings import merge_term_counts as _mtc
+    # may have refreshed them after its postings write). The crashed
+    # append's term-count run is removed SURGICALLY by its intent id —
+    # the LSM layout makes rollback O(1) instead of an O(postings)
+    # store rebuild. term_stats needs no repair: it is a derived view
+    # (IndexStore.term_stats_df), never a table.
+    from ..operators.runstore import remove_run
 
     postings = spark.read.parquet(store.postings)
     _commit_table(build_doc_stats(postings), store.doc_stats)
     _commit_table(
         corpus_stats(spark.read.parquet(store.doc_stats)), store.corpus
     )
-    if os.path.isdir(store.term_counts):
-        shutil.rmtree(store.term_counts)
-    _mtc(spark, store.term_counts, build_term_counts(postings))
+    for _, row in open_intents.iterrows():
+        remove_run(spark, store.term_counts, row["partition_id"])
     for _, row in open_intents.iterrows():
         _append_lineage(
             store.root,
@@ -662,8 +691,10 @@ def append_pages(
                 shard_size=meta["shard_size"],
             ).persist(StorageLevel.DISK_ONLY)
             ADAPTER.append_table(pos_delta, store.positions, ["shard"])
-            # O(batch) block-count merge keeps the phrase guard free
-            update_positional_block_counts(spark, store.root, pos_delta)
+            # O(batch) run write keeps the phrase guard free
+            update_positional_block_counts(
+                spark, store.root, pos_delta, run_id=intent_id
+            )
             pos_delta.unpersist()
             from ..operators.segments import release_cached_deps as _rel
 
@@ -686,21 +717,27 @@ def append_pages(
         #   corpus: exact fold of the old 1-row totals with the new
         #     docs' integer doclen sum (total_doclen carried so no
         #     double round-trips),
-        #   term df/cf: bucketed MERGE of the batch's deltas into
-        #     term_counts (touched buckets only). The pruned+idf
-        #     term_stats view is NOT materialized: the delta segments
-        #     below need idf only for the batch's own terms, derived
-        #     from the touched buckets (O(batch vocab), not O(vocab));
-        #     full-vocabulary consumers derive it lazily
-        #     (IndexStore.term_stats_df). This removes the last
-        #     vocabulary-sized job from the 30-min loop — mirror of the
-        #     reference's occasional stats rebuild
+        #   term df/cf: the batch's deltas are WRITTEN as one LSM run
+        #     (O(batch), zero store reads — the round-3 bucketed MERGE
+        #     was O(vocab) in disguise for realistic batch
+        #     vocabularies, measured in append_stats_scaling.py); the
+        #     exact view re-aggregates base ∪ runs at read time and
+        #     compaction folds runs at rebuild.
+        #   idf: NOT derived globally here. Delta blocks are baked
+        #     with a PLACEHOLDER idf from the batch's own df
+        #     (overestimates idf, so block-max stays a valid upper
+        #     bound) and the serving layer rescales every block to the
+        #     CURRENT global idf of the query's ≤10 terms at query
+        #     time (wand term_idf / Searcher._term_idf — a term-pruned
+        #     point lookup), which makes pre-rebuild ranking EXACT,
+        #     not merely approximate. Mirror of Lucene's
+        #     stats-at-query-open design; the reference's analog is
+        #     the occasionally-rebuilt gensim model
         #     (vectors/builder.py:565-592).
-        from ..operators.bucketed import read_buckets
         from ..operators.postings import (
+            append_term_counts_run,
             build_term_counts,
-            derive_term_stats,
-            merge_term_counts,
+            build_term_stats,
         )
 
         new_dstats = build_doc_stats(new_postings).persist(StorageLevel.DISK_ONLY)
@@ -736,21 +773,17 @@ def append_pages(
         )
         corpus = spark.read.parquet(store.corpus)
 
-        touched = merge_term_counts(
-            spark, store.term_counts, build_term_counts(new_postings)
+        append_term_counts_run(
+            spark, store.term_counts,
+            build_term_counts(new_postings).sortWithinPartitions("term"),
+            run_id=intent_id,
         )
-        # idf for the batch's terms at the CURRENT global N: read back
-        # only the buckets this batch touched (they contain the merged
-        # global df/cf for every batch term, plus hash-colliding
-        # bystanders that the postings join below prunes for free)
-        batch_counts = read_buckets(spark, store.term_counts, touched or [])
-        if batch_counts is None:
-            batch_counts = spark.createDataFrame(
-                [], "term string, df long, cf long, bkt int"
-            )
-        term_stats = derive_term_stats(
-            batch_counts, corpus, min_df=meta["min_df"]
-        )
+        # placeholder stats for the delta blocks: batch-local df with
+        # the exact global N. min_df=1 — pruning by batch-local df
+        # would drop terms whose GLOBAL df qualifies; the global
+        # min_df cut is applied at serving time (terms outside the
+        # pruned view score zero) and physically at rebuild.
+        term_stats = build_term_stats(new_postings, min_df=1, corpus=corpus)
 
         from pyspark import StorageLevel as _SL
 
@@ -860,6 +893,9 @@ def rebuild_segments(spark: SparkSession, store: IndexStore) -> None:
     exactly the from-scratch build's over the live corpus (proven in
     tests)."""
     meta = read_store_meta(store)
+    # a crashed append must not bake its orphaned rows into the rebuilt
+    # segments (reconcile was previously append-path-only)
+    _reconcile_appends(spark, store, meta)
 
     # tombstones stay a DataFrame end to end — a GDPR-scale mass delete
     # (10^8 urls) must never materialize the doc-id set on the driver;
@@ -876,7 +912,7 @@ def rebuild_segments(spark: SparkSession, store: IndexStore) -> None:
         # blocks drop the docs inside the same re-pack pass below. The
         # tombstone table itself is cleared only after everything else
         # committed, so a crash mid-rebuild re-runs the purge.
-        from ..operators.postings import build_term_counts, merge_term_counts
+        from ..operators.postings import build_term_counts, compact_term_counts
 
         for name in ("doc_map", "postings"):
             path = getattr(store, name)
@@ -890,10 +926,20 @@ def rebuild_segments(spark: SparkSession, store: IndexStore) -> None:
             corpus_stats(spark.read.parquet(store.doc_stats)),
             store.corpus,
         )
-        if os.path.isdir(store.term_counts):
-            shutil.rmtree(store.term_counts)
-        merge_term_counts(
-            spark, store.term_counts, build_term_counts(postings)
+        compact_term_counts(
+            spark, store.term_counts,
+            build_term_counts(postings).sortWithinPartitions("term"),
+        )
+    else:
+        # LSM maintenance: fold the accumulated append runs into a new
+        # base epoch (the view is exact either way; compaction restores
+        # single-read lookups and prunes run-dir listings)
+        from ..operators.postings import compact_term_counts, load_term_counts
+
+        compact_term_counts(
+            spark, store.term_counts,
+            load_term_counts(spark, store.term_counts)
+            .sortWithinPartitions("term"),
         )
 
     postings = spark.read.parquet(store.postings)

@@ -113,7 +113,31 @@ class Router:
                                                  "left_anti")
                 self.postings = self.postings.join(tomb, "doc_id",
                                                    "left_anti")
+        # exact-stats serving (see Searcher._term_idf): only needed
+        # while un-compacted append runs exist
+        from ..operators.runstore import has_runs
+
+        self._exact_stats = has_runs(self.store.term_counts)
+        self._idf_cache: dict = {}
         self._version = _segments_version(self.store)
+
+    def _term_idf(self, terms) -> "dict | None":
+        if not self._exact_stats:
+            return None
+        from ..plans.lineage import lookup_term_idf
+
+        missing = [t for t in terms if t not in self._idf_cache]
+        if missing:
+            found = lookup_term_idf(
+                self.spark, self.store, missing, corpus=self.corpus
+            )
+            for t in missing:
+                self._idf_cache[t] = found.get(t)
+        return {
+            t: self._idf_cache[t]
+            for t in terms
+            if self._idf_cache.get(t) is not None
+        }
 
     def _check_snapshot(self) -> None:
         now = time.monotonic()
@@ -213,9 +237,11 @@ class Router:
         from .searcher import Searcher
 
         k = min(k, _MAXLEN_ANSWER)
+        term_idf = self._term_idf(sorted(set(terms)))
         plan = Searcher._overfetch_plan(k, self._n_tombstones)
         for i, kk in enumerate(plan):
-            hits = wand_topk(self.segments, terms, self.corpus, kk)
+            hits = wand_topk(self.segments, terms, self.corpus, kk,
+                             term_idf=term_idf)
             # the doc_map join drops tombstoned docs (anti-joined view);
             # re-rank the survivors and cut back to k
             w = Window.orderBy("rank")

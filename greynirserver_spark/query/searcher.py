@@ -96,6 +96,16 @@ class Searcher:
         # store-maintained heavy-term summary: the distributed phrase
         # fallback's memory guard decides from this dict, no count job
         self._block_counts = load_positional_block_counts(self.store.root)
+        # exact-stats serving: when term-count runs exist (appends since
+        # the last compaction/rebuild), baked block idf mixes vintages —
+        # look up the CURRENT idf for each query's terms and rescale
+        # (pre-rebuild ranking becomes exact, not approximate). A fresh
+        # or rebuilt store has no runs: baked stats ARE current, and no
+        # lookup job runs — the common serving path pays nothing.
+        from ..operators.runstore import has_runs
+
+        self._exact_stats = has_runs(self.store.term_counts)
+        self._idf_cache: dict = {}
         # tombstoned docs (bounded by rebuild cadence) are excluded by
         # overfetch-and-filter until the next rebuild purges them
         self._tombstones: frozenset = frozenset()
@@ -123,6 +133,27 @@ class Searcher:
         if v != self._version:
             self._cache.clear()
             self._open()
+
+    def _term_idf(self, terms) -> "dict | None":
+        """Current global idf per query term (None when baked stats are
+        exact — no appends since compaction). Cached per term; the
+        cache dies with the snapshot (_open)."""
+        if not self._exact_stats:
+            return None
+        from ..plans.lineage import lookup_term_idf
+
+        missing = [t for t in terms if t not in self._idf_cache]
+        if missing:
+            found = lookup_term_idf(
+                self.spark, self.store, missing, corpus=self._corpus_df
+            )
+            for t in missing:
+                self._idf_cache[t] = found.get(t)  # None = pruned/absent
+        return {
+            t: self._idf_cache[t]
+            for t in terms
+            if self._idf_cache.get(t) is not None
+        }
 
     @staticmethod
     def _overfetch_plan(k: int, n_tomb: int) -> List[int]:
@@ -154,6 +185,11 @@ class Searcher:
         # and escalate to the full k + n_tomb only if the filter
         # actually exhausts the results (rare: >3k of the top hits
         # tombstoned)
+        term_idf = self._term_idf(terms_u)
+        if term_idf is not None:
+            terms_u = sorted(term_idf)
+            if not terms_u:
+                return []
         n_tomb = len(self._tombstones)
         for kk in self._overfetch_plan(k, n_tomb):
             matched = self._segments.where(F.col("term").isin(terms_u))
@@ -163,7 +199,8 @@ class Searcher:
             pdf = matched.limit(self._max_fetch_blocks + 1).toPandas()
             if len(pdf) > self._max_fetch_blocks:
                 rows = wand_topk(
-                    self._segments, terms_u, self._corpus_df, kk
+                    self._segments, terms_u, self._corpus_df, kk,
+                    term_idf=term_idf,
                 ).collect()
                 result = [
                     (int(r["doc_id"]), float(r["score"])) for r in rows
@@ -174,7 +211,7 @@ class Searcher:
                 # score each shard independently (blocks of one shard
                 # share a doc range), merge, global top-k
                 tops = [
-                    shard_topk_pandas(g, kk, self.avgdl)
+                    shard_topk_pandas(g, kk, self.avgdl, term_idf=term_idf)
                     for _, g in pdf.groupby("shard", sort=False)
                 ]
                 allhits = pd.concat(tops, ignore_index=True)

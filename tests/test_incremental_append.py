@@ -230,11 +230,18 @@ def test_incremental_stats_equal_full_recompute(spark, tmp_path):
     assert got_ts == want_ts
 
 
-def test_term_counts_merge_touches_only_batch_buckets(spark, tmp_path):
-    """The term-count store mirrors the trigram/pages upserts: an
-    append's MERGE rewrites only buckets its terms hash into."""
+def test_term_counts_append_is_run_write_only(spark, tmp_path):
+    """The term-count store is log-structured (operators/runstore.py):
+    an append WRITES one run and reads/rewrites nothing — the round-3
+    bucketed MERGE rewrote every bucket a realistic batch's terms
+    hashed into, i.e. O(vocabulary) per append. A rebuild compacts the
+    runs into a new base epoch."""
     import os
-    import time
+
+    from greynirserver_spark.operators.runstore import (
+        current_epoch,
+        has_runs,
+    )
 
     all_pages = generate_pages(spark, 400).cache()
     first = all_pages.where(F.xxhash64("url") % 4 != 0)
@@ -243,22 +250,26 @@ def test_term_counts_merge_touches_only_batch_buckets(spark, tmp_path):
         spark, first, str(tmp_path / "tc"), n_shards=4
     )
     tc = store.term_counts
+    epoch = current_epoch(tc)
+    assert epoch == 1 and not has_runs(tc)
+    base = os.path.join(tc, f"base-{epoch}")
     before = {
-        d: os.path.getmtime(os.path.join(tc, d))
-        for d in os.listdir(tc) if d.startswith("bkt=")
+        f: os.path.getmtime(os.path.join(base, f))
+        for f in os.listdir(base)
     }
-    assert len(before) > 8
-    time.sleep(1.1)
     append_pages(spark, store, second)
+    # base untouched byte-for-byte; exactly one new run appeared
     after = {
-        d: os.path.getmtime(os.path.join(tc, d))
-        for d in os.listdir(tc) if d.startswith("bkt=")
+        f: os.path.getmtime(os.path.join(base, f))
+        for f in os.listdir(base)
     }
-    # a real page batch hits many buckets, but df/cf merge must not
-    # rewrite buckets whose terms don't appear in the batch
-    untouched = {b for b in before if after.get(b) == before[b]}
-    changed = set(after) - untouched
-    assert changed, "append must touch some buckets"
+    assert after == before
+    runs = [d for d in os.listdir(tc) if d.startswith(f"run={epoch}-")]
+    assert len(runs) == 1
+    # view stays exact (bit-equality asserted in
+    # test_incremental_stats_equal_full_recompute); compaction folds
+    rebuild_segments(spark, store)
+    assert current_epoch(tc) == epoch + 1 and not has_runs(tc)
 
 
 def test_rebuild_every_policy(spark, tmp_path):

@@ -198,14 +198,17 @@ def test_phrase_guard_summary_maintained(spark, pos_store):
     bc = load_positional_block_counts(store.root)
     assert bc is not None and "floor" in bc and "terms" in bc
 
+    from greynirserver_spark.operators.runstore import load_counts
+
     extra = generate_pages(spark, 460).where(
         F.xxhash64("url") % 11 == 3
     )
     append_pages(spark, store, extra)
     got = {
         (r["term"], r["shard"]): r["n_blocks"]
-        for r in load_bucketed(
-            spark, os.path.join(store.root, "pos_counts")
+        for r in load_counts(
+            spark, os.path.join(store.root, "pos_counts"),
+            ["term", "shard"], ["n_blocks"],
         ).collect()
     }
     want = {
@@ -291,6 +294,103 @@ def test_tombstone_overfetch_capped_with_escalation(spark, tmp_path):
     r = Router(spark, store, version_check_interval_s=0.0)
     rows = r.search(terms, 1).collect()
     assert [(x["doc_id"], x["score"]) for x in rows] == [top5[4]]
+
+
+# ------------------------------------------- batched WAND
+
+def test_wand_batch_rank_identical(spark, pos_store):
+    """wand_topk_batch answers N queries in ONE job, per-query
+    rank-identical (rank, doc_id, score) to per-query wand_topk."""
+    from greynirserver_spark.operators.wand import wand_topk, wand_topk_batch
+    from greynirserver_spark.plans.pipeline import query_to_terms
+
+    store, pages = pos_store
+    segs = store.load_segments(spark)
+    corpus = store.load(spark, "corpus")
+    stems = indexable_stems_by_rank(12)
+    queries = {
+        f"q{i}": query_to_terms(" ".join(stems[2 * i: 2 * i + 2]))
+        for i in range(4)
+    }
+    batch = wand_topk_batch(segs, queries, corpus, 10).collect()
+    by_qid: dict = {}
+    for r in batch:
+        by_qid.setdefault(r["qid"], []).append(
+            (r["rank"], r["doc_id"], r["score"])
+        )
+    for qid, terms in queries.items():
+        single = [
+            (r["rank"], r["doc_id"], r["score"])
+            for r in wand_topk(segs, terms, corpus, 10).collect()
+        ]
+        assert by_qid.get(qid, []) == single, qid
+
+
+# ------------------------------------------- exact-stats serving
+
+def test_append_serving_exact_without_rebuild(spark, tmp_path):
+    """An appended, never-rebuilt store must rank IDENTICALLY to a
+    from-scratch build (round-4 upgrade over round-3's 'approximate
+    idf pre-rebuild' contract): blocks store raw tf/dl, so the serving
+    layer rescales every block to the current global idf of the query
+    terms (wand term_idf / Searcher exact-stats lookup). Compared by
+    url+score because the two stores assign different doc ids."""
+    from greynirserver_spark.operators.runstore import has_runs
+    from greynirserver_spark.operators.wand import wand_topk
+    from greynirserver_spark.plans.lineage import (
+        append_pages,
+        build_index_checkpointed,
+        lookup_term_idf,
+    )
+    from greynirserver_spark.plans.pipeline import query_to_terms
+    from greynirserver_spark.query.searcher import Searcher
+
+    all_pages = generate_pages(spark, 700).cache()
+    first = all_pages.where(F.xxhash64("url") % 3 != 0)
+    second = all_pages.where(F.xxhash64("url") % 3 == 0)
+
+    inc = build_index_checkpointed(
+        spark, first, str(tmp_path / "inc"), n_shards=4
+    )
+    res = append_pages(spark, inc, second)
+    assert res["new_docs"] > 0 and has_runs(inc.term_counts)
+    scratch = build_index_checkpointed(
+        spark, all_pages, str(tmp_path / "scr"), n_shards=4
+    )
+    assert not has_runs(scratch.term_counts)
+
+    def topk_urls(store, terms, k, term_idf=None):
+        hits = wand_topk(
+            store.load_segments(spark), terms,
+            store.load(spark, "corpus"), k, term_idf=term_idf,
+        )
+        dm = store.load(spark, "doc_map").select("doc_id", "url")
+        return [
+            (r["url"], round(r["score"], 9))
+            for r in hits.join(dm, "doc_id")
+            .orderBy("rank").collect()
+        ]
+
+    stems = indexable_stems_by_rank(8)
+    for qi in range(3):
+        terms = query_to_terms(" ".join(stems[2 * qi: 2 * qi + 2]))
+        idf = lookup_term_idf(spark, inc, terms)
+        got = topk_urls(inc, terms, 10, term_idf=idf)
+        want = topk_urls(scratch, terms, 10)
+        assert got == want, terms
+
+    # the Searcher engages the lookup automatically while runs exist
+    s_inc = Searcher(spark, inc, version_check_interval_s=0.0)
+    assert s_inc._exact_stats
+    terms = query_to_terms(" ".join(stems[:2]))
+    inc_dm = {
+        r["doc_id"]: r["url"]
+        for r in inc.load(spark, "doc_map").select("doc_id", "url").collect()
+    }
+    got_s = [
+        (inc_dm[d], round(sc, 9)) for d, sc in s_inc.search(terms, 10)
+    ]
+    assert got_s == topk_urls(scratch, terms, 10)
 
 
 # ------------------------------------------- dictionary unpersist

@@ -130,7 +130,7 @@ def test_segment_store_layout(spark, indexed):
     pdf = segments.limit(50).toPandas()
     assert set(pdf.columns) == {
         "term", "shard", "block_id", "n_docs", "first_doc", "last_doc",
-        "block_max", "idf", "docs", "tfs", "dls",
+        "block_max", "idf", "avgdl0", "docs", "tfs", "dls",
     }
     # blocks are doc-sorted and bounded
     assert (pdf["first_doc"] <= pdf["last_doc"]).all()
