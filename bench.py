@@ -141,6 +141,20 @@ def main() -> None:
     )
     timings["q2_wand_12_queries_total"] = round(sum(lat), 3)
 
+    # --- q2c: the same 12 queries as ONE batched job (wand_topk_batch)
+    #     — the query-THROUGHPUT shape: scheduling + scan-open paid once
+    from greynirserver_spark.operators.wand import wand_topk_batch
+
+    batch_queries = {
+        f"q{i}": query_to_terms(
+            " ".join(stems[2 * (i % 6): 2 * (i % 6) + 2])
+        )
+        for i in range(12)
+    }
+    t0 = time.perf_counter()
+    wand_topk_batch(segments, batch_queries, corpus, 10).collect()
+    timings["q2c_wand_batch12_total"] = round(time.perf_counter() - t0, 3)
+
     # --- q2b: interactive Searcher (pruned-scan in-process scoring) ---
     from greynirserver_spark.query.searcher import Searcher
 
