@@ -344,6 +344,7 @@ def wand_topk_batch(
     queries,
     corpus: DataFrame,
     k: int = 10,
+    term_idf: Dict[str, float] | None = None,
 ) -> DataFrame:
     """Top-k for a BATCH of queries in ONE job: (qid, rank, doc_id,
     score), per-query rank-identical to :func:`wand_topk`.
@@ -362,6 +363,12 @@ def wand_topk_batch(
     qitems = sorted(
         (str(q), sorted(set(ts))) for q, ts in dict(queries).items()
     )
+    if term_idf is not None:
+        # exact-stats serving (shared idf map across the batch): terms
+        # outside the map are globally pruned — zero contribution
+        qitems = [
+            (q, [t for t in ts if t in term_idf]) for q, ts in qitems
+        ]
     all_terms = sorted({t for _, ts in qitems for t in ts})
     spark = segments.sparkSession
     if not all_terms:
@@ -383,7 +390,10 @@ def wand_topk_batch(
                 sub = g[g["term"].isin(ts)]
                 if not len(sub):
                     continue
-                out = shard_topk_pandas(sub.reset_index(drop=True), k, avgdl)
+                out = shard_topk_pandas(
+                    sub.reset_index(drop=True), k, avgdl,
+                    term_idf=term_idf,
+                )
                 if len(out):
                     out.insert(0, "qid", qid)
                     yield out

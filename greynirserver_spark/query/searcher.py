@@ -19,7 +19,11 @@ Guard rails for the interactive path:
 * **fetch cap** — a head-term query at web scale can match more block
   rows than a driver should ever hold; above ``max_fetch_blocks`` the
   query transparently falls back to the distributed ``wand_topk`` plan
-  (executors score, only top-k rows return).
+  (executors score, only top-k rows return). The default (5,000
+  blocks) is set at the measured crossover: at 1M pages, head-term
+  in-process scoring ran ~980ms p50 while distributed WAND ran ~500ms
+  (BENCH.md round 4), so fetches past a few thousand blocks belong on
+  the executors.
 * **TTL result cache with snapshot invalidation** — mirrors the
   reference's query cache keyed on question + expiry
   (queries/__init__.py:1295-1324): entries expire after ``cache_ttl_s``,
@@ -70,7 +74,7 @@ class Searcher:
         store: IndexStore,
         cache_size: int = 256,
         cache_ttl_s: float = 300.0,
-        max_fetch_blocks: int = 20_000,
+        max_fetch_blocks: int = 5_000,
         version_check_interval_s: float = 1.0,
     ) -> None:
         self.spark = spark

@@ -296,6 +296,82 @@ def test_tombstone_overfetch_capped_with_escalation(spark, tmp_path):
     assert [(x["doc_id"], x["score"]) for x in rows] == [top5[4]]
 
 
+# ------------------------------------------- LSM runstore
+
+def test_runstore_append_view_compact_epochs(spark, tmp_path):
+    """Write-only appends, exact aggregated view, atomic epoch-bump
+    compaction that makes old base+runs invisible in one rename."""
+    from greynirserver_spark.operators.runstore import (
+        append_run,
+        compact,
+        current_epoch,
+        has_runs,
+        load_counts,
+        remove_run,
+    )
+
+    root = str(tmp_path / "rs")
+
+    def counts():
+        df = load_counts(spark, root, ["k"], ["v"])
+        return {} if df is None else {
+            r["k"]: r["v"] for r in df.collect()
+        }
+
+    assert load_counts(spark, root, ["k"], ["v"]) is None
+    compact(spark, root, _kv(spark, [("a", 1), ("b", 2)]))
+    assert current_epoch(root) == 1 and not has_runs(root)
+    assert counts() == {"a": 1, "b": 2}
+
+    assert append_run(spark, root, _kv(spark, [("a", 10), ("c", 5)]),
+                      run_id="r1")
+    assert has_runs(root)
+    assert counts() == {"a": 11, "b": 2, "c": 5}
+    # replay is a no-op; rollback by id is surgical
+    assert not append_run(spark, root, _kv(spark, [("a", 99)]),
+                          run_id="r1")
+    assert counts() == {"a": 11, "b": 2, "c": 5}
+    append_run(spark, root, _kv(spark, [("d", 7)]), run_id="r2")
+    assert remove_run(spark, root, "r2")
+    assert counts() == {"a": 11, "b": 2, "c": 5}
+
+    # compaction folds the view and invalidates the runs atomically
+    compact(spark, root, load_counts(spark, root, ["k"], ["v"]))
+    assert current_epoch(root) == 2 and not has_runs(root)
+    assert counts() == {"a": 11, "b": 2, "c": 5}
+
+
+def test_runstore_crash_windows(spark, tmp_path):
+    """A crashed append (staging never renamed) and a crashed
+    compaction (staging never published) are both invisible and swept;
+    stale-epoch runs never double count."""
+    import os
+    import shutil
+
+    from greynirserver_spark.operators.runstore import (
+        append_run,
+        compact,
+        load_counts,
+    )
+
+    root = str(tmp_path / "rsc")
+    compact(spark, root, _kv(spark, [("a", 1)]))
+    append_run(spark, root, _kv(spark, [("a", 2)]), run_id="ok")
+
+    # crashed append: simulate by planting a staging dir
+    shutil.copytree(os.path.join(root, "run=1-ok"),
+                    os.path.join(root, ".staging-dead"))
+    # crashed compaction: a stale run from epoch 0 (pre-base vintage)
+    shutil.copytree(os.path.join(root, "run=1-ok"),
+                    os.path.join(root, "run=0-ghost"))
+
+    got = {r["k"]: r["v"]
+           for r in load_counts(spark, root, ["k"], ["v"]).collect()}
+    assert got == {"a": 3}
+    assert not os.path.isdir(os.path.join(root, ".staging-dead"))
+    assert not os.path.isdir(os.path.join(root, "run=0-ghost"))
+
+
 # ------------------------------------------- batched WAND
 
 def test_wand_batch_rank_identical(spark, pos_store):
