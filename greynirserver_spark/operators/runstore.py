@@ -84,16 +84,23 @@ def _run_dirs(root: str, epoch: int) -> List[str]:
 
 def _sweep_stale(root: str, epoch: int) -> None:
     """Drop pre-compaction bases/runs and orphaned staging dirs — all
-    invisible already; removal is pure space reclamation."""
+    invisible already; removal is pure space reclamation. One epoch of
+    GRACE is kept (epoch-1): a reader that resolved its file listing
+    just before a compaction landed may still lazily execute against
+    the previous epoch's dirs, and deleting them under that plan fails
+    the read (Iceberg's analog: snapshot expiration with a retention
+    window). Epochs older than the grace window are gone — two
+    compactions always separate a listing from its deletion."""
     if not os.path.isdir(root):
         return
+    keep = {epoch, epoch - 1}
     for d in os.listdir(root):
         p = os.path.join(root, d)
         if d.startswith(".staging-"):
             shutil.rmtree(p, ignore_errors=True)
         elif d.startswith("base-"):
             try:
-                if int(d.split("-", 1)[1]) < epoch:
+                if int(d.split("-", 1)[1]) not in keep:
                     shutil.rmtree(p, ignore_errors=True)
             except ValueError:
                 pass
@@ -102,7 +109,7 @@ def _sweep_stale(root: str, epoch: int) -> None:
                 e = int(d.split("=", 1)[1].split("-", 1)[0])
             except ValueError:
                 e = -1
-            if e != epoch:
+            if e not in keep:
                 shutil.rmtree(p, ignore_errors=True)
 
 

@@ -148,6 +148,8 @@ class Searcher:
 
         missing = [t for t in terms if t not in self._idf_cache]
         if missing:
+            if len(self._idf_cache) > 100_000:
+                self._idf_cache.clear()  # bound a long-lived session
             found = lookup_term_idf(
                 self.spark, self.store, missing, corpus=self._corpus_df
             )

@@ -342,9 +342,11 @@ def test_runstore_append_view_compact_epochs(spark, tmp_path):
 
 
 def test_runstore_crash_windows(spark, tmp_path):
-    """A crashed append (staging never renamed) and a crashed
-    compaction (staging never published) are both invisible and swept;
-    stale-epoch runs never double count."""
+    """A crashed append (staging never renamed) and stale-epoch runs
+    are invisible to the view; staging orphans are swept immediately,
+    stale epochs after ONE epoch of grace (an in-flight reader's lazy
+    plan may still reference epoch-1 files — Iceberg's snapshot
+    retention analog), and two compactions later they are gone."""
     import os
     import shutil
 
@@ -367,9 +369,18 @@ def test_runstore_crash_windows(spark, tmp_path):
 
     got = {r["k"]: r["v"]
            for r in load_counts(spark, root, ["k"], ["v"]).collect()}
-    assert got == {"a": 3}
+    assert got == {"a": 3}  # ghost invisible: no double count
     assert not os.path.isdir(os.path.join(root, ".staging-dead"))
+    # grace window: epoch-0 ghost survives one reconcile pass...
+    assert os.path.isdir(os.path.join(root, "run=0-ghost"))
+    # ...and is swept once two epochs separate it from the listing
+    compact(spark, root, load_counts(spark, root, ["k"], ["v"]))
+    compact(spark, root, load_counts(spark, root, ["k"], ["v"]))
+    got = {r["k"]: r["v"]
+           for r in load_counts(spark, root, ["k"], ["v"]).collect()}
+    assert got == {"a": 3}
     assert not os.path.isdir(os.path.join(root, "run=0-ghost"))
+    assert not os.path.isdir(os.path.join(root, "base-1"))
 
 
 # ------------------------------------------- batched WAND
