@@ -597,6 +597,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": lambda s, d: D.ngram_jaccard_pairs(
             _docs(s, d), n=3, threshold=0.2
         ),
+        "near_dup_clusters": lambda s, d: D.near_dup_clusters(
+            D.minhash_lsh_pairs(_docs(s, d), 0.8, bands=8)
+        ),
         "minhash_lsh_pairs": lambda s, d: D.minhash_lsh_pairs(
             _docs(s, d), threshold=0.8, bands=8
         ),
@@ -813,6 +816,27 @@ WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 4) >= 0.2
         "minhash_lsh_pairs": _minhash_chain_sql(
             0.8, 8, "WITH mh_docs AS (SELECT doc_id, text FROM documents)"
         ) + "\nSELECT doc_a, doc_b, jaccard FROM mh_pairs",
+        # connected components over the SAME verified pair chain:
+        # min-reachable-id labels via a recursive CTE (the Spark side is
+        # iterative min-label propagation — dedup.py::near_dup_clusters)
+        "near_dup_clusters": _minhash_chain_sql(
+            0.8, 8,
+            "WITH RECURSIVE mh_docs AS (SELECT doc_id, text FROM documents)",
+        ) + """
+, nd_edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM mh_pairs
+), nd_verts AS (
+  SELECT DISTINCT a AS doc_id FROM nd_edges
+), nd_reach(doc_id, rep) AS (
+  SELECT doc_id, doc_id FROM nd_verts
+  UNION
+  SELECT e.b, r.rep FROM nd_reach r JOIN nd_edges e ON e.a = r.doc_id
+)
+SELECT doc_id, min(rep)::BIGINT AS cluster_id
+FROM nd_reach GROUP BY doc_id
+""",
         "simhash_fingerprints": _simhash_sql()
         + "\nSELECT doc_id, simhash FROM sh_fp",
         "simhash_near_pairs": _simhash_sql() + """

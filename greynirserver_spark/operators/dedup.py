@@ -42,6 +42,8 @@ __all__ = [
     "bands_for_threshold",
     "simhash_fingerprints",
     "simhash_near_pairs",
+    "near_dup_clusters",
+    "incremental_minhash_pairs",
 ]
 
 
@@ -453,4 +455,216 @@ def simhash_near_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+    return pairs
+
+
+def near_dup_clusters(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
+    """(doc_id, cluster_id): connected components over near-duplicate
+    pairs — training-data dedup needs TRANSITIVITY, not just pairs
+    (A~B and B~C must dedupe to ONE survivor even when A~C was never a
+    candidate). ``cluster_id`` is the minimum doc_id reachable from
+    each member, so "keep cluster_id == doc_id" reproduces the
+    first-seen-wins preference the exact-dup path uses.
+
+    Plan shape: iterative min-label propagation. Each round joins the
+    (bidirectional) edge list against the current labels, takes the
+    per-vertex minimum of own and neighbor labels, and stops when a
+    round changes nothing — rounds = cluster diameter, and near-dup
+    clusters are shallow by construction (every member pair passed an
+    LSH candidate + Jaccard gate, so clusters are dense, not chains).
+    Every round is one shuffle join + partial-agg over the PAIRS
+    relation — bounded by the LSH candidate budget, never the corpus —
+    and ``localCheckpoint`` truncates the growing plan each round
+    (an iterative algorithm otherwise re-evaluates the whole chain per
+    action). Deterministic: min is order-independent. Raises if not
+    converged within *max_iter* (pathological chain longer than
+    max_iter would need the large-star/small-star variant).
+
+    Input: any (doc_a, doc_b, ...) pair relation —
+    :func:`minhash_lsh_pairs`, :func:`simhash_near_pairs` or
+    :func:`ngram_jaccard_pairs` output. Singleton docs (no pair) are
+    not emitted; callers union them back as their own clusters.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .distinct()
+    )
+    from pyspark import StorageLevel
+
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new = (
+            labels.join(neigh, labels.doc_id == neigh.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce("nmin", F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"near_dup_clusters: not converged in {max_iter} rounds"
+        )
+    edges.unpersist()
+    return labels
+
+
+def _band_bucket_rows(sigs: DataFrame, bands: int) -> DataFrame:
+    """(doc_id, band, bucket, sig) — one row per signature band, bucket
+    = md5 of the band slice (engine-portable, collision-free in
+    practice). The signature rides along so candidate pairs can be
+    estimate-verified without re-reading either side."""
+    rows_per_band = _MINHASH_H // bands
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda band: F.struct(
+                    band.cast("int").alias("band"),
+                    F.md5(
+                        F.array_join(
+                            F.transform(
+                                F.slice(
+                                    "sig",
+                                    band * rows_per_band + 1,
+                                    rows_per_band,
+                                ),
+                                lambda v: v.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+        "sig",
+    ).select("doc_id", "bb.band", "bb.bucket", "sig")
+
+
+def _estimate_pairs(
+    a_rows: DataFrame, b_rows: DataFrame, threshold: float,
+    cross_only: bool = False,
+) -> DataFrame:
+    """Bucket-join candidates + signature-estimated Jaccard (fraction
+    of matching MinHash positions — the 64-sample estimator). With
+    *cross_only*, pairs must span the two inputs (a × b); otherwise the
+    standard a.doc_id < b.doc_id dedup applies."""
+    cond = (
+        F.col("a.doc_id") != F.col("b.doc_id")
+        if cross_only
+        else F.col("a.doc_id") < F.col("b.doc_id")
+    )
+    cand = (
+        a_rows.alias("a")
+        .join(b_rows.alias("b"), ["band", "bucket"])
+        .where(cond)
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.round(
+        F.aggregate(
+            F.zip_with(
+                "sig_a", "sig_b",
+                lambda x, y: F.when(x == y, 1).otherwise(0),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).cast("double") / F.lit(float(_MINHASH_H)),
+        4,
+    )
+    return (
+        cand.withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def incremental_minhash_pairs(
+    spark,
+    store_root: str,
+    new_docs: DataFrame,
+    threshold: float = 0.8,
+    bands: int = 8,
+    run_id: Optional[str] = None,
+) -> DataFrame:
+    """The 30-min-loop near-dup gate: check an append batch against the
+    WHOLE accumulated corpus without re-signing a single old document.
+
+    A log-structured signature store (operators/runstore.py) holds one
+    (doc_id, band, bucket, sig) row per banded MinHash slice. Per
+    batch: sign the new docs (O(batch)), bucket-join them against the
+    stored rows (shuffle bounded by batch × bands plus the matched
+    buckets) and against themselves, estimate Jaccard from the
+    signatures (the 64-sample estimator — at 10^12 docs the exact
+    token-set verify would re-read old token sets; the estimate is the
+    standard production gate, and the batch-mode
+    :func:`minhash_lsh_pairs` remains the exact-verified path), then
+    append the batch's rows as one run. Returns (doc_a, doc_b,
+    est_jaccard >= threshold) covering new×stored and new×new — the
+    union over all batches equals the one-shot estimator over the full
+    corpus (test-pinned), so feeding the pairs to
+    :func:`near_dup_clusters` yields corpus-wide dedup clusters
+    incrementally. *run_id* dedupes replays (crash-safe append, same
+    contract as the term-count store).
+    """
+    from pyspark import StorageLevel
+
+    from .runstore import append_run, load_rows
+
+    new_rows = _band_bucket_rows(
+        minhash_signatures(new_docs), bands
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    new_rows.count()
+    old_rows = load_rows(spark, store_root)
+    parts = [_estimate_pairs(new_rows, new_rows, threshold)]
+    if old_rows is not None:
+        parts.append(
+            _estimate_pairs(new_rows, old_rows, threshold, cross_only=True)
+        )
+    pairs = parts[0]
+    for p in parts[1:]:
+        pairs = pairs.unionByName(p)
+    # materialize BEFORE the store append: the lazy plan lists the
+    # store's files at action time, and the batch's own run must not
+    # join against itself as "stored"
+    pairs = pairs.dropDuplicates(["doc_a", "doc_b"]).localCheckpoint(
+        eager=True
+    )
+    append_run(spark, store_root, new_rows, run_id=run_id)
+    new_rows.unpersist()
     return pairs

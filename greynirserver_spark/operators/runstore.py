@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = [
     "append_run",
     "load_counts",
+    "load_rows",
     "load_runs_only",
     "compact",
     "current_epoch",
@@ -158,6 +159,13 @@ def _read_parts(spark, root: str, with_base: bool) -> Optional[DataFrame]:
         return None
     spark.catalog.refreshByPath(root)
     return spark.read.parquet(*parts)
+
+
+def load_rows(spark, root: str) -> Optional[DataFrame]:
+    """Raw (un-aggregated) union of base ∪ current-epoch runs — for
+    stores whose rows are facts, not mergeable counts (e.g. the MinHash
+    signature store). None when empty."""
+    return _read_parts(spark, root, with_base=True)
 
 
 def load_counts(

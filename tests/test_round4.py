@@ -296,6 +296,71 @@ def test_tombstone_overfetch_capped_with_escalation(spark, tmp_path):
     assert [(x["doc_id"], x["score"]) for x in rows] == [top5[4]]
 
 
+# ------------------------------------------- near-dup clustering
+
+def test_near_dup_clusters_transitive(spark):
+    """Connected components over pair output: A~B, B~C cluster together
+    even though A~C was never a candidate; disjoint groups stay apart;
+    cluster_id = min member (first-seen-wins survivor rule)."""
+    from greynirserver_spark.operators.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.85), (3, 4, 0.9),   # chain of 4
+         (10, 11, 0.95),                            # pair
+         (20, 22, 0.9), (21, 22, 0.9)],             # star
+        "doc_a long, doc_b long, jaccard double",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in near_dup_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+
+def test_incremental_minhash_equals_one_shot(spark, tmp_path):
+    """Batch-by-batch incremental near-dup gating == the one-shot
+    estimator over the full corpus: signing each batch once and
+    bucket-joining against the accumulated store loses no pair and
+    invents none. Replay of a batch (same run_id) appends nothing."""
+    from greynirserver_spark.operators.dedup import (
+        _band_bucket_rows,
+        _estimate_pairs,
+        incremental_minhash_pairs,
+        minhash_signatures,
+    )
+
+    docs = generate_pages(spark, 300).selectExpr(
+        "cast(xxhash64(url) as long) as doc_id", "text"
+    ).cache()
+    b1 = docs.where(F.col("doc_id") % 3 != 0)
+    b2 = docs.where(F.col("doc_id") % 3 == 0)
+    root = str(tmp_path / "sigstore")
+
+    p1 = incremental_minhash_pairs(spark, root, b1, 0.7, run_id="b1")
+    p2 = incremental_minhash_pairs(spark, root, b2, 0.7, run_id="b2")
+    got = {
+        (r["doc_a"], r["doc_b"], r["est_jaccard"])
+        for r in p1.collect() + p2.collect()
+    }
+
+    all_rows = _band_bucket_rows(minhash_signatures(docs), 8)
+    want = {
+        (r["doc_a"], r["doc_b"], r["est_jaccard"])
+        for r in _estimate_pairs(all_rows, all_rows, 0.7).collect()
+    }
+    assert got == want and len(want) > 0
+
+    # replay: same run_id appends no second run, so a third batch
+    # never double-joins b2's rows
+    import os
+
+    runs_before = [d for d in os.listdir(root) if d.startswith("run=")]
+    p2b = incremental_minhash_pairs(spark, root, b2, 0.7, run_id="b2")
+    runs_after = [d for d in os.listdir(root) if d.startswith("run=")]
+    assert runs_before == runs_after
+
+
 # ------------------------------------------- LSM runstore
 
 def test_runstore_append_view_compact_epochs(spark, tmp_path):
