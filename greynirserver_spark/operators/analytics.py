@@ -25,6 +25,8 @@ __all__ = [
     "word_trigram_counts",
     "word_trigrams",
     "merge_trigram_counts",
+    "load_trigram_counts",
+    "compact_trigram_counts",
     "random_sample",
     "latest_event_per_user",
     "top_users_by_active_days",
@@ -284,9 +286,8 @@ def word_trigrams(docs: DataFrame, limit: int = 100) -> DataFrame:
 
 
 def merge_trigram_counts(
-    spark, store_path: str, docs: DataFrame, n_buckets: int = 64,
+    spark, store_path: str, docs: DataFrame,
     batch_id: "str | None" = None,
-    fail_after_buckets: "int | None" = None,
 ) -> int:
     """Accumulate a batch's trigram counts into a persistent store —
     the reference's per-row ``ON CONFLICT (t1,t2,t3) DO UPDATE SET
@@ -295,30 +296,52 @@ def merge_trigram_counts(
     batch ON trigram WHEN MATCHED THEN UPDATE SET freq = t.freq +
     b.freq``.
 
-    The store is partitioned into trigram-hash buckets (``bkt=N``
-    directories, mirroring the pages upsert, sources/pages.py): the
-    merge reads, sums and rewrites ONLY buckets present in the batch —
-    an incremental cron batch with a bounded trigram set costs
-    O(batch + touched buckets), never O(store) (round-2: the
-    whole-store union+overwrite was flagged as the wrong scale path).
-    Crash safety comes from the shared merge protocol
-    (operators/bucketed.py): a durable merge intent before the bucket
-    swaps, roll-forward reconcile on every read/merge, and *batch_id*
-    replay dedup — a crashed batch can be replayed without double
-    counting, and no ``bkt=N.old`` dir is ever visible to partition
-    discovery.
+    The store is LOG-STRUCTURED (operators/runstore.py — the same
+    substrate as the index's term counts): a batch's trigram counts are
+    appended as ONE run (O(batch) write, zero store reads) and readers
+    aggregate base ∪ runs into the exact view. Two earlier designs were
+    retired by measurement: the round-2 whole-store union+overwrite was
+    O(store) per batch, and the round-3 hash-bucketed "touched buckets
+    only" MERGE was O(store) in disguise — a real document batch has
+    thousands of distinct trigrams and touches every bucket
+    (scripts/append_stats_scaling.py shows the same effect on term
+    counts). Crash safety is by construction: a run becomes visible with
+    one atomic rename (the round-3 advice's half-merged-bucket and
+    ``bkt=N.old`` resurrection windows cannot exist), and *batch_id*
+    doubles as the run id, so replaying a crashed batch is a no-op.
+    Call :func:`compact_trigram_counts` periodically (the cron's
+    maintenance slot) to fold runs.
 
-    Returns the number of distinct trigrams in the merged store.
+    Returns the number of distinct trigrams in the merged view.
     """
-    from .bucketed import load_bucketed, merge_bucketed_counts
+    from .runstore import append_run
 
-    batch = word_trigram_counts(docs)
-    merge_bucketed_counts(
-        spark, store_path, batch, key_cols=["trigram"],
-        sum_cols=["freq"], n_buckets=n_buckets, batch_id=batch_id,
-        fail_after_buckets=fail_after_buckets,
+    append_run(
+        spark, store_path, word_trigram_counts(docs), run_id=batch_id
     )
-    return load_bucketed(spark, store_path).count()
+    return load_trigram_counts(spark, store_path).count()
+
+
+def load_trigram_counts(spark, store_path: str) -> DataFrame:
+    """(trigram, freq) — the exact accumulated view (base ∪ runs)."""
+    from .runstore import load_counts
+
+    df = load_counts(spark, store_path, ["trigram"], ["freq"])
+    if df is None:
+        return spark.createDataFrame([], "trigram string, freq long")
+    return df
+
+
+def compact_trigram_counts(spark, store_path: str) -> None:
+    """Fold accumulated runs into a new base epoch (periodic
+    maintenance; the view is exact either way)."""
+    from .runstore import compact
+
+    compact(
+        spark, store_path,
+        load_trigram_counts(spark, store_path)
+        .sortWithinPartitions("trigram"),
+    )
 
 
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

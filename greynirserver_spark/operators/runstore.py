@@ -1,12 +1,12 @@
 """Log-structured (LSM-style) count stores: write-only O(batch) appends.
 
-Round-4 finding (measured in ``scripts/append_stats_scaling.py``): a
-hash-bucketed MERGE is O(touched buckets × bucket size) — fine for a
-bounded-key batch (trigrams), but an index append's term-count delta
-has thousands of distinct terms, touches essentially EVERY bucket, and
-degenerates to an O(vocabulary) read+rewrite per append. No bucketing
-constant fixes that; the scalable shape is the one log-structured
-engines use:
+Round-4 finding (measured in ``scripts/append_stats_scaling.py``): any
+in-place MERGE — including a hash-bucketed "touched buckets only" one —
+degenerates to an O(store) read+rewrite per batch once the batch's key
+set touches every partition, and a realistic document batch's term or
+trigram delta does exactly that (thousands of distinct keys vs dozens
+of buckets). No bucketing constant fixes it; the scalable shape is the
+one log-structured engines use:
 
 * ``<root>/base-<epoch>/`` — a compaction's aggregated counts; the
   HIGHEST epoch is current, older bases are swept lazily,

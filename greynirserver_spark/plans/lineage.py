@@ -601,12 +601,13 @@ def append_pages(
     * the global stats tables are maintained INCREMENTALLY — O(batch),
       never O(store postings) and never O(vocabulary): doc_stats
       appends the new docs' rows, corpus folds exactly via its carried
-      ``total_doclen``, and term df/cf deltas MERGE into the
-      hash-bucketed ``term_counts`` store (touched buckets only).
-      NOTHING vocabulary-sized runs: the pruned+idf ``term_stats`` view
-      is derived lazily (IndexStore.term_stats_df) by full-vocabulary
-      consumers, and the delta segments get idf for just the batch's
-      terms from the touched buckets,
+      ``total_doclen``, and term df/cf deltas land as ONE run in the
+      log-structured ``term_counts`` store (write-only; the exact view
+      re-aggregates at read time, rebuild compacts). NOTHING
+      vocabulary-sized runs: the pruned+idf ``term_stats`` view is
+      derived lazily (IndexStore.term_stats_df) by full-vocabulary
+      consumers, and delta segments bake batch-local placeholder stats
+      that the serving layer rescales to current idf at query time,
     * delta segments are built ONLY from the new docs' postings, with
       the UPDATED global idf. Blocks written in earlier batches keep
       their build-time idf/block_max until :func:`rebuild_segments` —

@@ -28,11 +28,12 @@ operation              Iceberg equivalent
                        must drop Spark's FileStatusCache by hand)
 =====================  =================================================
 
-The multi-table append transaction (append_pages) and the merge intent
-protocol (operators/bucketed.py) each collapse to one Iceberg
-transaction; in the parquet adapter they stay explicit intent/reconcile
-records. Lineage rows map to an Iceberg metrics table written in the
-same transaction.
+The multi-table append transaction (append_pages) and the
+log-structured run/compaction protocol (operators/runstore.py) each
+collapse to one Iceberg transaction (fast-append snapshot /
+rewrite_data_files); in the parquet adapter they stay explicit
+intent/epoch records. Lineage rows map to an Iceberg metrics table
+written in the same transaction.
 """
 
 from __future__ import annotations

@@ -1,6 +1,7 @@
-"""Round-4 hardening: crash-safe bucketed merges, driver-free mass
+"""Round-4 hardening: log-structured count stores, driver-free mass
 tombstone purge, store-maintained phrase guard, capped tombstone
-overfetch, dictionary unpersist, Icelandic collation."""
+overfetch, exact-stats serving, batched WAND, near-dup clustering,
+dictionary unpersist, Icelandic collation."""
 
 import os
 import sys
@@ -12,116 +13,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from greynirserver_spark.corpus import generate_pages, indexable_stems_by_rank
-from greynirserver_spark.operators.bucketed import (
-    load_bucketed,
-    merge_bucketed_counts,
-    reconcile_bucketed_store,
-)
-
-
-def _counts(spark, path):
-    return {
-        r["k"]: r["v"]
-        for r in load_bucketed(spark, path).select("k", "v").collect()
-    }
 
 
 def _kv(spark, rows):
     return spark.createDataFrame(rows, "k string, v long")
-
-
-# ------------------------------------------------ crash-safe merges
-
-def test_bucketed_merge_crash_rolls_forward(spark, tmp_path):
-    """A crash mid-bucket-swap must leave no half-merged store: the
-    durable intent makes the next reader/merger roll the whole batch
-    forward (round-3 advice: the old protocol left some buckets merged
-    and some not, with replay double-counting)."""
-    store = str(tmp_path / "cnt")
-    merge_bucketed_counts(
-        spark, store, _kv(spark, [("a", 1), ("b", 2), ("c", 3), ("d", 4)]),
-        ["k"], ["v"], n_buckets=8,
-    )
-    with pytest.raises(RuntimeError, match="injected"):
-        merge_bucketed_counts(
-            spark, store,
-            _kv(spark, [("a", 10), ("b", 20), ("c", 30), ("d", 40)]),
-            ["k"], ["v"], n_buckets=8, batch_id="b2",
-            fail_after_buckets=1,
-        )
-    # an open intent exists; reconcile-then-read sees the FULL merge
-    assert any(
-        fn.startswith("_merge_intent-") for fn in os.listdir(store)
-    )
-    assert _counts(spark, store) == {"a": 11, "b": 22, "c": 33, "d": 44}
-    assert not any(
-        fn.startswith("_merge_intent-") for fn in os.listdir(store)
-    )
-    # replaying the crashed batch is a no-op (ledger dedup), not a
-    # double count
-    out = merge_bucketed_counts(
-        spark, store,
-        _kv(spark, [("a", 10), ("b", 20), ("c", 30), ("d", 40)]),
-        ["k"], ["v"], n_buckets=8, batch_id="b2",
-    )
-    assert out is None
-    assert _counts(spark, store) == {"a": 11, "b": 22, "c": 33, "d": 44}
-
-
-def test_bucketed_merge_crash_before_intent_is_clean(spark, tmp_path):
-    """A staging dir without an intent (writer died before the intent
-    was durable) is garbage: the store reads pre-merge and the stray is
-    swept."""
-    import shutil
-
-    store = str(tmp_path / "cnt2")
-    merge_bucketed_counts(
-        spark, store, _kv(spark, [("a", 1)]), ["k"], ["v"], n_buckets=4
-    )
-    # simulate: staged output exists, intent never written
-    stray = store + ".staging-deadbeef"
-    shutil.copytree(store, stray, ignore=shutil.ignore_patterns("_*"))
-    assert _counts(spark, store) == {"a": 1}
-    assert not os.path.isdir(stray)
-
-
-def test_legacy_old_dirs_are_purged(spark, tmp_path):
-    """bkt=N.old leftovers from the pre-round-4 protocol must never be
-    read back as partition value 'N.old'."""
-    import shutil
-
-    store = str(tmp_path / "cnt3")
-    merge_bucketed_counts(
-        spark, store, _kv(spark, [("a", 1), ("b", 2)]), ["k"], ["v"],
-        n_buckets=4,
-    )
-    bkts = [fn for fn in os.listdir(store) if fn.startswith("bkt=")]
-    shutil.copytree(
-        os.path.join(store, bkts[0]), os.path.join(store, bkts[0] + ".old")
-    )
-    reconcile_bucketed_store(store)
-    assert not any(fn.endswith(".old") for fn in os.listdir(store))
-    assert _counts(spark, store) == {"a": 1, "b": 2}
-
-
-def test_trigram_merge_replay_safe(spark, tmp_path):
-    """merge_trigram_counts carries the same batch-id dedup."""
-    from greynirserver_spark.operators.analytics import (
-        merge_trigram_counts,
-    )
-
-    docs = spark.createDataFrame(
-        [(1, "a b c a b c"), (2, "a b x")], "doc_id long, text string"
-    )
-    store = str(tmp_path / "tri")
-    n1 = merge_trigram_counts(spark, store, docs, batch_id="t1")
-    n2 = merge_trigram_counts(spark, store, docs, batch_id="t1")
-    assert n1 == n2
-    freqs = {
-        r["trigram"]: r["freq"]
-        for r in load_bucketed(spark, store).collect()
-    }
-    assert freqs["a b c"] == 2  # not 4
 
 
 # ------------------------------------- distributed tombstone purge
@@ -186,8 +81,8 @@ def pos_store(spark, tmp_path_factory):
 
 
 def test_phrase_guard_summary_maintained(spark, pos_store):
-    """pos_heavy.json + the bucketed pos_counts store exist after a
-    build and stay EXACT after an append (counts == groupBy of the
+    """pos_heavy.json + the log-structured pos_counts store exist after
+    a build and stay EXACT after an append (counts == groupBy of the
     positions table)."""
     from greynirserver_spark.operators.posindex import (
         load_positional_block_counts,
