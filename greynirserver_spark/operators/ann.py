@@ -36,6 +36,7 @@ __all__ = [
     "ivf_topk",
     "cosine_near_pairs_exact",
     "cosine_near_pairs_lsh",
+    "incremental_cosine_near_pairs",
 ]
 
 
@@ -285,3 +286,79 @@ def cosine_near_pairs_lsh(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def incremental_cosine_near_pairs(
+    spark,
+    store_root: str,
+    new_emb: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    run_id=None,
+) -> DataFrame:
+    """Embedding twin of dedup.incremental_minhash_pairs: check an
+    append batch of vectors against the accumulated corpus without
+    re-hashing a single stored vector.
+
+    A log-structured store (operators/runstore.py) accumulates one
+    (vec_id, bucket, nrm, embedding) row per vector, bucketed by
+    seeded sign-LSH. Per batch: bucket the new vectors (O(batch)),
+    equi-join on bucket against the store and against themselves,
+    verify with the exact cosine (vectors ride along, so verification
+    reads nothing), then append the batch's rows as one run. Returns
+    (vec_a, vec_b, cosine >= threshold) covering new×stored and
+    new×new; the union over batches equals the one-shot
+    :func:`cosine_near_pairs_lsh` over the full corpus (test-pinned —
+    both sides use the same seeded hyperplanes). *run_id* dedupes
+    replays.
+    """
+    from pyspark import StorageLevel
+
+    from .runstore import append_run, load_rows
+
+    dim = int(new_emb.select(F.size("embedding")).first()[0])
+    planes = _hyperplanes(dim, n_planes)
+    new_rows = new_emb.select(
+        "vec_id", "embedding",
+        _sign_bits_col(F.col("embedding"), planes).alias("bucket"),
+        _norm(F.col("embedding")).alias("nrm"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    new_rows.count()
+
+    def verified(a, b, cross_only):
+        cond = (
+            F.col("a.vec_id") != F.col("b.vec_id")
+            if cross_only
+            else F.col("a.vec_id") < F.col("b.vec_id")
+        )
+        return (
+            a.alias("a").join(b.alias("b"), "bucket")
+            .where(cond)
+            .select(
+                F.least("a.vec_id", "b.vec_id").alias("vec_a"),
+                F.greatest("a.vec_id", "b.vec_id").alias("vec_b"),
+                F.round(
+                    _dot(F.col("a.embedding"), F.col("b.embedding"))
+                    / (F.col("a.nrm") * F.col("b.nrm")),
+                    4,
+                ).alias("cosine"),
+            )
+            .where(F.col("cosine") >= threshold)
+            .dropDuplicates(["vec_a", "vec_b"])
+        )
+
+    pairs = verified(new_rows, new_rows, cross_only=False)
+    old_rows = load_rows(spark, store_root)
+    if old_rows is not None:
+        pairs = pairs.unionByName(
+            verified(new_rows, old_rows, cross_only=True)
+        )
+    # materialize before the append: the batch's own run must not join
+    # against itself as "stored" (lazy plans list store files at action
+    # time)
+    pairs = pairs.dropDuplicates(["vec_a", "vec_b"]).localCheckpoint(
+        eager=True
+    )
+    append_run(spark, store_root, new_rows, run_id=run_id)
+    new_rows.unpersist()
+    return pairs

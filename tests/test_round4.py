@@ -256,6 +256,39 @@ def test_incremental_minhash_equals_one_shot(spark, tmp_path):
     assert runs_before == runs_after
 
 
+def test_incremental_embedding_pairs_equals_one_shot(spark, tmp_path):
+    """Embedding twin of the incremental MinHash gate: batch-by-batch
+    union == one-shot cosine_near_pairs_lsh over the full table."""
+    from greynirserver_spark.operators.ann import (
+        cosine_near_pairs_lsh,
+        incremental_cosine_near_pairs,
+        load_embeddings,
+    )
+
+    # driver-gate parameters (threshold 0.35, 4 planes): the synthetic
+    # embeddings have no high-cosine near-dups, so the gate thresholds
+    # where pairs exist
+    emb = load_embeddings(spark, "/root/testdata/sf0.01").cache()
+    b1 = emb.where(F.col("vec_id") % 2 == 0)
+    b2 = emb.where(F.col("vec_id") % 2 == 1)
+    root = str(tmp_path / "embstore")
+    p1 = incremental_cosine_near_pairs(
+        spark, root, b1, 0.35, n_planes=4, run_id="e1"
+    )
+    p2 = incremental_cosine_near_pairs(
+        spark, root, b2, 0.35, n_planes=4, run_id="e2"
+    )
+    got = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in p1.collect() + p2.collect()
+    }
+    want = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in cosine_near_pairs_lsh(emb, 0.35, n_planes=4).collect()
+    }
+    assert got == want and len(want) > 0
+
+
 # ------------------------------------------- LSM runstore
 
 def test_runstore_append_view_compact_epochs(spark, tmp_path):
