@@ -436,27 +436,31 @@ WITH RECURSIVE tokarr AS (
   SELECT doc_id, entity_id, entity, wlast, min(pos) AS fpos
   FROM sel WHERE n >= 2 GROUP BY 1, 2, 3, 4
 ), fmv AS (
-  -- declension fold (mirror of functions/ner.py): bare + '-s' genitive
-  -- + one declension-class oblique variant
+  -- declension fold (mirror of functions/ner.py): bare + '-s'
+  -- genitive + declension-class oblique variants (incl. datives)
   SELECT doc_id, entity_id, entity, fpos, wlast,
          CASE
-           WHEN wlast LIKE '%son' THEN wlast || 'ar'
+           WHEN wlast LIKE '%son' THEN
+             [wlast || 'ar', regexp_replace(wlast, 'son$', 'syn') || 'i']
            WHEN wlast LIKE '%dóttir'
-             THEN regexp_replace(wlast, 'dóttir$', 'dóttur')
-           WHEN wlast LIKE '%ur' THEN regexp_replace(wlast, 'ur$', 'ar')
+             THEN [regexp_replace(wlast, 'dóttir$', 'dóttur')]
+           WHEN wlast LIKE '%ur' THEN
+             [substr(wlast, 1, length(wlast) - 2) || 'ar',
+              substr(wlast, 1, length(wlast) - 2) || 'i']
            WHEN wlast LIKE '%a' THEN
-             CASE WHEN regexp_matches(wlast, 'a[^aeiouyáéíóúýæö]*a$')
-                  THEN regexp_replace(wlast,
-                                      'a([^aeiouyáéíóúýæö]*)a$', 'ö\\1u')
-                  ELSE substr(wlast, 1, length(wlast) - 1) || 'u' END
+             [CASE WHEN regexp_matches(wlast, 'a[^aeiouyáéíóúýæö]*a$')
+                   THEN regexp_replace(wlast,
+                                       'a([^aeiouyáéíóúýæö]*)a$', 'ö\\1u')
+                   ELSE substr(wlast, 1, length(wlast) - 1) || 'u' END]
            WHEN wlast LIKE '%i'
-             THEN substr(wlast, 1, length(wlast) - 1) || 'a'
-           ELSE NULL END AS decl
+             THEN [substr(wlast, 1, length(wlast) - 1) || 'a']
+           ELSE [wlast || 'i'] END AS decl
   FROM fm0
 ), fm AS (
   SELECT doc_id, entity_id, entity, fpos,
          unnest(list_distinct(list_filter(
-           [wlast, wlast || 's', decl], x -> x IS NOT NULL))) AS token
+           list_concat([wlast, wlast || 's'], decl),
+           x -> x IS NOT NULL))) AS token
   FROM fmv
 ), covered AS (
   SELECT doc_id, unnest(range(pos, pos + n)) AS pos FROM sel

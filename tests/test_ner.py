@@ -181,3 +181,29 @@ def test_irregular_declension_backref(spark):
         assert (d, 0, eid) in got, (d, eid)
         # tokens: <first>(0) <last>(1) kom(2) ræða(3) <oblique>(4)
         assert (d, 4, eid) in got, (d, eid)  # oblique back-reference
+
+
+def test_dative_backref_variants(spark):
+    """Strong-declension datives (round-3 advice: 'Jóni' was still
+    missed): else-branch +i, -ur -> -i, -son -> -syni."""
+    ents = [
+        ("j", "Gunnar Jón"),
+        ("g", "Jón Guðmundur"),
+        ("s", "Jón Einarsson"),
+    ]
+    docs = spark.createDataFrame(
+        [
+            (1, "Gunnar Jón kom. Ræða hjá Jóni var góð."),
+            (2, "Jón Guðmundur kom. Ræða hjá Guðmundi var góð."),
+            (3, "Jón Einarsson kom. Ræða hjá Einarssyni var góð."),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.pos, r.entity_id)
+        for r in recognize_entities(docs, ents).collect()
+    }
+    for d, eid in [(1, "j"), (2, "g"), (3, "s")]:
+        assert (d, 0, eid) in got, (d, eid)
+        # tokens: <first>(0) <last>(1) kom(2) ræða(3) hjá(4) <dat>(5)
+        assert (d, 5, eid) in got, (d, eid)
