@@ -26,20 +26,35 @@ __all__ = ["icelandic_collation_key", "sort_icelandic", "people_sorted"]
 
 # the Icelandic alphabet in collation order (lower case; primary strength)
 ICELANDIC_ALPHABET = "aábcdðeéfghiíjklmnoóprstuúvxyýþæö"
-# reference order incl. the loan letters the is_IS locale interleaves
-_FULL_ORDER = "aábcdðeéfghiíjklmnoópqrstuúvwxyýþæö"
+# reference order incl. the loan letters the is_IS locale interleaves:
+# c/q/w slot after their base neighbours and z lands between ý and þ
+# (the post-1973 alphabet dropped z, but is_IS still collates it there
+# — a raw-codepoint z would otherwise sort after ö, at the very end)
+_FULL_ORDER = "aábcdðeéfghiíjklmnoópqrstuúvwxyýzþæö"
 # ascending ASCII weights (printable, ordered) for the fallback key
 _WEIGHTS = "".join(chr(ord("A") + i) for i in range(len(_FULL_ORDER)))
 
+# memoized per session: the probe costs one tiny Spark job, and paying
+# it on EVERY sort call puts a collect() on the serving path
+_COLLATE_PROBE: dict = {}
+
 
 def _has_collate(spark) -> bool:
+    key = id(spark)
+    hit = _COLLATE_PROBE.get(key)
+    if hit is not None:
+        return hit
     try:
         spark.range(1).select(
             F.collate(F.lit("a"), "is")
         ).collect()
-        return True
+        ok = True
     except Exception:
-        return False
+        ok = False
+    if len(_COLLATE_PROBE) > 16:
+        _COLLATE_PROBE.clear()  # sessions come and go in test runs
+    _COLLATE_PROBE[key] = ok
+    return ok
 
 
 def icelandic_collation_key(col, spark=None) -> Column:

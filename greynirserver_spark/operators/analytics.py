@@ -316,17 +316,50 @@ def merge_trigram_counts(
     """
     from .runstore import append_run
 
+    _migrate_legacy_trigram_store(spark, store_path)
     append_run(
         spark, store_path, word_trigram_counts(docs), run_id=batch_id
     )
     return load_trigram_counts(spark, store_path).count()
 
 
+def _legacy_trigram_bkt_df(spark, store_path: str) -> "DataFrame | None":
+    """Rows of a pre-round-4 hash-bucketed trigram store (``bkt=N``
+    dirs), or None when the store has no legacy layout."""
+    import os
+
+    if os.path.isdir(store_path) and any(
+        d.startswith("bkt=") for d in os.listdir(store_path)
+    ):
+        return spark.read.parquet(store_path).select("trigram", "freq")
+    return None
+
+
+def _migrate_legacy_trigram_store(spark, store_path: str) -> None:
+    """One-time migration of a pre-round-4 ``bkt=`` store into the
+    log-structured layout: without it, the first :func:`merge_trigram_counts`
+    run would make ``load_counts`` non-None and silently orphan every
+    previously accumulated count (round-4 advice). The legacy rows
+    become ``base-1`` with one atomic publish; the stale ``bkt=`` dirs
+    are ignored by the runstore's explicit-path reads."""
+    from .runstore import current_epoch, compact, has_runs
+
+    if current_epoch(store_path) > 0 or has_runs(store_path):
+        return  # already log-structured
+    legacy = _legacy_trigram_bkt_df(spark, store_path)
+    if legacy is not None:
+        compact(spark, store_path, legacy.sortWithinPartitions("trigram"))
+
+
 def load_trigram_counts(spark, store_path: str) -> DataFrame:
-    """(trigram, freq) — the exact accumulated view (base ∪ runs)."""
+    """(trigram, freq) — the exact accumulated view (base ∪ runs).
+    Reads a pre-round-4 hash-bucketed store (``bkt=N`` dirs)
+    transparently, mirroring ``postings.load_term_counts``."""
     from .runstore import load_counts
 
     df = load_counts(spark, store_path, ["trigram"], ["freq"])
+    if df is None:
+        df = _legacy_trigram_bkt_df(spark, store_path)
     if df is None:
         return spark.createDataFrame([], "trigram string, freq long")
     return df

@@ -44,6 +44,7 @@ __all__ = [
     "current_epoch",
     "has_runs",
     "remove_run",
+    "run_count",
 ]
 
 
@@ -52,6 +53,28 @@ def has_runs(root: str) -> bool:
     serving layer uses this to decide whether baked block stats are
     exact (no runs) or need the query-time idf rescale."""
     return bool(_run_dirs(root, current_epoch(root)))
+
+
+def run_count(root: str) -> int:
+    """Number of current-epoch runs — the auto-compaction trigger:
+    every read of the exact view unions this many directories, so a
+    store appended thousands of times between segment rebuilds needs a
+    standalone compaction cadence (round-4 verdict item #3)."""
+    return len(_run_dirs(root, current_epoch(root)))
+
+
+def _applied_marker(root: str, rid: str) -> str:
+    return os.path.join(root, "_applied", rid)
+
+
+def _mark_applied(root: str, rid: str) -> None:
+    d = os.path.join(root, "_applied")
+    os.makedirs(d, exist_ok=True)
+    try:
+        with open(os.path.join(d, rid), "x"):
+            pass
+    except FileExistsError:
+        pass
 
 
 def current_epoch(root: str) -> int:
@@ -118,24 +141,35 @@ def append_run(
     spark, root: str, delta: DataFrame, run_id: Optional[str] = None
 ) -> bool:
     """Append *delta* as one new run — O(batch) write, ZERO read of the
-    store. Returns False when *run_id* already exists in the current
-    epoch (idempotent replay)."""
+    store. Returns False on idempotent replay: *run_id* already visible
+    in the current epoch, OR already recorded in the ``_applied``
+    manifest — the latter catches a batch replayed AFTER an intervening
+    compaction folded its run into the base, where the run-dir check
+    alone would double-count (round-4 advice). Markers are one empty
+    file per applied run id, written after the run's publishing rename
+    and adopted by :func:`compact` for any run it folds, so the only
+    unmarked-but-folded window is a crash between the rename and the
+    marker followed by a compaction before the retry — two stacked
+    failures under the store's single-writer contract. On Iceberg the
+    manifest is the WAP id / snapshot summary property."""
     os.makedirs(root, exist_ok=True)
     epoch = current_epoch(root)
     rid = run_id or uuid.uuid4().hex[:12]
     final = os.path.join(root, f"run={epoch}-{rid}")
-    if os.path.isdir(final):
+    if os.path.isdir(final) or os.path.exists(_applied_marker(root, rid)):
         return False
     staging = os.path.join(root, f".staging-{uuid.uuid4().hex[:8]}")
     delta.write.mode("overwrite").parquet(staging)
     os.rename(staging, final)
+    _mark_applied(root, rid)
     spark.catalog.refreshByPath(root)
     return True
 
 
 def remove_run(spark, root: str, run_id: str) -> bool:
     """Surgically roll back one append's run (crash recovery — the run
-    id is the append intent id)."""
+    id is the append intent id). Clears the ``_applied`` marker too so
+    a later legitimate re-append of the same id is not refused."""
     if not os.path.isdir(root):
         return False
     removed = False
@@ -144,6 +178,10 @@ def remove_run(spark, root: str, run_id: str) -> bool:
             shutil.rmtree(os.path.join(root, d), ignore_errors=True)
             removed = True
     if removed:
+        try:
+            os.remove(_applied_marker(root, run_id))
+        except FileNotFoundError:
+            pass
         spark.catalog.refreshByPath(root)
     return removed
 
@@ -203,11 +241,20 @@ def compact(spark, root: str, counts: DataFrame) -> None:
     """Publish *counts* as ``base-<epoch+1>`` with one atomic rename —
     every older base and run becomes invisible at that instant (epoch
     mismatch), so a crash at any point leaves either the old store or
-    the new one, never a mix."""
+    the new one, never a mix. Every folded run's id is adopted into the
+    ``_applied`` manifest (belt and braces for a run published by an
+    append that crashed before writing its own marker)."""
     os.makedirs(root, exist_ok=True)
-    new_epoch = current_epoch(root) + 1
+    old_epoch = current_epoch(root)
+    folded = [
+        os.path.basename(d).split("-", 1)[1]
+        for d in _run_dirs(root, old_epoch)
+    ]
+    new_epoch = old_epoch + 1
     staging = os.path.join(root, f".staging-{uuid.uuid4().hex[:8]}")
     counts.write.mode("overwrite").parquet(staging)
     os.rename(staging, os.path.join(root, f"base-{new_epoch}"))
+    for rid in folded:
+        _mark_applied(root, rid)
     _sweep_stale(root, new_epoch)
     spark.catalog.refreshByPath(root)

@@ -208,6 +208,7 @@ def bm25_wand_documents_topk(
     top-(k+50) raw results are re-ranked by (round(score,4) desc, doc_id)
     — the slack absorbs boundary docs whose rounded scores tie.
     """
+    from .segments import release_cached_deps
     from .wand import wand_topk
     from pyspark.sql.window import Window as W
 
@@ -215,12 +216,22 @@ def bm25_wand_documents_topk(
     segments, corpus = _documents_segment_index(docs, min_df, n_shards)
     raw = wand_topk(segments, terms, corpus, k + 50)
     w = W.orderBy(F.desc("score_r"), F.asc("doc_id"))
-    return (
+    out = (
         raw.withColumn("score_r", F.round("score", 4))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("rank", "doc_id", F.col("score_r").alias("score"))
     )
+    # materialize the (≤k-row by construction) result now so the
+    # persisted term dictionary the segment build attached can be
+    # released before we return — the caller's action runs lazily, so
+    # releasing there would leak one MEMORY_AND_DISK dictionary per
+    # call (round-4 advice). collect-and-rebuild, NOT localCheckpoint:
+    # an eager localCheckpoint registers its own persisted RDD in the
+    # session, trading one leak for another (tested).
+    rows = out.collect()
+    release_cached_deps(segments)
+    return docs.sparkSession.createDataFrame(rows, out.schema)
 
 
 def bm25_wand_documents_topk_batch(
@@ -231,19 +242,25 @@ def bm25_wand_documents_topk_batch(
     qid -> terms, through ONE wand_topk_batch job — per-query results
     identical to :func:`bm25_wand_documents_topk` (same round-then-
     re-rank canonicalization per qid)."""
+    from .segments import release_cached_deps
     from .wand import wand_topk_batch
     from pyspark.sql.window import Window as W
 
     segments, corpus = _documents_segment_index(docs, min_df, n_shards)
     raw = wand_topk_batch(segments, queries, corpus, k + 50)
     w = W.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
-    return (
+    out = (
         raw.withColumn("score_r", F.round("score", 4))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .orderBy("qid", "rank")
         .select("qid", "rank", "doc_id", F.col("score_r").alias("score"))
     )
+    # eager ≤k·|queries|-row materialization, then release the persisted
+    # dictionary (see bm25_wand_documents_topk)
+    rows = out.collect()
+    release_cached_deps(segments)
+    return docs.sparkSession.createDataFrame(rows, out.schema)
 
 
 def quality_scores(docs: DataFrame) -> DataFrame:
