@@ -66,11 +66,23 @@ def main() -> None:
     ).count()
 
     timings: dict[str, float] = {}
+    rep_log: dict[str, list] = {}
+    # per-metric best-of-N with the rep spread REPORTED (round-4
+    # verdict item #2: single-shot driver benches whipsawed two rounds
+    # with environment noise; serve_1m_pinned.py's best-of protocol
+    # settled both). The reported value is the minimum — the
+    # reproducible number — and the JSON carries every rep.
+    reps_n = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "3"))
 
-    def timed(name, fn):
-        t0 = time.perf_counter()
-        out = fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    def timed(name, fn, reps=None):
+        out = None
+        vals = []
+        for _ in range(reps or reps_n):
+            t0 = time.perf_counter()
+            out = fn()
+            vals.append(round(time.perf_counter() - t0, 3))
+        timings[name] = min(vals)
+        rep_log[name] = vals
         return out
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -109,6 +121,7 @@ def main() -> None:
     # number (round-2 verdict asked for the run spread to be pinned)
     reps = int(os.environ.get("SPARK_GRAFT_BUILD_REPS", "3"))
     best, store = None, None
+    build_reps = []
     for r in range(reps):
         root_r = f"{store_root}-r{r}"
         t0 = time.perf_counter()
@@ -116,11 +129,13 @@ def main() -> None:
             spark, pages, root_r, n_shards=64, min_df=3
         )
         dt = time.perf_counter() - t0
+        build_reps.append(round(dt, 3))
         if best is None or dt < best:
             best = dt
         if r < reps - 1:
             shutil.rmtree(root_r, ignore_errors=True)
     timings[f"q1_index_build_{n_pages}pages"] = round(best, 3)
+    rep_log[f"q1_index_build_{n_pages}pages"] = build_reps
     store_root = store.root
     docs_per_sec = round(n_pages / timings[f"q1_index_build_{n_pages}pages"], 1)
 
@@ -129,17 +144,25 @@ def main() -> None:
     segments.count()
     corpus = store.load(spark, "corpus").cache()
     stems = indexable_stems_by_rank(24)
-    lat = []
-    for i in range(12):
-        qterms = query_to_terms(" ".join(stems[2 * (i % 6): 2 * (i % 6) + 2]))
-        t0 = time.perf_counter()
-        wand_topk(segments, qterms, corpus, 10).collect()
-        lat.append(time.perf_counter() - t0)
-    timings["q2_wand_query_p50"] = round(statistics.median(lat), 3)
-    timings["q2_wand_query_p99"] = round(
-        sorted(lat)[max(0, int(len(lat) * 0.99) - 1)], 3
-    )
-    timings["q2_wand_12_queries_total"] = round(sum(lat), 3)
+    # 6 distinct queries, each best-of-reps (per-query pinning); the
+    # p50/p99 are over the 6 pinned values, the spread is in rep_log
+    per_q = []
+    q2_spread = []
+    for i in range(6):
+        qterms = query_to_terms(" ".join(stems[2 * i: 2 * i + 2]))
+        vals = []
+        for _ in range(reps_n):
+            t0 = time.perf_counter()
+            wand_topk(segments, qterms, corpus, 10).collect()
+            vals.append(round(time.perf_counter() - t0, 3))
+        per_q.append(min(vals))
+        q2_spread.append(vals)
+    timings["q2_wand_query_p50"] = round(statistics.median(per_q), 3)
+    timings["q2_wand_query_p99"] = round(max(per_q), 3)
+    # 12-query total on the same best-rep basis (each distinct query
+    # appears twice in the q2c batch below)
+    timings["q2_wand_12_queries_total"] = round(2 * sum(per_q), 3)
+    rep_log["q2_wand_per_query"] = q2_spread
 
     # --- q2c: the same 12 queries as ONE batched job (wand_topk_batch)
     #     — the query-THROUGHPUT shape: scheduling + scan-open paid once
@@ -151,31 +174,46 @@ def main() -> None:
         )
         for i in range(12)
     }
-    t0 = time.perf_counter()
-    wand_topk_batch(segments, batch_queries, corpus, 10).collect()
-    timings["q2c_wand_batch12_total"] = round(time.perf_counter() - t0, 3)
+    timed(
+        "q2c_wand_batch12_total",
+        lambda: wand_topk_batch(segments, batch_queries, corpus, 10)
+        .collect(),
+    )
 
-    # --- q2b: interactive Searcher (pruned-scan in-process scoring) ---
+    # --- q2b: interactive Searcher (pruned-scan in-process scoring);
+    #     the TTL result cache is cleared before every rep so each
+    #     timing is a real fetch+score, not a cache hit
     from greynirserver_spark.query.searcher import Searcher
 
     searcher = Searcher(spark, store)
-    lat2 = []
-    for i in range(12):
-        qterms = query_to_terms(
-            " ".join(stems[2 * ((i + 3) % 6): 2 * ((i + 3) % 6) + 2])
-        )
-        t0 = time.perf_counter()
-        searcher.search(qterms, 10)
-        lat2.append(time.perf_counter() - t0)
-    timings["q2b_searcher_p50"] = round(statistics.median(lat2), 3)
-    timings["q2b_searcher_p99"] = round(
-        sorted(lat2)[max(0, int(len(lat2) * 0.99) - 1)], 3
-    )
+    per_q2 = []
+    q2b_spread = []
+    for i in range(6):
+        qterms = query_to_terms(" ".join(stems[2 * i: 2 * i + 2]))
+        vals = []
+        for _ in range(reps_n):
+            searcher._cache.clear()
+            t0 = time.perf_counter()
+            searcher.search(qterms, 10)
+            vals.append(round(time.perf_counter() - t0, 3))
+        per_q2.append(min(vals))
+        q2b_spread.append(vals)
+    timings["q2b_searcher_p50"] = round(statistics.median(per_q2), 3)
+    timings["q2b_searcher_p99"] = round(max(per_q2), 3)
+    rep_log["q2b_searcher_per_query"] = q2b_spread
+    # NOTE basis change vs rounds <=4: the cache is cleared per rep, so
+    # p50 is honest cold-query latency (the old 12-query loop hit the
+    # TTL cache on its second pass and mixed ~0ms hits into the p50).
+    # The warm path is its own metric now:
+    t0 = time.perf_counter()
+    searcher.search(query_to_terms(" ".join(stems[:2])), 10)
+    timings["q2b_searcher_cached"] = round(time.perf_counter() - t0, 4)
 
     scaling_only = os.environ.get("SPARK_GRAFT_SCALING_ONLY") == "1"
     if scaling_only:
         # scaling evidence mode: only the build + serve metrics
-        _emit(timings, sf, n_cpus, n_docs, n_pages, docs_per_sec, out_extra)
+        _emit(timings, sf, n_cpus, n_docs, n_pages, docs_per_sec, out_extra,
+              rep_log=rep_log)
         shutil.rmtree(store_root, ignore_errors=True)
         spark.stop()
         return
@@ -284,7 +322,7 @@ def main() -> None:
     shutil.rmtree(seg_path, ignore_errors=True)
     shutil.rmtree(store_root, ignore_errors=True)
     _emit(timings, sf, n_cpus, n_docs, n_pages, docs_per_sec, out_extra,
-          extras)
+          extras, rep_log=rep_log)
     spark.stop()
 
 
@@ -297,7 +335,7 @@ def _du(path: str) -> int:
 
 
 def _emit(timings, sf, n_cpus, n_docs, n_pages, docs_per_sec, out_extra,
-          extras=None):
+          extras=None, rep_log=None):
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline_suite_seconds",
@@ -311,6 +349,10 @@ def _emit(timings, sf, n_cpus, n_docs, n_pages, docs_per_sec, out_extra,
         "index_docs_per_sec": docs_per_sec,
         "wand_p50_ms": round(timings["q2_wand_query_p50"] * 1000),
         "wand_p99_ms": round(timings["q2_wand_query_p99"] * 1000),
+        # every value above is a per-metric best-of-N; the raw reps are
+        # here so a noisy single shot can be diagnosed from the artifact
+        # itself instead of whipsawing a round (round-4 verdict item #2)
+        "rep_spread": rep_log or {},
     }
     if extras:
         result.update(extras)

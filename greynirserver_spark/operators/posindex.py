@@ -44,6 +44,7 @@ __all__ = [
     "phrase_counts_pandas",
     "phrase_topk_positional_segments",
     "update_positional_block_counts",
+    "compact_positional_block_counts",
     "load_positional_block_counts",
     "POS_SEGMENT_SCHEMA",
 ]
@@ -619,7 +620,7 @@ def update_positional_block_counts(
     import os
     import uuid
 
-    from .runstore import append_run, compact, current_epoch, load_runs_only
+    from .runstore import append_run, compact, load_runs_only
 
     cpath = _pos_counts_path(store_root)
     hpath = _pos_heavy_path(store_root)
@@ -630,26 +631,7 @@ def update_positional_block_counts(
 
     if reset:
         compact(spark, cpath, counts)
-        floor = int(heavy_floor)
-        base = os.path.join(cpath, f"base-{current_epoch(cpath)}")
-        warm_rows = (
-            spark.read.parquet(base)
-            .where(F.col("n_blocks") > floor // 2)
-            .collect()
-        )
-        heavy = {
-            "floor": floor,
-            "terms": {},
-            "warm": [
-                [r["term"], int(r["shard"]), int(r["n_blocks"])]
-                for r in warm_rows
-            ],
-        }
-        for r in warm_rows:
-            if int(r["n_blocks"]) > floor:
-                heavy["terms"][r["term"]] = max(
-                    heavy["terms"].get(r["term"], 0), int(r["n_blocks"])
-                )
+        heavy = _heavy_summary_from_base(spark, cpath, int(heavy_floor))
     else:
         heavy = {"floor": int(heavy_floor), "terms": {}, "warm": []}
         summarized = os.path.exists(hpath)
@@ -699,6 +681,72 @@ def update_positional_block_counts(
     with open(tmp, "w") as f:
         json.dump(heavy, f)
     os.rename(tmp, hpath)
+
+
+def _heavy_summary_from_base(spark, cpath: str, floor: int) -> dict:
+    """The exact heavy-term summary computed from the current compacted
+    base of the counts store (warm = every (term, shard) above floor/2;
+    terms = per-term max above floor)."""
+    import os
+
+    from .runstore import current_epoch
+
+    base = os.path.join(cpath, f"base-{current_epoch(cpath)}")
+    warm_rows = (
+        spark.read.parquet(base)
+        .where(F.col("n_blocks") > floor // 2)
+        .collect()
+    )
+    heavy = {
+        "floor": floor,
+        "terms": {},
+        "warm": [
+            [r["term"], int(r["shard"]), int(r["n_blocks"])]
+            for r in warm_rows
+        ],
+    }
+    for r in warm_rows:
+        if int(r["n_blocks"]) > floor:
+            heavy["terms"][r["term"]] = max(
+                heavy["terms"].get(r["term"], 0), int(r["n_blocks"])
+            )
+    return heavy
+
+
+def compact_positional_block_counts(
+    spark: SparkSession, store_root: str
+) -> bool:
+    """Fold the accumulated ``pos_counts`` runs into a new base epoch
+    and recompute the heavy-term summary EXACTLY from the folded
+    totals — no positions scan (the counts store carries the same
+    per-(term, shard) totals a reset recount would produce, since every
+    build/rebuild resets the base and every append lands one run).
+    Standalone LSM maintenance, decoupled from segment rebuild
+    (round-4 verdict item #3). A store the summary never covered
+    (no ``pos_heavy.json``) only folds its runs — the summary stays
+    absent until a rebuild recounts the full positions table.
+    Returns True when a compaction ran."""
+    import json
+    import os
+    import uuid
+
+    from .runstore import compact, load_counts
+
+    cpath = _pos_counts_path(store_root)
+    hpath = _pos_heavy_path(store_root)
+    counts = load_counts(spark, cpath, ["term", "shard"], ["n_blocks"])
+    if counts is None:
+        return False
+    compact(spark, cpath, counts.sortWithinPartitions("term"))
+    if os.path.exists(hpath):
+        with open(hpath) as f:
+            floor = int(json.load(f)["floor"])
+        heavy = _heavy_summary_from_base(spark, cpath, floor)
+        tmp = hpath + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(heavy, f)
+        os.rename(tmp, hpath)
+    return True
 
 
 def load_positional_block_counts(store_root: str) -> dict | None:

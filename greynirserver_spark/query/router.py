@@ -103,21 +103,24 @@ class Router:
         # paths overfetch by the (rebuild-bounded) tombstone count so k
         # results survive the filter; the next rebuild purges physically
         self._n_tombstones = 0
+        self._tomb = None
         if self.store.has("tombstones"):
             tomb = self.store.load(self.spark, "tombstones").select(
                 "doc_id"
             )
             self._n_tombstones = tomb.count()
             if self._n_tombstones:
+                self._tomb = tomb
                 self.doc_map = self.doc_map.join(tomb, "doc_id",
                                                  "left_anti")
                 self.postings = self.postings.join(tomb, "doc_id",
                                                    "left_anti")
         # exact-stats serving (see Searcher._term_idf): only needed
-        # while un-compacted append runs exist
-        from ..operators.runstore import has_runs
+        # while un-rebuilt delta segments exist (the dirty marker —
+        # NOT has_runs, which standalone compaction clears)
+        from ..plans.lineage import stats_need_rescale
 
-        self._exact_stats = has_runs(self.store.term_counts)
+        self._exact_stats = stats_need_rescale(self.store)
         self._idf_cache: dict = {}
         self._version = _segments_version(self.store)
 
@@ -231,35 +234,54 @@ class Router:
         Tombstone overfetch is CAPPED at k + min(n_tomb, 3k) (round-3
         advice: a mass-delete backlog must not inflate every query's k
         linearly — the cap also bounds the single-partition re-rank
-        window to ≤4k rows). Only when the capped pass is exhausted by
-        the filter (needs >3k tombstoned top hits) does one counted
-        retry escalate to the full k + n_tomb."""
+        window to ≤4k rows). When the capped pass is exhausted by the
+        filter (>3k of the top hits tombstoned — a mass-delete
+        backlog), the terminal plan scores the anti-joined postings
+        EXACTLY instead of escalating the overfetch: fully distributed
+        and fill-guaranteed at any backlog size (round-4 verdict item
+        #1 — no k + n_tomb heap anywhere)."""
         from pyspark.sql.window import Window
-
-        from .searcher import Searcher
 
         k = min(k, _MAXLEN_ANSWER)
         term_idf = self._term_idf(sorted(set(terms)))
-        plan = Searcher._overfetch_plan(k, self._n_tombstones)
-        for i, kk in enumerate(plan):
-            hits = wand_topk(self.segments, terms, self.corpus, kk,
-                             term_idf=term_idf)
-            # the doc_map join drops tombstoned docs (anti-joined view);
-            # re-rank the survivors and cut back to k
-            w = Window.orderBy("rank")
-            out = (
-                hits.join(
-                    self.doc_map.select("doc_id", "url", "warc_ts"),
-                    "doc_id",
-                )
-                .withColumn("rank", F.row_number().over(w))
-                .where(F.col("rank") <= k)
-                .orderBy("rank")
-                .select("rank", "doc_id", "url", "warc_ts", "score")
+        kk = k + min(self._n_tombstones, 3 * k)
+        hits = wand_topk(self.segments, terms, self.corpus, kk,
+                         term_idf=term_idf)
+        # the doc_map join drops tombstoned docs (anti-joined view);
+        # re-rank the survivors and cut back to k
+        w = Window.orderBy("rank")
+        out = (
+            hits.join(
+                self.doc_map.select("doc_id", "url", "warc_ts"),
+                "doc_id",
             )
-            if i == len(plan) - 1 or out.count() >= k:
-                break
-        return out
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .orderBy("rank")
+            .select("rank", "doc_id", "url", "warc_ts", "score")
+        )
+        if self._n_tombstones == 0 or out.count() >= k:
+            return out
+        # terminal: postings are already the anti-joined view, so the
+        # exact scorer's top-k needs no overfetch at all; term stats
+        # are the always-current derived view (rank-identical to WAND)
+        from ..operators.bm25 import bm25_topk_exact
+
+        exact = bm25_topk_exact(
+            self.postings,
+            self.store.load(self.spark, "term_stats"),
+            self.spark.read.parquet(self.store.doc_stats),
+            self.corpus,
+            sorted(set(terms)),
+            k,
+        )
+        return (
+            exact.join(
+                self.doc_map.select("doc_id", "url", "warc_ts"), "doc_id"
+            )
+            .orderBy("rank")
+            .select("rank", "doc_id", "url", "warc_ts", "score")
+        )
 
     def phrase(self, words: List[str], k: int = 10) -> DataFrame:
         """Exact consecutive-phrase top-k joined to urls. Serves from the
@@ -276,7 +298,6 @@ class Router:
             load_positional_block_counts,
             phrase_topk_positional_segments,
         )
-        from .searcher import Searcher
 
         if not self.store.has("positions"):
             hits = phrase_topk(
@@ -289,21 +310,20 @@ class Router:
                 .select("doc_id", "url", "phrase_tf")
             )
         block_counts = load_positional_block_counts(self.store.root)
-        plan = Searcher._overfetch_plan(k, self._n_tombstones)
-        for i, kk in enumerate(plan):
-            hits = phrase_topk_positional_segments(
-                self.store.load(self.spark, "positions"), self.spark,
-                words, kk, block_counts=block_counts,
-            )
-            out = (
-                hits.join(self.doc_map.select("doc_id", "url"), "doc_id")
-                .orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
-                .limit(k)
-                .select("doc_id", "url", "phrase_tf")
-            )
-            if i == len(plan) - 1 or out.count() >= k:
-                break
-        return out
+        # tombstones are excluded INSIDE the positional operator (anti-
+        # join before its top-k cut), so one pass is exact at any
+        # backlog size — no overfetch loop (round-4 verdict item #1)
+        hits = phrase_topk_positional_segments(
+            self.store.load(self.spark, "positions"), self.spark,
+            words, k, block_counts=block_counts,
+            exclude_docs=self._tomb,
+        )
+        return (
+            hits.join(self.doc_map.select("doc_id", "url"), "doc_id")
+            .orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id", "url", "phrase_tf")
+        )
 
     def related(self, word: str, limit: int = 21) -> DataFrame:
         """Co-occurring terms, top-21 (db/sql.py:287-316)."""

@@ -29,7 +29,12 @@ from ..extraction import extract_text_udf
 from ..operators.postings import build_postings
 from ..tokenization import apply_index_filter, tokenize_marked_text
 
-__all__ = ["stream_pages_to_postings", "stream_append_to_store", "windowed_event_counts"]
+__all__ = [
+    "stream_pages_to_postings",
+    "stream_append_to_store",
+    "stream_embeddings_near_pairs",
+    "windowed_event_counts",
+]
 
 
 def stream_pages_to_postings(
@@ -113,6 +118,9 @@ def stream_append_to_store(
     available_now: bool = True,
     max_files_per_trigger: Optional[int] = None,
     rebuild_every: Optional[int] = None,
+    emit_near_dup_pairs: bool = False,
+    minhash_threshold: float = 0.8,
+    minhash_bands: int = 8,
 ):
     """Continuous index maintenance: stream pages files INTO a built
     :class:`~..plans.lineage.IndexStore` via ``append_pages`` per
@@ -128,8 +136,27 @@ def stream_append_to_store(
     ``Trigger.AvailableNow`` bounds a run exactly like the reference's
     cron budget; omit it for continuous 24/7 ingest.
 
+    ``emit_near_dup_pairs`` (round-4 verdict item #7) additionally runs
+    the batch through the INCREMENTAL MinHash gate
+    (operators/dedup.py::incremental_minhash_pairs): the batch's docs
+    are signed (O(batch)), bucket-joined against the accumulated
+    signature store under ``<root>/minhash_store`` — never re-reading
+    an old document — and the resulting near-dup pairs land under
+    ``<root>/near_dup_pairs/batch_id=N``. The per-batch OVERWRITE of
+    that directory plus the gate's run-id replay dedupe make a replayed
+    micro-batch byte-idempotent; the union over batches equals the
+    one-shot estimator over the full corpus (test-pinned), so the pairs
+    compose directly into ``near_dup_clusters``. Batch docs are
+    resolved by url against doc_map (crash-replay safe: a batch whose
+    append survived a crash still re-emits its own pairs); the file
+    stream's once-per-url contract keeps re-signing out — a re-scraped
+    url would re-sign under a new run id, which downstream clustering
+    dedupes.
+
     Returns the StreamingQuery (caller awaits/stops it).
     """
+    import os
+
     from ..plans.lineage import append_pages
 
     reader = spark.readStream.schema(PAGES_SCHEMA).format("parquet")
@@ -138,11 +165,84 @@ def stream_append_to_store(
     pages = reader.load(input_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        append_pages(batch_df.sparkSession, store, batch_df,
-                     rebuild_every=rebuild_every)
+        sp = batch_df.sparkSession
+        append_pages(sp, store, batch_df, rebuild_every=rebuild_every)
+        if not emit_near_dup_pairs:
+            return
+        from ..operators.dedup import incremental_minhash_pairs
+
+        texts = batch_df.where(F.col("lang") == "is").select(
+            "url", extract_text_udf()(F.col("html")).alias("text")
+        )
+        new_docs = (
+            sp.read.parquet(store.doc_map)
+            .select("doc_id", "url")
+            .join(texts, "url")
+            .select("doc_id", "text")
+        )
+        pairs = incremental_minhash_pairs(
+            sp, os.path.join(store.root, "minhash_store"), new_docs,
+            threshold=minhash_threshold, bands=minhash_bands,
+            run_id=f"stream-{batch_id}",
+        )
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(store.root, "near_dup_pairs",
+                         f"batch_id={batch_id}")
+        )
 
     writer = (
         pages.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_embeddings_near_pairs(
+    spark: SparkSession,
+    input_dir: str,
+    store_root: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    schema: str = "vec_id long, embedding array<float>",
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    available_now: bool = True,
+    max_files_per_trigger: Optional[int] = None,
+):
+    """Embedding twin of the streaming near-dup gate: each micro-batch
+    of vectors runs through
+    ``operators/ann.py::incremental_cosine_near_pairs`` — bucketed by
+    seeded sign-LSH against the accumulated vector store (no stored
+    vector is re-hashed), exact-cosine verified, replay-deduped by the
+    batch run id — and its (vec_a, vec_b, cosine) pairs land under
+    ``out_dir/batch_id=N`` (overwrite => replay-idempotent). The union
+    over batches equals the one-shot ``cosine_near_pairs_lsh`` over the
+    full corpus (both sides share the seeded hyperplanes)."""
+    import os
+
+    from ..operators.ann import incremental_cosine_near_pairs
+
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    emb = reader.load(input_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        pairs = incremental_cosine_near_pairs(
+            batch_df.sparkSession, store_root, batch_df,
+            threshold=threshold, n_planes=n_planes,
+            run_id=f"stream-{batch_id}",
+        )
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    writer = (
+        emb.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:

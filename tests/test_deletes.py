@@ -153,3 +153,80 @@ def test_append_after_delete_and_rebuild(spark, corpus_pages, tmp_path):
     assert dm2.select("doc_id").distinct().count() == dm2.count()
     # deleted urls stay deleted (they were not in the append batch)
     assert dm2.where(F.col("url").isin(victims)).count() == 0
+
+
+def test_mass_delete_serving_bounded_driver(
+    spark, corpus_pages, tmp_path_factory
+):
+    """≥100k tombstones (round-4 verdict item #1): the backlog must
+    never be collect()ed into serving-driver memory — Searcher/Router
+    exclude distributed, stay correct, and fill k via the exact
+    terminal plan when the capped overfetch is swallowed."""
+    from greynirserver_spark.plans.storage import ADAPTER
+
+    root = str(tmp_path_factory.mktemp("mass") / "store")
+    store = build_index_checkpointed(
+        spark, corpus_pages, root, n_shards=4, with_positions=True,
+    )
+    q = " ".join(indexable_stems_by_rank(2))
+    terms = query_to_terms(q)
+    dm = store.load(spark, "doc_map")
+
+    # pre-delete ranking (deep, for expected-result slices)
+    pre = Searcher(spark, store, version_check_interval_s=0.0)
+    deep = pre.search(terms, 60)
+    assert len(deep) >= 45
+    phrase_src = dm.orderBy("doc_id").first()
+    toks = [t for t in phrase_src.text.lower().split() if t.isalpha()][:2]
+    deep_ph = pre.phrase(toks, 60)
+
+    # backlog: 100k synthetic ids + the query's top-30 real docs + the
+    # top phrase docs — enough to swallow a k=5 capped overfetch (20)
+    victims = [d for d, _ in deep[:30]]
+    ph_victims = [d for d, _ in deep_ph[: max(0, len(deep_ph) - 3)]]
+    synthetic = spark.range(100_000).select(
+        (F.col("id") + 10_000_000).alias("doc_id"),
+        F.lit("synthetic://backlog").alias("url"),
+    )
+    real = dm.where(
+        F.col("doc_id").isin([int(x) for x in set(victims + ph_victims)])
+    ).select("doc_id", "url")
+    ADAPTER.append_table(synthetic.unionByName(real), store.tombstones)
+
+    s = Searcher(spark, store, version_check_interval_s=0.0)
+    # bounded driver memory: above the cap nothing was collected
+    assert s._tomb_df is not None
+    assert s._tombstones == frozenset()
+    assert s._n_tombstones >= 100_000
+
+    # capped rung exhausted -> exact distributed terminal plan fills k
+    got = s.search(terms, 5)
+    assert [d for d, _ in got] == [d for d, _ in deep[30:35]]
+    for (_, a), (_, b) in zip(got, deep[30:35]):
+        assert abs(a - b) < 1e-6
+    # partial swallow (some survivors inside the capped window): the
+    # anti-join filter path serves without the terminal plan
+    got20 = s.search(terms, 20)
+    assert [d for d, _ in got20] == [d for d, _ in deep[30:50]]
+
+    # phrase: distributed exclusion + pre-top-k terminal
+    ph = s.phrase(toks, 5)
+    want_ph = [p for p in deep_ph if p[0] not in set(ph_victims)]
+    assert ph == want_ph[:5]
+
+    # a control Searcher allowed to collect the backlog agrees exactly
+    ctl = Searcher(
+        spark, store, version_check_interval_s=0.0,
+        tombstone_driver_cap=1_000_000,
+    )
+    assert ctl._tomb_df is None and len(ctl._tombstones) >= 100_000
+    assert ctl.search(terms, 20) == got20
+    assert ctl.phrase(toks, 5) == ph
+
+    # Router: anti-joined views + exact terminal (no k+n_tomb heap)
+    router = Router(spark, store, version_check_interval_s=0.0)
+    out = router.search(terms, 5).collect()
+    assert [r.doc_id for r in out] == [d for d, _ in deep[30:35]]
+    assert [r.rank for r in out] == [1, 2, 3, 4, 5]
+    ph_out = router.phrase(toks, 5).collect()
+    assert [(r.doc_id, r.phrase_tf) for r in ph_out] == ph

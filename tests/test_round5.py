@@ -235,3 +235,231 @@ def test_fallback_key_orders_z_within_alphabet(spark):
         ).collect()
     ]
     assert got == ["Yrsa", "Ýr", "Zakarías", "Þór", "Örn"]
+
+
+# ---------------------------- standalone count-store compaction (LSM)
+
+def test_maintain_count_stores_bounds_run_dirs(spark, tmp_path):
+    """With rebuilds disabled, per-append maintenance keeps the
+    current-epoch run-dir count bounded (round-4 verdict item #3) and
+    the folded view stays exact across many compactions."""
+    from greynirserver_spark.operators.postings import (
+        append_term_counts_run,
+        load_term_counts,
+    )
+    from greynirserver_spark.operators.runstore import run_count
+    from greynirserver_spark.plans.lineage import (
+        IndexStore,
+        maintain_count_stores,
+    )
+
+    store = IndexStore(str(tmp_path / "store"))
+    n_batches, max_runs = 60, 8
+    for i in range(n_batches):
+        delta = spark.createDataFrame(
+            [(f"t{i % 5}", 1, 2)], "term string, df long, cf long"
+        )
+        append_term_counts_run(
+            spark, store.term_counts, delta, run_id=f"b{i}"
+        )
+        maintain_count_stores(spark, store, max_runs=max_runs)
+        assert run_count(store.term_counts) <= max_runs
+    got = {
+        r["term"]: (r["df"], r["cf"])
+        for r in load_term_counts(spark, store.term_counts).collect()
+    }
+    assert got == {f"t{j}": (12, 24) for j in range(5)}
+
+
+def test_thousand_run_store_compacts_and_lookups_stay_bounded(
+    spark, tmp_path
+):
+    """A store that accumulated 1,000 runs (rebuilds AND maintenance
+    disabled) still folds exactly in one standalone compaction, and the
+    read path goes from a 1,000-dir union to a single base read."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import time as _time
+
+    from greynirserver_spark.operators.postings import load_term_counts
+    from greynirserver_spark.operators.runstore import run_count
+    from greynirserver_spark.plans.lineage import (
+        IndexStore,
+        maintain_count_stores,
+    )
+
+    store = IndexStore(str(tmp_path / "store"))
+    root = store.term_counts
+    os.makedirs(root)
+    tbl = pa.table(
+        {"term": ["a", "b"], "df": pa.array([1, 1], "int64"),
+         "cf": pa.array([2, 3], "int64")}
+    )
+    for i in range(1000):
+        d = os.path.join(root, f"run=0-r{i:04d}")
+        os.makedirs(d)
+        pq.write_table(tbl, os.path.join(d, "part-0.parquet"))
+    assert run_count(root) == 1000
+    t0 = _time.monotonic()
+    before = {
+        r["term"]: r["df"]
+        for r in load_term_counts(spark, root).collect()
+    }
+    t_union = _time.monotonic() - t0
+    assert before == {"a": 1000, "b": 1000}
+    res = maintain_count_stores(spark, store, max_runs=64)
+    assert res["term_counts"] and run_count(root) == 0
+    t0 = _time.monotonic()
+    after = {
+        r["term"]: r["df"]
+        for r in load_term_counts(spark, root).collect()
+    }
+    t_base = _time.monotonic() - t0
+    assert after == before
+    # the compacted read must not pay the 1,000-dir union
+    assert t_base < t_union
+
+
+def test_serving_exact_after_standalone_compaction(spark, tmp_path):
+    """Standalone compaction folds the term-count runs WITHOUT
+    refreshing the delta segments — the serving layer must keep the
+    exact-stats idf rescale engaged (dirty marker, not has_runs) and
+    rank identical to a from-scratch build."""
+    from greynirserver_spark.corpus import (
+        generate_pages,
+        indexable_stems_by_rank,
+    )
+    from greynirserver_spark.operators.runstore import has_runs
+    from greynirserver_spark.plans.lineage import (
+        append_pages,
+        build_index_checkpointed,
+        maintain_count_stores,
+        stats_need_rescale,
+    )
+    from greynirserver_spark.plans.pipeline import query_to_terms
+    from greynirserver_spark.query.searcher import Searcher
+
+    all_pages = generate_pages(spark, 500).cache()
+    first = all_pages.where(F.xxhash64("url") % 3 != 0)
+    second = all_pages.where(F.xxhash64("url") % 3 == 0)
+
+    inc = build_index_checkpointed(
+        spark, first, str(tmp_path / "inc"), n_shards=4,
+        with_positions=True,
+    )
+    assert not stats_need_rescale(inc)
+    append_pages(spark, inc, second)
+    assert stats_need_rescale(inc)
+    # force the standalone fold (threshold 0 -> compacts the 1 run)
+    res = maintain_count_stores(spark, inc, max_runs=0)
+    assert res["term_counts"] and res["pos_counts"]
+    assert not has_runs(inc.term_counts)
+    # the delta blocks still carry placeholder idf: rescale stays on
+    assert stats_need_rescale(inc)
+
+    scratch = build_index_checkpointed(
+        spark, all_pages, str(tmp_path / "scr"), n_shards=4
+    )
+    terms = query_to_terms(" ".join(indexable_stems_by_rank(4)[:2]))
+
+    def urls(store):
+        s = Searcher(spark, store, version_check_interval_s=0.0)
+        dm = {
+            r["doc_id"]: r["url"]
+            for r in store.load(spark, "doc_map")
+            .select("doc_id", "url").collect()
+        }
+        return [(dm[d], round(sc, 9)) for d, sc in s.search(terms, 10)]
+
+    s_inc = Searcher(spark, inc, version_check_interval_s=0.0)
+    assert s_inc._exact_stats  # marker keeps the lookup engaged
+    assert urls(inc) == urls(scratch)
+
+    # rebuild clears the marker: baked stats are current again
+    from greynirserver_spark.plans.lineage import rebuild_segments
+
+    rebuild_segments(spark, inc)
+    assert not stats_need_rescale(inc)
+    assert urls(inc) == urls(scratch)
+
+
+# ----------------------------- decontamination / repetition gates
+
+def test_contamination_report_flags_benchmark_overlap(spark):
+    from greynirserver_spark.operators.decontam import (
+        benchmark_ngrams,
+        contamination_report,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),        # contains bench 8-gram
+            (2, "a b c d e f g x y z"),        # 7-gram overlap only
+            (3, "k l m n o p q r s t"),        # disjoint
+            (4, "short doc"),                  # < n tokens
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "zz a b c d e f g h zz")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_hits"], r["contaminated"])
+        for r in contamination_report(docs, bench, n=8).collect()
+    }
+    assert got == {1: (1, True), 2: (0, False), 3: (0, False),
+                   4: (0, False)}
+    # min_hits threshold: the single shared 8-gram no longer flags
+    got2 = {
+        r["doc_id"]: r["contaminated"]
+        for r in contamination_report(docs, bench, n=8,
+                                      min_hits=2).collect()
+    }
+    assert got2 == {1: False, 2: False, 3: False, 4: False}
+    # prebuilt benchmark frame is reusable
+    bn = benchmark_ngrams(bench, 8)
+    got3 = {
+        r["doc_id"]: r["contaminated"]
+        for r in contamination_report(
+            docs, bench, n=8, bench_ngrams=bn
+        ).collect()
+    }
+    assert got3 == {1: True, 2: False, 3: False, 4: False}
+
+
+def test_ngram_repetition_ratio(spark):
+    from greynirserver_spark.operators.decontam import ngram_repetition
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),   # 3 bigrams, 1 distinct
+            (2, "a b c d"),               # 3 bigrams, all distinct
+            (3, "x"),                     # shorter than n
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["n_distinct"], r["dup_ratio"])
+        for r in ngram_repetition(docs, n=2).collect()
+    }
+    assert got[1] == (3, 1, round(1 - 1 / 3, 6))
+    assert got[2] == (3, 3, 0.0)
+    assert got[3] == (0, 0, 0.0)
+
+
+def test_decontam_plans_have_no_cartesian(spark):
+    from greynirserver_spark.operators.decontam import (
+        contamination_report,
+        ngram_repetition,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id long, text string"
+    )
+    for df in (
+        contamination_report(docs, docs, n=4),
+        ngram_repetition(docs, n=2),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
