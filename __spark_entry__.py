@@ -711,6 +711,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_repetition": lambda s, d: __import__(
             "greynirserver_spark.operators.decontam", fromlist=["decontam"]
         ).ngram_repetition(_docs(s, d), n=2),
+        # --- corpus shaping (C4/RefinedWeb-class span dedup + domain cap) ---
+        "span_dedup": lambda s, d: __import__(
+            "greynirserver_spark.operators.webclean", fromlist=["webclean"]
+        ).span_dedup(_docs(s, d), span=16),
+        "source_cap_sample": lambda s, d: __import__(
+            "greynirserver_spark.operators.webclean", fromlist=["webclean"]
+        ).source_cap_sample(_docs(s, d), cap=10),
+        "source_stats": lambda s, d: __import__(
+            "greynirserver_spark.operators.webclean", fromlist=["webclean"]
+        ).source_stats(_docs(s, d)),
         "random_sample": lambda s, d: A.random_sample(_docs(s, d), n=50),
         "latest_event_per_user": lambda s, d: A.latest_event_per_user(s, d),
         "top_users_by_active_days": lambda s, d: A.top_users_by_active_days(s, d),
@@ -1207,6 +1217,57 @@ SELECT t.doc_id,
             THEN round(1 - a.n_distinct::DOUBLE / a.n_ngrams, 6)
             ELSE 0.0 END AS dup_ratio
 FROM tokarr t LEFT JOIN a ON t.doc_id = a.doc_id
+""",
+        "span_dedup": f"""
+WITH tokarr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_TOKEN_RE}'),
+                     x -> length(x) BETWEEN 1 AND 64) AS toks
+  FROM documents
+), chunks AS (
+  SELECT doc_id, i AS span_idx,
+         array_to_string(toks[i*16+1 : i*16+16], ' ') AS chunk
+  FROM (SELECT doc_id, toks,
+               unnest(range(0, (len(toks) + 15) // 16)) AS i
+        FROM tokarr WHERE len(toks) > 0)
+), marked AS (
+  SELECT doc_id, span_idx, chunk,
+         row_number() OVER (PARTITION BY chunk
+                            ORDER BY doc_id, span_idx) > 1 AS removed
+  FROM chunks
+), agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_spans,
+         sum(CASE WHEN removed THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+         coalesce(string_agg(CASE WHEN NOT removed THEN chunk END, ' '
+                             ORDER BY span_idx), '') AS clean_text
+  FROM marked GROUP BY doc_id
+)
+SELECT t.doc_id, coalesce(a.n_spans, 0)::BIGINT AS n_spans,
+       coalesce(a.n_removed, 0)::BIGINT AS n_removed,
+       coalesce(a.clean_text, '') AS clean_text
+FROM tokarr t LEFT JOIN agg a ON t.doc_id = a.doc_id
+""",
+        "source_cap_sample": """
+SELECT doc_id, source, rk FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(source || ':' || doc_id::VARCHAR), doc_id
+         )::BIGINT AS rk
+  FROM documents
+) WHERE rk <= 10
+""",
+        "source_stats": """
+WITH per AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(length(text))::BIGINT AS total_chars
+  FROM documents GROUP BY source
+), tot AS (SELECT sum(n_docs)::DOUBLE AS all_docs,
+                  count(*)::DOUBLE AS n_sources FROM per)
+SELECT source, n_docs, total_chars,
+       round(n_docs / all_docs, 6) AS docs_share,
+       round(n_docs / (all_docs / n_sources), 6) AS skew_ratio
+FROM per, tot
 """,
         "latest_event_per_user": """
 SELECT user_id, event_id, ts, event_type FROM (

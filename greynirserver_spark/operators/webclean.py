@@ -1,0 +1,208 @@
+"""Corpus-shaping operators a web-scale training pipeline runs after
+dedup: span-level exact deduplication and head-domain skew control.
+
+* **span_dedup** — the C4-class "remove repeated spans, keep one copy"
+  pass, adapted to flat token streams: the corpus is chunked into
+  fixed-width token spans and any span whose exact text occurs more
+  than once corpus-wide is removed everywhere EXCEPT its first
+  occurrence (first = smallest (doc_id, span_idx)). C4 removes
+  duplicated three-sentence spans; RefinedWeb/CCNet drop duplicated
+  lines — this is the same operator over a corpus whose documents have
+  no sentence/line structure (the driver's `documents` table), with the
+  span width a parameter.
+
+  Scale shape: the duplicate decision is ONE partial-aggregated groupBy
+  on a 128-bit span digest (md5 — collision odds at 10^12 spans are
+  ~1e-15, and the digest shrinks the shuffle vs shipping span text),
+  computing `min(struct(doc_id, span_idx))` per digest. Deliberately
+  NOT a window `row_number() OVER (PARTITION BY span)`: a pathological
+  span occurring 10^7 times (boilerplate, spam loops) would make one
+  window partition sort 10^7 rows on a single task, while `min` partial
+  aggregation folds it map-side. Reassembly is one groupBy(doc_id) with
+  an in-row `array_sort` — no second wide shuffle of corpus text beyond
+  the doc-partitioned one.
+
+* **source_cap_sample** — keep at most *cap* documents per source
+  (domain), chosen by a deterministic pseudo-random priority
+  (md5(source:doc_id)) so the sample is reproducible across jobs and
+  unbiased w.r.t. document order. This is the head-domain cap every
+  published web pipeline applies (a handful of template-heavy domains
+  otherwise dominate the token budget).
+
+  Scale shape: a naive `row_number() OVER (PARTITION BY source)` makes
+  the busiest domain one giant sorted window partition. Instead phase 1
+  prunes per *input partition* — each task keeps its local top-cap per
+  source (vectorized pandas groupby-head, no shuffle) — which bounds
+  the survivors at cap x n_partitions per source; phase 2 ranks only
+  the survivors. Dropping a row locally is safe: it already has >= cap
+  better-priority rows in its own partition, so its global rank
+  exceeds cap.
+
+* **source_stats** — per-source document/char counts with the skew
+  ratio vs the mean source (the number that tells you whether the cap
+  is needed and where to set it).
+
+The reference scrapes a curated per-site news corpus
+(`/root/reference/scraper.py` fetches each root's article list) and has
+no corpus-shaping analog; these follow the published C4/RefinedWeb
+pipeline designs the `documents` table exists to serve.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..tokenization import MAX_WORD_LEN, TOKEN_SPLIT_RE
+
+__all__ = ["span_dedup", "source_cap_sample", "source_stats"]
+
+
+def _tokens_arr() -> Column:
+    return F.filter(
+        F.split(F.lower(F.col("text")), TOKEN_SPLIT_RE),
+        lambda x: (F.length(x) >= 1) & (F.length(x) <= MAX_WORD_LEN),
+    )
+
+
+def _spans(toks: Column, span: int) -> Column:
+    """Chunk a token array into consecutive *span*-token strings (the
+    tail chunk may be shorter). JVM-side: sequence + slice + concat_ws
+    inside codegen."""
+    n_chunks = F.ceil(F.size(toks) / F.lit(span)).cast("int")
+    return F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i * span + F.lit(1), span)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def span_dedup(docs: DataFrame, span: int = 16) -> DataFrame:
+    """(doc_id, n_spans, n_removed, clean_text): corpus-wide exact span
+    dedup. A span is removed iff the same span text occurs elsewhere in
+    the corpus with a smaller (doc_id, span_idx) — i.e. every duplicated
+    span keeps exactly its first occurrence. `clean_text` is the
+    surviving spans rejoined in order ('' if everything was removed or
+    the document had no tokens)."""
+    spans = (
+        docs.select(
+            "doc_id", F.posexplode_outer(_spans(_tokens_arr(), span))
+            .alias("span_idx", "chunk"),
+        )
+    )
+    # one groupBy on the digest with map-side partial min: the skew-safe
+    # way to find each span's first occurrence (see module docstring)
+    firsts = (
+        spans.where(F.col("chunk").isNotNull())
+        .groupBy(F.md5("chunk").alias("digest"))
+        .agg(F.min(F.struct("doc_id", "span_idx")).alias("first_occ"))
+    )
+    marked = (
+        spans.withColumn("digest", F.md5("chunk"))
+        .join(firsts, "digest", "left")
+        .select(
+            "doc_id", "span_idx", "chunk",
+            (
+                F.col("chunk").isNotNull()
+                & ~(
+                    (F.col("first_occ.doc_id") == F.col("doc_id"))
+                    & (F.col("first_occ.span_idx") == F.col("span_idx"))
+                )
+            ).alias("removed"),
+        )
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("chunk").cast("long").alias("n_spans"),
+            F.sum(F.col("removed").cast("long")).cast("long")
+            .alias("n_removed"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("removed"),
+                                F.struct("span_idx", "chunk"),
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+            ).alias("clean_text"),
+        )
+        .select("doc_id", "n_spans", "n_removed", "clean_text")
+    )
+
+
+def _prune_partition(cap: int):
+    def prune(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # local top-cap per source within this input partition; any row
+        # dropped here has >= cap better (smaller-key) rows locally, so
+        # its global rank is > cap and the final window never needs it
+        for pdf in batches:
+            if len(pdf):
+                yield (
+                    pdf.sort_values(["rkey", "doc_id"], kind="mergesort")
+                    .groupby("source", sort=False)
+                    .head(cap)
+                )
+    return prune
+
+
+def source_cap_sample(docs: DataFrame, cap: int = 10) -> DataFrame:
+    """(doc_id, source, rk): at most *cap* documents per source, ranked
+    by the deterministic priority md5(source || ':' || doc_id). Output
+    is identical to a global per-source row_number <= cap, computed
+    without sorting any full-domain window partition."""
+    keyed = docs.select(
+        "doc_id", "source",
+        F.md5(F.concat_ws(":", "source", F.col("doc_id").cast("string")))
+        .alias("rkey"),
+    )
+    survivors = keyed.mapInPandas(
+        _prune_partition(cap), "doc_id long, source string, rkey string"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("rkey", "doc_id")
+    return (
+        survivors.withColumn(
+            "rk", F.row_number().over(w).cast("long")
+        )
+        .where(F.col("rk") <= cap)
+        .select("doc_id", "source", "rk")
+    )
+
+
+def source_stats(docs: DataFrame) -> DataFrame:
+    """(source, n_docs, total_chars, docs_share, skew_ratio): per-source
+    volume and skew vs the mean source. skew_ratio = n_docs / mean
+    docs-per-source; docs_share = n_docs / corpus docs."""
+    per = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("double").alias("all_docs"),
+        F.count("*").cast("double").alias("n_sources"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "n_docs", "total_chars",
+            F.round(F.col("n_docs") / F.col("all_docs"), 6)
+            .alias("docs_share"),
+            F.round(
+                F.col("n_docs") / (F.col("all_docs") / F.col("n_sources")),
+                6,
+            ).alias("skew_ratio"),
+        )
+    )
