@@ -693,6 +693,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_events_per_user": lambda s, d: A.top_events_per_user(s, d),
         "events_page": lambda s, d: A.events_page(s, d),
         "term_autocomplete": lambda s, d: A.term_autocomplete(_docs(s, d), "s"),
+        "fuzzy_term_lookup": lambda s, d: A.fuzzy_term_lookup(
+            _docs(s, d), "sart", k=10, max_dist=2
+        ),
         "icelandic_collation_sort": _icelandic_collation_sort,
         "token_count_bpe": lambda s, d: A.token_count_bpe(_docs(s, d)),
         "word_trigrams": lambda s, d: A.word_trigrams(_docs(s, d)),
@@ -1082,6 +1085,24 @@ SELECT rn, event_id, user_id, event_type FROM (
 SELECT term, count(*)::BIGINT AS df
 FROM post WHERE term LIKE 's%'
 GROUP BY term ORDER BY df DESC, term ASC LIMIT 10
+""",
+        "fuzzy_term_lookup": _TOK_CTE + """,
+vocab AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY 1),
+tri AS (
+  SELECT term, df,
+         list_distinct(list_transform(range(1, length(p) - 1),
+                                      i -> p[i : i+2])) AS tris
+  FROM (SELECT term, df, '^' || term || '$' AS p FROM vocab)
+), cand AS (
+  SELECT term, df, tris,
+         len(list_intersect(tris, ['^sa', 'sar', 'art', 'rt$'])) AS shared
+  FROM tri
+)
+SELECT term, df, levenshtein(term, 'sart')::BIGINT AS lev,
+       round(shared / (len(tris) + 4 - shared), 6) AS jaccard
+FROM cand
+WHERE shared > 0 AND levenshtein(term, 'sart') <= 2
+ORDER BY lev ASC, jaccard DESC, term ASC LIMIT 10
 """,
         "icelandic_collation_sort": """
 WITH first_tok AS (

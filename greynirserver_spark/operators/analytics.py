@@ -235,6 +235,67 @@ def term_autocomplete(docs: DataFrame, prefix: str, limit: int = 10) -> DataFram
     )
 
 
+def fuzzy_term_lookup(
+    docs: DataFrame, query: str, k: int = 10, max_dist: int = 2
+) -> DataFrame:
+    """(term, df, lev, jaccard): spell-tolerant vocabulary lookup — the
+    query path that maps a non-vocabulary token (typo, OCR noise) to
+    real index terms. The reference corrects tokens through static
+    replacement dictionaries loaded from resource files
+    (/root/reference/tools/trigrams.py:116-137); this generalizes that
+    to any vocabulary with no curated resource: character-trigram
+    candidate filter (pg_trgm-style) then Levenshtein verification,
+    ranked (edit distance asc, trigram Jaccard desc, term asc).
+
+    Scale shape: the trigram profile, the intersection with the tiny
+    literal query-trigram array, the Jaccard and the edit distance are
+    all per-row JVM expressions inside one codegen stage over the
+    vocabulary scan — no explode, no shuffle beyond the vocabulary
+    groupBy itself and the final top-k. At a 10^8-term web vocabulary
+    this is one linear pass; a deployment doing high-QPS lookups would
+    additionally key a persisted trigram->term inverted table, which
+    composes from this same profile expression.
+    """
+    from .textops import document_term_stats
+
+    q = query.lower()
+    padded = f"^{q}$"
+    qtris = sorted({padded[i:i + 3] for i in range(len(padded) - 2)})
+    vocab = document_term_stats(docs, min_df=1).select("term", "df")
+    p = F.concat(F.lit("^"), F.col("term"), F.lit("$"))
+    tris = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(p) - 2),
+            lambda i: F.substring(p, i, F.lit(3)),
+        )
+    )
+    qarr = F.array(*[F.lit(t) for t in qtris])
+    cand = (
+        vocab.withColumn("tris", tris)
+        .withColumn(
+            "shared", F.size(F.array_intersect(F.col("tris"), qarr))
+        )
+        .where(F.col("shared") > 0)
+    )
+    return (
+        cand.withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared")
+                / (F.size("tris") + F.lit(len(qtris)) - F.col("shared")),
+                6,
+            ),
+        )
+        .withColumn(
+            "lev", F.levenshtein(F.col("term"), F.lit(q)).cast("long")
+        )
+        .where(F.col("lev") <= max_dist)
+        .orderBy(F.asc("lev"), F.desc("jaccard"), F.asc("term"))
+        .limit(k)
+        .select("term", "df", "lev", "jaccard")
+    )
+
+
 def token_count_bpe(docs: DataFrame) -> DataFrame:
     """BPE-ish token counting for training-data budgeting: word pieces,
     number runs and single punctuation each count as one token."""

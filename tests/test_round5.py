@@ -463,3 +463,44 @@ def test_decontam_plans_have_no_cartesian(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_term_lookup_ranks_by_distance_then_jaccard(spark):
+    from greynirserver_spark.operators.analytics import fuzzy_term_lookup
+
+    docs = spark.createDataFrame(
+        [(1, "part sort spark value part sort")],
+        "doc_id long, text string",
+    )
+    rows = fuzzy_term_lookup(docs, "sart", k=10, max_dist=2).collect()
+    # 'part' and 'sort' are both edit distance 1; 'part' shares two
+    # trigrams (art, rt$) vs 'sort' one (rt$) so it ranks first.
+    # 'spark' shares no trigram with ^sart$ -> excluded; 'value' far.
+    assert [r["term"] for r in rows] == ["part", "sort"]
+    assert [r["lev"] for r in rows] == [1, 1]
+    assert rows[0]["jaccard"] > rows[1]["jaccard"]
+
+
+def test_fuzzy_term_lookup_exact_hit_and_no_hit(spark):
+    from greynirserver_spark.operators.analytics import fuzzy_term_lookup
+
+    docs = spark.createDataFrame(
+        [(1, "merge window merge")], "doc_id long, text string"
+    )
+    exact = fuzzy_term_lookup(docs, "merge", k=5).collect()
+    assert exact[0]["term"] == "merge" and exact[0]["lev"] == 0
+    assert fuzzy_term_lookup(docs, "zzzzqq", k=5).count() == 0
+
+
+def test_fuzzy_term_lookup_plan_is_single_pass(spark):
+    from greynirserver_spark.operators.analytics import fuzzy_term_lookup
+
+    docs = spark.createDataFrame(
+        [(1, "part sort")], "doc_id long, text string"
+    )
+    plan = fuzzy_term_lookup(docs, "sart")._jdf.queryExecution() \
+        .executedPlan().toString()
+    # trigram profile + intersect + levenshtein are row-local JVM
+    # expressions: no explode of the vocabulary, no join at all
+    assert "CartesianProduct" not in plan
+    assert "Generate" not in plan.split("HashAggregate")[0]
