@@ -204,9 +204,12 @@ def main() -> None:
     # NOTE basis change vs rounds <=4: the cache is cleared per rep, so
     # p50 is honest cold-query latency (the old 12-query loop hit the
     # TTL cache on its second pass and mixed ~0ms hits into the p50).
-    # The warm path is its own metric now:
+    # The warm path is its own metric now (populate, then time the HIT —
+    # the loop above leaves a different query in the cache):
+    warm_terms = query_to_terms(" ".join(stems[:2]))
+    searcher.search(warm_terms, 10)
     t0 = time.perf_counter()
-    searcher.search(query_to_terms(" ".join(stems[:2])), 10)
+    searcher.search(warm_terms, 10)
     timings["q2b_searcher_cached"] = round(time.perf_counter() - t0, 4)
 
     scaling_only = os.environ.get("SPARK_GRAFT_SCALING_ONLY") == "1"
