@@ -104,6 +104,63 @@ _RELATED_ROOT = "spark"
 _COUNT_TERMS = ["spark", "join"]
 _ANN_QUERY_ID = 0
 
+# PII traps: the synthetic documents contain no digits or '@' at all,
+# so (as with the NER traps above) deterministic PII-bearing rows are
+# unioned onto the table in BOTH engines — doc_ids far above the real
+# range. Each class appears alone and mixed; one row is clean.
+_PII_TRAPS: tuple[tuple[int, str], ...] = (
+    (10_000_001, "contact jon.sig+news@example.co.uk or admin@host.io today"),
+    (10_000_002, "kennitala 120384-3399 and backup 010199-0000 on file"),
+    (10_000_003, "server at 192.168.1.254 and 10.0.0.1 port open"),
+    (10_000_004, "call +354 581 2345 or +44 20.7946.0958 now"),
+    (10_000_005, "mixed a@b.is ip 8.8.8.8 id 111111-2222 tel +3545812345 end"),
+    (10_000_006, "clean text with no personal data at all"),
+)
+
+
+def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select("doc_id", "text").unionAll(
+        spark.createDataFrame(list(_PII_TRAPS), "doc_id long, text string")
+    )
+
+
+def _pii_oracle_sql() -> str:
+    """Chained-scrub SQL built FROM the same PII_PATTERNS tuple the
+    Spark operator uses, so the regexes are literally identical in both
+    engines (the patterns stay in the Java-regex/RE2 common subset)."""
+    from greynirserver_spark.operators.pii import PII_PATTERNS
+
+    traps = ",\n    ".join(
+        "(%d::BIGINT, '%s')" % (i, t) for i, t in _PII_TRAPS
+    )
+    sql = (
+        "WITH s0 AS (\n"
+        "  SELECT doc_id, text AS t0 FROM documents\n"
+        "  UNION ALL\n"
+        "  SELECT * FROM (VALUES\n    " + traps + "\n  ) AS v(doc_id, t0)\n)"
+    )
+    prev = "s0"
+    for i, (name, pat, token) in enumerate(PII_PATTERNS, start=1):
+        carry = ", ".join(
+            f"n_{n}" for n, _, _ in PII_PATTERNS[: i - 1]
+        )
+        carry = (carry + ", ") if carry else ""
+        sql += (
+            f", s{i} AS (\n"
+            f"  SELECT doc_id, {carry}"
+            f"len(regexp_extract_all(t{i - 1}, '{pat}'))::BIGINT"
+            f" AS n_{name},\n"
+            f"         regexp_replace(t{i - 1}, '{pat}', '{token}', 'g')"
+            f" AS t{i}\n"
+            f"  FROM s{i - 1}\n)"
+        )
+        prev = f"s{i}"
+    names = ", ".join(f"n_{n}" for n, _, _ in PII_PATTERNS)
+    n = len(PII_PATTERNS)
+    return sql + (
+        f"\nSELECT doc_id, {names}, t{n} AS clean_text FROM {prev}"
+    )
+
 
 def _minhash_params_values() -> str:
     """The MinHash permutation params (seeded, identical to
@@ -610,6 +667,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "doc_quality": lambda s, d: T.quality_scores(_docs(s, d)),
         "doc_fingerprints": lambda s, d: T.document_fingerprints(_docs(s, d)),
+        "unigram_logprob": lambda s, d: T.unigram_logprob_scores(_docs(s, d)),
+        "pii_redaction": lambda s, d: __import__(
+            "greynirserver_spark.operators.pii", fromlist=["x"]
+        ).pii_redact(_pii_docs(s, d)),
         # --- dedup family ---
         "exact_dup_groups": lambda s, d: D.exact_duplicates(_docs(s, d)),
         "ngram_jaccard_pairs": lambda s, d: D.ngram_jaccard_pairs(
@@ -806,6 +867,17 @@ SELECT doc_id,
        md5(array_to_string(list_sort(list(DISTINCT term)), ' ')) AS fingerprint
 FROM tokf GROUP BY doc_id
 """,
+        "unigram_logprob": _TOK_CTE + """,
+freq AS (SELECT term, count(*)::BIGINT AS tf_corpus FROM tokf GROUP BY 1),
+tot AS (SELECT sum(tf_corpus)::DOUBLE AS total FROM freq)
+SELECT t.doc_id,
+       count(*)::BIGINT AS n_tokens,
+       round(avg(ln(f.tf_corpus / tot.total)), 4) AS avg_logprob,
+       round(exp(-avg(ln(f.tf_corpus / tot.total))), 4) AS ppl
+FROM tokf t JOIN freq f USING (term) CROSS JOIN tot
+GROUP BY t.doc_id
+""",
+        "pii_redaction": _pii_oracle_sql(),
         "exact_dup_groups": """
 SELECT md5(text) AS text_md5, count(*)::BIGINT AS n_docs,
        min(doc_id) AS min_doc_id

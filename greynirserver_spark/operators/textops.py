@@ -300,3 +300,47 @@ def document_fingerprints(docs: DataFrame) -> DataFrame:
             ).alias("fingerprint")
         )
     )
+
+
+def unigram_logprob_scores(
+    docs: DataFrame, broadcast_max: int = 2_000_000
+) -> DataFrame:
+    """(doc_id, n_tokens, avg_logprob, ppl): corpus-unigram
+    language-model score per document — the perplexity-style quality
+    gate (CCNet/KenLM-class) next to the heuristic `quality_scores`.
+    `avg_logprob` is the mean ln(corpus-frequency/corpus-size) over the
+    document's tokens; `ppl = exp(-avg_logprob)`. Documents of globally
+    rare tokens (gibberish, OCR noise) score low / high-ppl;
+    boilerplate scores high / low-ppl — both tails are filter targets.
+
+    Scale shape: corpus term frequencies are one partial-agg groupBy;
+    the token->frequency join broadcasts while the vocabulary fits
+    (*broadcast_max* distinct terms) and falls back to a shuffle hash
+    join above it — the same size-gate pattern as the segment term
+    dictionary (`operators/segments.py`). Scoring is one further
+    partial-agg groupBy(doc_id). Documents with zero tokens are absent
+    (consistent with `quality_scores`).
+    """
+    toks = document_tokens(docs)
+    freq = toks.groupBy("term").agg(
+        F.count("*").cast("long").alias("tf_corpus")
+    )
+    row = freq.agg(
+        F.sum("tf_corpus").alias("total"), F.count("*").alias("n_terms")
+    ).first()
+    total, n_terms = float(row["total"]), int(row["n_terms"])
+    if n_terms <= broadcast_max:
+        freq = F.broadcast(freq)
+    return (
+        toks.join(freq, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("tf_corpus") / F.lit(total))), 4
+            ).alias("avg_logprob"),
+            F.round(
+                F.exp(-F.avg(F.log(F.col("tf_corpus") / F.lit(total)))), 4
+            ).alias("ppl"),
+        )
+    )

@@ -504,3 +504,93 @@ def test_fuzzy_term_lookup_plan_is_single_pass(spark):
     # expressions: no explode of the vocabulary, no join at all
     assert "CartesianProduct" not in plan
     assert "Generate" not in plan.split("HashAggregate")[0]
+
+
+# ------------------------------------------ PII redaction
+
+def test_pii_redact_counts_and_scrub(spark):
+    """Every class counted and replaced; claim order (email before id
+    before ipv4 before phone) means each span is counted once by the
+    first pattern that matches it."""
+    from greynirserver_spark.operators.pii import pii_redact
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex.co.uk and x@y.is now"),
+            (2, "kt 120384-3399 ip 10.0.0.1 tel +354 581 2345"),
+            (3, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_redact(docs).collect()}
+    assert rows[1]["n_email"] == 2 and rows[1]["n_id"] == 0
+    assert rows[1]["clean_text"] == "mail <EMAIL> and <EMAIL> now"
+    assert (rows[2]["n_id"], rows[2]["n_ipv4"], rows[2]["n_phone"]) == (
+        1, 1, 1,
+    )
+    assert rows[2]["clean_text"] == "kt <ID> ip <IP> tel <PHONE>"
+    assert rows[3]["clean_text"] == "no pii here at all"
+    assert sum(rows[3][c] for c in
+               ("n_email", "n_id", "n_ipv4", "n_phone")) == 0
+
+
+def test_pii_redact_is_shuffle_free(spark):
+    """The scrub is row-local: one codegen stage, no exchange."""
+    from greynirserver_spark.operators.pii import pii_redact
+
+    docs = spark.createDataFrame(
+        [(1, "a@b.is")], "doc_id long, text string"
+    )
+    plan = pii_redact(docs)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "Exchange" not in plan
+
+
+# ------------------------------------------ unigram LM quality gate
+
+def test_unigram_logprob_ranks_rare_doc_worse(spark):
+    """A document of corpus-rare tokens scores lower avg_logprob /
+    higher ppl than one of corpus-common tokens; ppl == exp(-avg)."""
+    import math
+
+    from greynirserver_spark.operators.textops import (
+        unigram_logprob_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the cat"),
+            (2, "the the the cat"),
+            (3, "zyx qwv zyx plk"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            unigram_logprob_scores(docs).collect()}
+    assert rows[1]["n_tokens"] == 4
+    assert rows[3]["avg_logprob"] < rows[1]["avg_logprob"]
+    assert rows[3]["ppl"] > rows[1]["ppl"]
+    # corpus: 12 tokens; doc1 avg = (3*ln(6/12) + ln(2/12))/4
+    want = (3 * math.log(6 / 12) + math.log(2 / 12)) / 4
+    assert abs(rows[1]["avg_logprob"] - round(want, 4)) < 1e-9
+    assert abs(rows[2]["ppl"] - round(math.exp(-want), 4)) < 1e-9
+
+
+def test_unigram_logprob_broadcast_gate(spark):
+    """Vocabulary under the gate broadcasts the frequency dim; above it
+    the plan falls back to a shuffle join (same size-gate pattern as
+    the segment dictionary)."""
+    from greynirserver_spark.operators.textops import (
+        unigram_logprob_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta")],
+        "doc_id long, text string",
+    )
+    small = unigram_logprob_scores(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in small
+    big = unigram_logprob_scores(docs, broadcast_max=1)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in big
