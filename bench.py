@@ -249,6 +249,16 @@ def main() -> None:
     # --- q8: quality scoring ---
     timed("q8_quality_scores", lambda: T.quality_scores(docs).count())
 
+    # --- q8b/q8c: round-5 cleaning additions — the PII scrub is the
+    #     scan-speed yardstick (row-local codegen, zero shuffle); the
+    #     unigram-LM gate adds two partial-agg groupBys + one
+    #     broadcast join on top of the same tokenize.
+    from greynirserver_spark.operators.pii import pii_redact
+
+    timed("q8b_pii_redact", lambda: pii_redact(docs).count())
+    timed("q8c_unigram_logprob",
+          lambda: T.unigram_logprob_scores(docs).count())
+
     # --- q9: exact-phrase search (positional offset alignment) ---
     from greynirserver_spark.operators import phrase as PH
 
