@@ -118,10 +118,167 @@ _PII_TRAPS: tuple[tuple[int, str], ...] = (
 )
 
 
+# Gopher-rule traps: bullet/ellipsis lines, symbol noise and a
+# stopword-dense passing document — none of which occur in the
+# synthetic corpus (single-line, no punctuation).
+_GOPHER_TRAPS: tuple[tuple[int, str], ...] = (
+    (10_100_001,
+     "• first bullet line...\n• second bullet\nplain line with the and"),
+    (10_100_002, "the and of to be that have with " * 8),
+    (10_100_003, "#### ## # … … hash noise line"),
+)
+
+
+def _gopher_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select("doc_id", "text").unionAll(
+        spark.createDataFrame(list(_GOPHER_TRAPS), "doc_id long, text string")
+    )
+
+
+# Deterministic messy URLs derived from the table (the corpus has no
+# url column): four spelling-mess classes by doc_id % 4 plus a second
+# variant per doc that canonicalizes equal to class-1's — so
+# url_dup_groups has real collisions to collapse.
+def _url_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    i = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 4
+    a = (
+        F.when(m == 0, F.concat(
+            F.lit("HTTP://WWW."), F.upper("source"), F.lit(".IS:80/Art//"),
+            i, F.lit("/?utm_source=rss&b=2&a=1#frag")))
+        .when(m == 1, F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".is/art/"), i))
+        .when(m == 2, F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".is:443/art/"), i,
+            F.lit("/?a=1&utm_campaign=x")))
+        .otherwise(F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".is:8080/art/"), i,
+            F.lit("?fbclid=abc")))
+    )
+    b = F.concat(
+        F.lit("https://WWW."), F.col("source"), F.lit(".is/art//"), i,
+        F.lit("/?utm_medium=z#x"),
+    )
+    return d.select("doc_id", a.alias("url")).unionAll(
+        d.select("doc_id", b.alias("url"))
+    )
+
+
+_URL_CTE = """
+WITH u AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'HTTP://WWW.' || upper(source) || '.IS:80/Art//'
+                       || doc_id::VARCHAR || '/?utm_source=rss&b=2&a=1#frag'
+           WHEN 1 THEN 'https://' || source || '.is/art/' || doc_id::VARCHAR
+           WHEN 2 THEN 'https://' || source || '.is:443/art/'
+                       || doc_id::VARCHAR || '/?a=1&utm_campaign=x'
+           ELSE 'http://' || source || '.is:8080/art/' || doc_id::VARCHAR
+                || '?fbclid=abc'
+         END AS url
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'https://WWW.' || source || '.is/art//'
+         || doc_id::VARCHAR || '/?utm_medium=z#x'
+  FROM documents
+), parts AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+           AS scheme,
+         regexp_replace(lower(regexp_extract(
+             url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1)),
+             '^www\\.', '') AS host,
+         regexp_extract(
+             url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]*:([0-9]+)', 1)
+           AS port,
+         regexp_replace(regexp_replace(regexp_extract(
+             url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+             '//+', '/'), '/$', '') AS path,
+         array_to_string(list_sort(list_filter(
+             regexp_split_to_array(
+                 regexp_extract(url, '\\?([^#]*)', 1), '&'),
+             p -> p <> '' AND NOT regexp_matches(
+                 p, '^(utm_[^=]*|fbclid|gclid|ref)='))), '&') AS q
+  FROM u
+), canon AS (
+  SELECT doc_id, url,
+         scheme || '://' || host
+         || CASE WHEN port <> ''
+                  AND NOT (scheme = 'http' AND port = '80')
+                  AND NOT (scheme = 'https' AND port = '443')
+                 THEN ':' || port ELSE '' END
+         || path
+         || CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canonical_url
+  FROM parts
+)
+"""
+
+
 def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select("doc_id", "text").unionAll(
         spark.createDataFrame(list(_PII_TRAPS), "doc_id long, text string")
     )
+
+
+def _gopher_oracle_sql() -> str:
+    """Gopher-rule oracle over documents + the planted traps; the
+    stopword list is inlined from the same constant the operator
+    uses."""
+    from greynirserver_spark.operators.textops import GOPHER_STOPWORDS
+
+    traps = ",\n    ".join(
+        "(%d::BIGINT, '%s')" % (i, t.replace("\n", "' || chr(10) || '"))
+        for i, t in _GOPHER_TRAPS
+    )
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return f"""
+WITH du AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+    {traps}
+  ) AS v(doc_id, text)
+), w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     x -> x <> '') AS words,
+         list_filter(regexp_split_to_array(text, '\\n'),
+                     x -> x <> '') AS lines,
+         (length(text) - length(replace(text, '#', ''))
+          + length(text) - length(replace(text, '…', '')))::BIGINT
+           AS n_sym
+  FROM du
+), m AS (
+  SELECT doc_id,
+         len(words)::BIGINT AS n_words,
+         round(list_sum(list_transform(words, x -> length(x)))::DOUBLE
+               / len(words), 4) AS mean_word_len,
+         len(list_distinct(list_filter(
+             list_transform(words, x -> lower(x)),
+             x -> x IN ({stops}))))::BIGINT AS n_stop_distinct,
+         round(len(list_filter(list_transform(words, x -> lower(x)),
+                               x -> x IN ({stops})))::DOUBLE
+               / len(words), 4) AS frac_stop,
+         round(len(list_filter(lines,
+                               l -> regexp_matches(l, '^[•*-]')))::DOUBLE
+               / greatest(len(lines), 1), 4) AS bullet_ratio,
+         round(len(list_filter(
+             lines, l -> regexp_matches(l, '(\\.\\.\\.|…)$')))::DOUBLE
+               / greatest(len(lines), 1), 4) AS ellipsis_ratio,
+         round(n_sym::DOUBLE / len(words), 4) AS symbol_ratio
+  FROM w WHERE len(words) >= 1
+)
+SELECT *,
+       (CASE WHEN n_words BETWEEN 50 AND 100000
+              AND mean_word_len BETWEEN 3.0 AND 10.0
+              AND n_stop_distinct >= 2
+              AND bullet_ratio <= 0.9
+              AND ellipsis_ratio <= 0.3
+              AND symbol_ratio <= 0.1
+             THEN 1 ELSE 0 END)::BIGINT AS passes
+FROM m
+"""
 
 
 def _pii_oracle_sql() -> str:
@@ -671,6 +828,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": lambda s, d: __import__(
             "greynirserver_spark.operators.pii", fromlist=["x"]
         ).pii_redact(_pii_docs(s, d)),
+        "gopher_rules": lambda s, d: T.gopher_rules(_gopher_docs(s, d)),
+        "url_normalize": lambda s, d: __import__(
+            "greynirserver_spark.operators.urls", fromlist=["x"]
+        ).normalize_urls(_url_docs(s, d)),
+        "url_dup_groups": lambda s, d: __import__(
+            "greynirserver_spark.operators.urls", fromlist=["x"]
+        ).url_dup_groups(_url_docs(s, d)),
+        # the synthetic sources are uniform (25 docs each), which would
+        # make temperature sampling a no-op — skew them first (half the
+        # corpus folded into one head domain) so the oracle checks real
+        # thinning, not just p_keep=1 pass-through
+        "source_temperature_sample": lambda s, d: __import__(
+            "greynirserver_spark.operators.webclean", fromlist=["x"]
+        ).source_temperature_sample(
+            _docs(s, d).select(
+                "doc_id",
+                F.when(F.col("doc_id") % 2 == 0, F.lit("head"))
+                .otherwise(F.col("source")).alias("source"),
+            ),
+            alpha=0.5,
+        ),
         # --- dedup family ---
         "exact_dup_groups": lambda s, d: D.exact_duplicates(_docs(s, d)),
         "ngram_jaccard_pairs": lambda s, d: D.ngram_jaccard_pairs(
@@ -878,6 +1056,28 @@ FROM tokf t JOIN freq f USING (term) CROSS JOIN tot
 GROUP BY t.doc_id
 """,
         "pii_redaction": _pii_oracle_sql(),
+        "gopher_rules": _gopher_oracle_sql(),
+        "url_normalize": _URL_CTE + """
+SELECT doc_id, url, canonical_url FROM canon
+""",
+        "url_dup_groups": _URL_CTE + """
+SELECT canonical_url, count(*)::BIGINT AS n_urls,
+       min(doc_id) AS min_doc_id
+FROM canon GROUP BY canonical_url
+""",
+        "source_temperature_sample": """
+WITH sk AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'head' ELSE source END AS source
+  FROM documents
+), per AS (
+  SELECT source, count(*)::BIGINT AS n_s FROM sk GROUP BY 1
+), mn AS (SELECT min(n_s)::DOUBLE AS n_min FROM per)
+SELECT d.doc_id, d.source, round(pow(n_min / per.n_s, 0.5), 6) AS p_keep
+FROM sk d JOIN per USING (source) CROSS JOIN mn
+WHERE ('0x' || substr(md5('t:' || d.source || ':' || d.doc_id::VARCHAR),
+       1, 8))::BIGINT / 4294967296.0 < pow(n_min / per.n_s, 0.5)
+""",
         "exact_dup_groups": """
 SELECT md5(text) AS text_md5, count(*)::BIGINT AS n_docs,
        min(doc_id) AS min_doc_id

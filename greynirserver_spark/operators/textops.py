@@ -344,3 +344,72 @@ def unigram_logprob_scores(
             ).alias("ppl"),
         )
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: DataFrame,
+    stopwords: Sequence[str] = GOPHER_STOPWORDS,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher-style (Rae et al. 2021) repetition-free quality rules per
+    document: word-count bounds, mean word length 3..10, >=2 distinct
+    stopwords, bullet-line ratio <= 0.9, ellipsis-line ratio <= 0.3,
+    symbol-to-word ratio <= 0.1. Returns (doc_id, n_words,
+    mean_word_len, n_stop_distinct, frac_stop, bullet_ratio,
+    ellipsis_ratio, symbol_ratio, passes) with `passes` a 0/1 BIGINT
+    evaluated on the published (rounded) values so any engine
+    re-deriving the gate from the output columns agrees.
+
+    Scale shape: every rule is a row-local array expression over the
+    whitespace-word and line splits — one codegen stage, zero shuffle,
+    no UDF; the operator runs at scan speed next to `pii_redact`.
+    Documents with no words are absent (as in `quality_scores`).
+    """
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    lines = F.filter(F.split(F.col("text"), "\n"), lambda l: l != "")
+    stops = F.filter(
+        F.transform(words, F.lower),
+        lambda w: w.isin(*[s.lower() for s in stopwords]),
+    )
+    n_words = F.size(words).cast("long")
+    n_sym = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+        + F.length("text") - F.length(F.replace(F.col("text"), F.lit("…")))
+    ).cast("long")
+    base = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(
+            F.aggregate(
+                words, F.lit(0).cast("long"),
+                lambda acc, w: acc + F.length(w),
+            ).cast("double") / n_words, 4,
+        ).alias("mean_word_len"),
+        F.size(F.array_distinct(stops)).cast("long").alias("n_stop_distinct"),
+        F.round(F.size(stops).cast("double") / n_words, 4).alias("frac_stop"),
+        F.round(
+            F.size(F.filter(lines, lambda l: l.rlike("^[•*-]")))
+            .cast("double") / F.greatest(F.size(lines), F.lit(1)), 4,
+        ).alias("bullet_ratio"),
+        F.round(
+            F.size(
+                F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)$"))
+            ).cast("double") / F.greatest(F.size(lines), F.lit(1)), 4,
+        ).alias("ellipsis_ratio"),
+        F.round(n_sym.cast("double") / n_words, 4).alias("symbol_ratio"),
+    ).where(F.col("n_words") >= 1)
+    return base.withColumn(
+        "passes",
+        (
+            F.col("n_words").between(min_words, max_words)
+            & F.col("mean_word_len").between(3.0, 10.0)
+            & (F.col("n_stop_distinct") >= 2)
+            & (F.col("bullet_ratio") <= 0.9)
+            & (F.col("ellipsis_ratio") <= 0.3)
+            & (F.col("symbol_ratio") <= 0.1)
+        ).cast("long"),
+    )

@@ -1,0 +1,103 @@
+"""URL canonicalization — the dedup key a web-scale crawl pipeline
+actually joins on.
+
+The reference engine keys its entire article store on the raw URL
+string (/root/reference/article.py: `url` is the primary key and the
+scrape loop's MERGE key), which double-stores any page reachable under
+scheme/host-case, default-port, trailing-slash, tracking-parameter or
+fragment variants. At crawl scale the same page commonly arrives under
+dozens of such spellings; canonicalizing before the URL-keyed upsert
+(`lineage.upsert_pages`) or exact-dedup pass collapses them for free.
+
+Everything here is row-local JVM codegen — `regexp_extract` parses the
+URL into (scheme, host, port, path, query); array ops filter tracking
+parameters and sort the remainder; `concat` rebuilds. No UDF, no
+shuffle (`url_dup_groups` adds the single partial-agg groupBy a dedup
+needs). Every expression has an exact DuckDB twin, so the driver
+oracle checks the canonical form byte-for-byte.
+
+Canonicalization rules (the conservative, safe-everywhere subset):
+* scheme and host lowercased; a leading ``www.`` stripped from host
+* default ports dropped (``:80`` for http, ``:443`` for https);
+  non-default ports kept
+* duplicate ``//`` in the path collapsed, one trailing ``/`` stripped
+* query parameters: tracking keys removed (``utm_*``, ``fbclid``,
+  ``gclid``, ``ref``), the rest SORTED so parameter order is
+  insignificant; an emptied query drops its ``?``
+* the fragment is always dropped
+Path case and scheme identity are preserved (paths are case-sensitive
+and http-vs-https may serve different content — unifying either is a
+lossy guess, not canonicalization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["canonical_url", "normalize_urls", "url_dup_groups",
+           "TRACKING_PARAM_RE"]
+
+# query parameters that never identify content (RE2/Java common subset)
+TRACKING_PARAM_RE = "^(utm_[^=]*|fbclid|gclid|ref)="
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)"
+_PORT_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]*:([0-9]+)"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+
+
+def canonical_url(url: Column) -> Column:
+    """The canonical form of *url* as a single JVM expression tree."""
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(url, _HOST_RE, 1)), r"^www\.", ""
+    )
+    port = F.regexp_extract(url, _PORT_RE, 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    path = F.regexp_replace(
+        F.regexp_replace(F.regexp_extract(url, _PATH_RE, 1), "//+", "/"),
+        "/$", "",
+    )
+    query = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(F.regexp_extract(url, _QUERY_RE, 1), "&"),
+                lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        scheme, F.lit("://"), host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
+    )
+
+
+def normalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """(doc_id, url, canonical_url) — row-local, zero-shuffle."""
+    return df.select(
+        "doc_id", url_col, canonical_url(F.col(url_col)).alias("canonical_url")
+    )
+
+
+def url_dup_groups(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """(canonical_url, n_urls, min_doc_id): spelling variants collapsed
+    per canonical form — the crawl-frontier / upsert dedup key. One
+    partial-agg groupBy; at 10^12 URLs the canonical string is the
+    shuffle key and the map-side combine folds each page's variant
+    cluster before the exchange."""
+    return (
+        normalize_urls(df, url_col)
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )

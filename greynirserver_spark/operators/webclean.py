@@ -57,7 +57,8 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from ..tokenization import MAX_WORD_LEN, TOKEN_SPLIT_RE
 
-__all__ = ["span_dedup", "source_cap_sample", "source_stats"]
+__all__ = ["span_dedup", "source_cap_sample", "source_stats",
+           "source_temperature_sample"]
 
 
 def _tokens_arr() -> Column:
@@ -205,4 +206,52 @@ def source_stats(docs: DataFrame) -> DataFrame:
                 6,
             ).alias("skew_ratio"),
         )
+    )
+
+
+def source_temperature_sample(docs: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """Temperature resampling of the per-source (domain) mix: keep each
+    document of source *s* with probability ``(n_min / n_s)^(1-alpha)``
+    so the kept corpus follows ``n_s^alpha`` — the standard
+    training-mixture flattening (alpha=1 keeps everything, alpha=0
+    equalizes all sources) realized purely by *down*-sampling: the
+    smallest source keeps every document and larger sources are thinned
+    toward it, which is the largest sample attainable without
+    duplicating rows. Complements the hard `source_cap_sample`: the cap
+    truncates the head, the temperature reshapes the whole curve.
+
+    The keep decision is a deterministic per-document coin —
+    ``u = int(md5("t:" source ":" doc_id)[:8]) / 2^32`` compared to the
+    keep probability — so the sample is reproducible across jobs,
+    engines (DuckDB oracle-checked) and cluster layouts, and a document
+    never flips membership when the job is re-run or repartitioned.
+
+    Returns (doc_id, source, p_keep) for kept documents, p_keep rounded
+    to 6 dp. Scale shape: one partial-agg groupBy over sources, a
+    broadcast of the tiny per-source dim (domains ≪ documents), and a
+    row-local filter — no shuffle of the corpus itself.
+    """
+    per = docs.groupBy("source").agg(F.count("*").alias("n_s"))
+    n_min = per.agg(F.min("n_s")).first()[0]
+    weights = F.broadcast(
+        per.select(
+            "source",
+            F.pow(F.lit(float(n_min)) / F.col("n_s"), 1.0 - alpha)
+            .alias("p_keep"),
+        )
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit("t"), "source",
+                                  F.col("doc_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("double") / F.lit(4294967296.0)
+    )
+    return (
+        docs.join(weights, "source")
+        .where(u < F.col("p_keep"))
+        .select("doc_id", "source", F.round("p_keep", 6).alias("p_keep"))
     )

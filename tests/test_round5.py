@@ -594,3 +594,113 @@ def test_unigram_logprob_broadcast_gate(spark):
     big = unigram_logprob_scores(docs, broadcast_max=1)._jdf \
         .queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" not in big
+
+
+# ------------------------------------------ URL canonicalization
+
+def test_canonical_url_rules(spark):
+    """Scheme/host case, www, default ports, dup+trailing slash,
+    tracking params, param order, fragments — each collapsed; path
+    case, non-default ports and scheme identity preserved."""
+    from greynirserver_spark.operators.urls import normalize_urls
+
+    rows = [
+        (1, "HTTP://WWW.Site.IS:80/Art//42/?utm_source=rss&b=2&a=1#f"),
+        (2, "https://site.is:443/a/"),
+        (3, "https://site.is/a?b=2&a=1"),
+        (4, "https://site.is/a?a=1&b=2&utm_campaign=x&fbclid=z"),
+        (5, "http://site.is:8080/A"),
+        (6, "https://site.is/CaseSensitive/Path"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"]: r["canonical_url"]
+           for r in normalize_urls(df).collect()}
+    assert got[1] == "http://site.is/Art/42?a=1&b=2"
+    assert got[2] == "https://site.is/a"
+    assert got[3] == got[4] == "https://site.is/a?a=1&b=2"
+    assert got[5] == "http://site.is:8080/A"
+    assert got[6] == "https://site.is/CaseSensitive/Path"
+
+
+def test_url_dup_groups_collapse_and_plan(spark):
+    from greynirserver_spark.operators.urls import (
+        normalize_urls, url_dup_groups,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://WWW.site.is/a/?utm_source=x"),
+            (2, "https://site.is/a"),
+            (3, "http://other.is/b"),
+        ],
+        "doc_id long, url string",
+    )
+    groups = {r["canonical_url"]: r for r in url_dup_groups(df).collect()}
+    assert groups["https://site.is/a"]["n_urls"] == 2
+    assert groups["https://site.is/a"]["min_doc_id"] == 1
+    assert groups["http://other.is/b"]["n_urls"] == 1
+    # normalization itself is row-local: no exchange in the plan
+    plan = normalize_urls(df)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "Exchange" not in plan
+
+
+# ------------------------------------------ Gopher quality rules
+
+def test_gopher_rules_gates(spark):
+    from greynirserver_spark.operators.textops import gopher_rules
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the and of to be that have with " * 8),   # passes
+            (2, "• a...\n• b\nplain the and line"),        # bullet-heavy
+            (3, "word " * 60),                             # no stopwords
+            (4, "short the and doc"),                      # < min_words
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in gopher_rules(docs).collect()}
+    assert rows[1]["passes"] == 1 and rows[1]["n_words"] == 64
+    assert rows[1]["mean_word_len"] == 3.0
+    assert rows[2]["passes"] == 0 and rows[2]["bullet_ratio"] == 0.6667
+    assert rows[3]["passes"] == 0 and rows[3]["n_stop_distinct"] == 0
+    assert rows[4]["passes"] == 0
+    # rules are row-local: zero shuffle
+    plan = gopher_rules(docs)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "Exchange" not in plan
+
+
+# ------------------------------------------ temperature sampling
+
+def test_source_temperature_sample_thins_head(spark):
+    """Head domain thinned toward n_s^alpha, smallest source kept
+    whole; the keep decision is a per-doc deterministic coin, so
+    re-running or repartitioning never changes membership."""
+    from greynirserver_spark.operators.webclean import (
+        source_temperature_sample,
+    )
+
+    rows = [(i, "head") for i in range(400)] + \
+           [(1000 + i, "tail") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = source_temperature_sample(docs, alpha=0.5).collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    # tail: p_keep = 1 -> all 20 survive
+    assert len(by_src["tail"]) == 20
+    # head: p_keep = sqrt(20/400) ~ 0.2236 -> E[kept] ~ 89
+    n_head = len(by_src["head"])
+    assert 55 <= n_head <= 125
+    p = {r["source"]: r["p_keep"] for r in kept}
+    assert p["tail"] == 1.0 and abs(p["head"] - 0.223607) < 1e-6
+    # determinism across runs and partition layouts
+    again = sorted(
+        r["doc_id"] for r in
+        source_temperature_sample(docs.repartition(13), alpha=0.5)
+        .collect()
+    )
+    assert again == sorted(r["doc_id"] for r in kept)
+    # alpha=1 keeps everything
+    assert source_temperature_sample(docs, alpha=1.0).count() == 420
