@@ -328,7 +328,10 @@ def unigram_logprob_scores(
     row = freq.agg(
         F.sum("tf_corpus").alias("total"), F.count("*").alias("n_terms")
     ).first()
-    total, n_terms = float(row["total"]), int(row["n_terms"])
+    if row["total"] is None:  # empty corpus: no scored rows either
+        total, n_terms = 1.0, 0
+    else:
+        total, n_terms = float(row["total"]), int(row["n_terms"])
     if n_terms <= broadcast_max:
         freq = F.broadcast(freq)
     return (

@@ -72,11 +72,18 @@ def canonical_url(url: Column) -> Column:
         ),
         "&",
     )
-    return F.concat(
-        scheme, F.lit("://"), host,
-        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
-        path,
-        F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
+    return F.when(
+        (scheme == "") | (host == ""),
+        F.lit(None).cast("string"),  # not an absolute URL: no safe key
+    ).otherwise(
+        F.concat(
+            scheme, F.lit("://"), host,
+            F.when(keep_port, F.concat(F.lit(":"), port))
+            .otherwise(F.lit("")),
+            path,
+            F.when(query != "", F.concat(F.lit("?"), query))
+            .otherwise(F.lit("")),
+        )
     )
 
 
@@ -92,9 +99,12 @@ def url_dup_groups(df: DataFrame, url_col: str = "url") -> DataFrame:
     per canonical form — the crawl-frontier / upsert dedup key. One
     partial-agg groupBy; at 10^12 URLs the canonical string is the
     shuffle key and the map-side combine folds each page's variant
-    cluster before the exchange."""
+    cluster before the exchange. Unparseable URLs (NULL canonical) are
+    dropped rather than grouped — at crawl scale a junk-URL flood would
+    otherwise fold into one skewed NULL key."""
     return (
         normalize_urls(df, url_col)
+        .where(F.col("canonical_url").isNotNull())
         .groupBy("canonical_url")
         .agg(
             F.count("*").cast("long").alias("n_urls"),

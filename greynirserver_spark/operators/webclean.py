@@ -233,6 +233,8 @@ def source_temperature_sample(docs: DataFrame, alpha: float = 0.5) -> DataFrame:
     """
     per = docs.groupBy("source").agg(F.count("*").alias("n_s"))
     n_min = per.agg(F.min("n_s")).first()[0]
+    if n_min is None:  # empty input: nothing to sample
+        n_min = 1
     weights = F.broadcast(
         per.select(
             "source",

@@ -704,3 +704,35 @@ def test_source_temperature_sample_thins_head(spark):
     assert again == sorted(r["doc_id"] for r in kept)
     # alpha=1 keeps everything
     assert source_temperature_sample(docs, alpha=1.0).count() == 420
+
+
+def test_url_unparseable_is_null_and_dropped(spark):
+    """Relative / schemeless URLs get NULL canonical (no safe dedup
+    key) and never form a skewed NULL group in url_dup_groups."""
+    from greynirserver_spark.operators.urls import (
+        normalize_urls, url_dup_groups,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "/relative/path"), (2, "not a url"), (3, "https://ok.is/a")],
+        "doc_id long, url string",
+    )
+    got = {r["doc_id"]: r["canonical_url"]
+           for r in normalize_urls(df).collect()}
+    assert got[1] is None and got[2] is None
+    assert got[3] == "https://ok.is/a"
+    assert url_dup_groups(df).count() == 1
+
+
+def test_empty_corpus_guards(spark):
+    from greynirserver_spark.operators.textops import (
+        unigram_logprob_scores,
+    )
+    from greynirserver_spark.operators.webclean import (
+        source_temperature_sample,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert unigram_logprob_scores(empty).count() == 0
+    empty_s = spark.createDataFrame([], "doc_id long, source string")
+    assert source_temperature_sample(empty_s).count() == 0
