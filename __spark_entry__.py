@@ -135,6 +135,30 @@ def _gopher_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Funnel traps: a clone pair of common-vocabulary words (survives the
+# quality gates, second copy dies at exact-dup), a rare-token gibberish
+# doc (survives gopher, dies at the ppl cap) and a bullet fragment
+# (dies at gopher).
+_FUNNEL_TRAPS: tuple[tuple[int, str], ...] = (
+    (10_200_001,
+     "the a row scan table value part hash merge batch fast slow key "
+     "line sort window big small data column"),
+    (10_200_002,
+     "the a row scan table value part hash merge batch fast slow key "
+     "line sort window big small data column"),
+    (10_200_003,
+     "the a zzqa wqxb jjvc qqkd xxte vvzf kkwg ppqh zzli wwmj qqnk "
+     "xxol vvpm kkrn ppso zztp wwuq qqvr xxws"),
+    (10_200_004, "• one\n• two\n• three"),
+)
+
+
+def _funnel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select("doc_id", "text").unionAll(
+        spark.createDataFrame(list(_FUNNEL_TRAPS), "doc_id long, text string")
+    )
+
+
 # Deterministic messy URLs derived from the table (the corpus has no
 # url column): four spelling-mess classes by doc_id % 4 plus a second
 # variant per doc that canonicalizes equal to class-1's — so
@@ -278,6 +302,100 @@ SELECT *,
               AND symbol_ratio <= 0.1
              THEN 1 ELSE 0 END)::BIGINT AS passes
 FROM m
+"""
+
+
+def _funnel_oracle_sql() -> str:
+    """gate_funnel mirror: gopher passes (stops=the/a, min 20 words) ->
+    ppl <= 31 on the published 4-dp value -> md5 keep-first among
+    stage-2 survivors, folded into the 3-row funnel report."""
+    traps = ",\n    ".join(
+        "(%d::BIGINT, '%s')" % (i, t.replace("\n", "' || chr(10) || '"))
+        for i, t in _FUNNEL_TRAPS
+    )
+    return f"""
+WITH du AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+    {traps}
+  ) AS v(doc_id, text)
+), w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     x -> x <> '') AS words,
+         list_filter(regexp_split_to_array(text, '\\n'),
+                     x -> x <> '') AS lines,
+         (length(text) - length(replace(text, '#', ''))
+          + length(text) - length(replace(text, '…', '')))::BIGINT
+           AS n_sym
+  FROM du
+), m AS (
+  SELECT doc_id,
+         len(words)::BIGINT AS n_words,
+         round(list_sum(list_transform(words, x -> length(x)))::DOUBLE
+               / len(words), 4) AS mean_word_len,
+         len(list_distinct(list_filter(
+             list_transform(words, x -> lower(x)),
+             x -> x IN ('the', 'a'))))::BIGINT AS n_stop_distinct,
+         round(len(list_filter(lines,
+                               l -> regexp_matches(l, '^[•*-]')))::DOUBLE
+               / greatest(len(lines), 1), 4) AS bullet_ratio,
+         round(len(list_filter(
+             lines, l -> regexp_matches(l, '(\\.\\.\\.|…)$')))::DOUBLE
+               / greatest(len(lines), 1), 4) AS ellipsis_ratio,
+         round(n_sym::DOUBLE / len(words), 4) AS symbol_ratio
+  FROM w WHERE len(words) >= 1
+), g AS (
+  SELECT doc_id,
+         (CASE WHEN n_words BETWEEN 20 AND 100000
+                AND mean_word_len BETWEEN 3.0 AND 10.0
+                AND n_stop_distinct >= 2
+                AND bullet_ratio <= 0.9
+                AND ellipsis_ratio <= 0.3
+                AND symbol_ratio <= 0.1
+               THEN 1 ELSE 0 END) AS passes
+  FROM m
+), tokf AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '{_TOKEN_RE}'))
+             AS term
+    FROM du
+  ) WHERE length(term) BETWEEN 1 AND 64
+), freq AS (
+  SELECT term, count(*)::BIGINT AS tf_corpus FROM tokf GROUP BY 1
+), tot AS (SELECT sum(tf_corpus)::DOUBLE AS total FROM freq),
+p AS (
+  SELECT t.doc_id,
+         round(exp(-avg(ln(f.tf_corpus / tot.total))), 4) AS ppl
+  FROM tokf t JOIN freq f USING (term) CROSS JOIN tot
+  GROUP BY t.doc_id
+), b2 AS (
+  SELECT d.doc_id, md5(d.text) AS h,
+         (coalesce(g.passes, 0) = 1) AS f1,
+         (coalesce(g.passes, 0) = 1 AND p.ppl IS NOT NULL
+          AND p.ppl <= 31.0) AS f2
+  FROM du d
+  LEFT JOIN g USING (doc_id) LEFT JOIN p USING (doc_id)
+), firsts AS (
+  SELECT h, min(doc_id) AS first_id FROM b2 WHERE f2 GROUP BY h
+), fl AS (
+  SELECT f1, f2, (f2 AND doc_id = first_id) AS f3
+  FROM b2 LEFT JOIN firsts USING (h)
+), a AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(CASE WHEN f1 THEN 1 ELSE 0 END)::BIGINT AS s1,
+         sum(CASE WHEN f2 THEN 1 ELSE 0 END)::BIGINT AS s2,
+         sum(CASE WHEN f3 THEN 1 ELSE 0 END)::BIGINT AS s3
+  FROM fl
+)
+SELECT 1::BIGINT AS stage_idx, 'gopher' AS stage,
+       n AS n_in, n - s1 AS n_dropped, s1 AS n_out FROM a
+UNION ALL
+SELECT 2::BIGINT, 'perplexity', s1, s1 - s2, s2 FROM a
+UNION ALL
+SELECT 3::BIGINT, 'exact_dup', s2, s2 - s3, s3 FROM a
 """
 
 
@@ -829,6 +947,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "greynirserver_spark.operators.pii", fromlist=["x"]
         ).pii_redact(_pii_docs(s, d)),
         "gopher_rules": lambda s, d: T.gopher_rules(_gopher_docs(s, d)),
+        # stopwords/min_words adapted to the closed synthetic vocabulary
+        # ('the' and 'a' are its only stopword-class terms; docs run
+        # ~35 words); ppl cap 31 sits inside the observed 29.4-40.4 band
+        # so the perplexity stage does real work
+        "gate_funnel": lambda s, d: C.gate_funnel(
+            _funnel_docs(s, d), stopwords=("the", "a"), min_words=20,
+            ppl_max=31.0,
+        ),
         "url_normalize": lambda s, d: __import__(
             "greynirserver_spark.operators.urls", fromlist=["x"]
         ).normalize_urls(_url_docs(s, d)),
@@ -1057,6 +1183,7 @@ GROUP BY t.doc_id
 """,
         "pii_redaction": _pii_oracle_sql(),
         "gopher_rules": _gopher_oracle_sql(),
+        "gate_funnel": _funnel_oracle_sql(),
         "url_normalize": _URL_CTE + """
 SELECT doc_id, url, canonical_url FROM canon
 """,

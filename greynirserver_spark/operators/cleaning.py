@@ -27,7 +27,7 @@ from pyspark.sql.window import Window
 from .dedup import minhash_lsh_pairs
 from .textops import document_tokens
 
-__all__ = ["clean_corpus", "clean_summary"]
+__all__ = ["clean_corpus", "clean_summary", "gate_funnel"]
 
 
 def clean_corpus(
@@ -108,3 +108,82 @@ def clean_summary(status_df: DataFrame) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_docs"))
         .orderBy("status")
     )
+
+
+def gate_funnel(
+    docs: DataFrame,
+    stopwords=None,
+    min_words: int = 50,
+    ppl_max: float = 1e9,
+) -> DataFrame:
+    """Sequential-gate attrition report — the funnel a pipeline owner
+    reads before training: (stage_idx, stage, n_in, n_dropped, n_out)
+    for gopher -> perplexity -> exact-dup keep-first, each stage applied
+    to the previous stage's survivors. Complements `clean_corpus` (per-
+    document fates) with the per-stage aggregate view, composing the
+    round-5 gates: `gopher_rules` (structural quality), the
+    `unigram_logprob_scores` ppl cap (statistical quality, compared on
+    the published 4-dp value so any engine re-deriving the gate from the
+    scored table agrees), and md5 keep-first dedup ranked WITHIN the
+    stage-2 survivor set (a duplicate whose first copy was dropped
+    upstream keeps its earliest surviving copy).
+
+    Scale shape: the flags are two gate joins plus one min-groupBy on
+    the text digest (skew-safe: partial agg, no window over duplicate
+    clusters); the funnel itself is ONE full aggregate folded map-side
+    and exploded into three report rows — no driver-side loop, no
+    second pass over the corpus.
+    """
+    from .textops import (
+        GOPHER_STOPWORDS,
+        gopher_rules,
+        unigram_logprob_scores,
+    )
+
+    g = gopher_rules(
+        docs, stopwords=stopwords or GOPHER_STOPWORDS, min_words=min_words
+    ).select("doc_id", "passes")
+    u = unigram_logprob_scores(docs).select("doc_id", "ppl")
+    base = (
+        docs.select("doc_id", F.md5("text").alias("h"))
+        .join(g, "doc_id", "left")
+        .join(u, "doc_id", "left")
+        .na.fill({"passes": 0})
+    )
+    f1 = F.col("passes") == 1
+    base = base.withColumn(
+        "f2", f1 & F.col("ppl").isNotNull() & (F.col("ppl") <= ppl_max)
+    )
+    firsts = (
+        base.where("f2").groupBy("h").agg(F.min("doc_id").alias("first_id"))
+    )
+    flags = (
+        base.join(firsts, "h", "left")
+        .select(
+            f1.cast("long").alias("f1"),
+            F.col("f2").cast("long").alias("f2"),
+            (F.col("f2") & (F.col("doc_id") == F.col("first_id")))
+            .cast("long").alias("f3"),
+        )
+    )
+    agg = flags.agg(
+        F.count("*").alias("n"),
+        F.sum("f1").alias("s1"), F.sum("f2").alias("s2"),
+        F.sum("f3").alias("s3"),
+    )
+    stage = lambda i, name, n_in, n_out: F.struct(  # noqa: E731
+        F.lit(i).cast("long").alias("stage_idx"),
+        F.lit(name).alias("stage"),
+        n_in.cast("long").alias("n_in"),
+        (n_in - n_out).cast("long").alias("n_dropped"),
+        n_out.cast("long").alias("n_out"),
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                stage(1, "gopher", F.col("n"), F.col("s1")),
+                stage(2, "perplexity", F.col("s1"), F.col("s2")),
+                stage(3, "exact_dup", F.col("s2"), F.col("s3")),
+            )
+        ).alias("r")
+    ).select("r.*")

@@ -736,3 +736,35 @@ def test_empty_corpus_guards(spark):
     assert unigram_logprob_scores(empty).count() == 0
     empty_s = spark.createDataFrame([], "doc_id long, source string")
     assert source_temperature_sample(empty_s).count() == 0
+
+
+# ------------------------------------------ gate funnel
+
+def test_gate_funnel_stage_attrition(spark):
+    """Each stage applies to the previous stage's survivors: the bullet
+    fragment dies at gopher, the gibberish doc at the ppl cap, the
+    second clone at exact-dup; funnel arithmetic is consistent."""
+    from greynirserver_spark.operators.cleaning import gate_funnel
+
+    common = "the a row scan table value part hash merge batch"
+    docs = spark.createDataFrame(
+        [
+            (1, common),
+            (2, common),                          # clone -> exact_dup
+            (3, "the a " + " ".join(
+                f"zzx{i}q" for i in range(8))),   # rare -> perplexity
+            (4, "• one\n• two"),                  # bullets -> gopher
+            (5, "the a row scan table value part hash fast slow"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["stage"]: r for r in gate_funnel(
+        docs, stopwords=("the", "a"), min_words=5, ppl_max=25.0
+    ).collect()}
+    assert (rows["gopher"]["n_in"], rows["gopher"]["n_out"]) == (5, 4)
+    assert rows["perplexity"]["n_in"] == 4
+    assert rows["perplexity"]["n_out"] == 3
+    assert rows["exact_dup"]["n_in"] == 3
+    assert rows["exact_dup"]["n_out"] == 2
+    for r in rows.values():
+        assert r["n_in"] - r["n_dropped"] == r["n_out"]
