@@ -135,6 +135,24 @@ def _gopher_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Geo places dimension: corpus tokens as placenames (the synthetic
+# vocabulary has no real toponyms) with real coordinates — Reykjavík,
+# Akureyri, Munich, Berlin (the latter two are the reference geo.py
+# docstring's own haversine example pair).
+_GEO_PLACES: tuple[tuple[str, float, float, str], ...] = (
+    ("spark", 64.133097, -21.898145, "IS"),
+    ("table", 65.6835, -18.1002, "IS"),
+    ("vector", 48.1372, 11.5756, "DE"),
+    ("stream", 52.5186, 13.4083, "DE"),
+)
+
+
+def _places_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        list(_GEO_PLACES), "place string, lat double, lon double, country string"
+    )
+
+
 # Funnel traps: a clone pair of common-vocabulary words (survives the
 # quality gates, second copy dies at exact-dup), a rare-token gibberish
 # doc (survives gopher, dies at the ppl cap) and a bullet fragment
@@ -302,6 +320,41 @@ SELECT *,
               AND symbol_ratio <= 0.1
              THEN 1 ELSE 0 END)::BIGINT AS passes
 FROM m
+"""
+
+
+def _geo_oracle_sql() -> str:
+    """geo_tag_documents mirror: token join vs the VALUES places dim,
+    haversine written with the exact same operand order as the Spark
+    expression (operand-order-identical IEEE doubles on both sides)."""
+    vals = ",\n    ".join(
+        f"('{p}', {lat}::DOUBLE, {lon}::DOUBLE, '{c}')"
+        for p, lat, lon, c in _GEO_PLACES
+    )
+
+    def hav(lat2: float, lon2: float) -> str:
+        # 12742.0 * asin(sqrt(sin(dlat/2)^2 + cos(rlat1)cos(rlat2)sin(dlon/2)^2))
+        return (
+            "12742.0 * asin(sqrt("
+            f"sin(radians({lat2} - lat) / 2) * sin(radians({lat2} - lat) / 2)"
+            f" + cos(radians(lat)) * cos(radians({lat2}::DOUBLE))"
+            f" * sin(radians({lon2} - lon) / 2)"
+            f" * sin(radians({lon2} - lon) / 2)))"
+        )
+
+    return _TOK_CTE + f""",
+dim AS (
+  SELECT * FROM (VALUES
+    {vals}
+  ) AS d(place, lat, lon, country)
+)
+SELECT t.doc_id, t.term AS place, count(*)::BIGINT AS n_mentions,
+       lat, lon, country,
+       round({hav(64.133097, -21.898145)}, 4) AS dist_rvk_km,
+       (CASE WHEN {hav(64.9957538607, -18.5739616708)} <= 300.0
+             THEN 1 ELSE 0 END)::BIGINT AS in_iceland
+FROM tokf t JOIN dim ON t.term = dim.place
+GROUP BY t.doc_id, t.term, lat, lon, country
 """
 
 
@@ -955,6 +1008,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _funnel_docs(s, d), stopwords=("the", "a"), min_words=20,
             ppl_max=31.0,
         ),
+        "geo_tagging": lambda s, d: __import__(
+            "greynirserver_spark.functions.geo", fromlist=["x"]
+        ).geo_tag_documents(_docs(s, d), _places_df(s)),
         "url_normalize": lambda s, d: __import__(
             "greynirserver_spark.operators.urls", fromlist=["x"]
         ).normalize_urls(_url_docs(s, d)),
@@ -1184,6 +1240,7 @@ GROUP BY t.doc_id
         "pii_redaction": _pii_oracle_sql(),
         "gopher_rules": _gopher_oracle_sql(),
         "gate_funnel": _funnel_oracle_sql(),
+        "geo_tagging": _geo_oracle_sql(),
         "url_normalize": _URL_CTE + """
 SELECT doc_id, url, canonical_url FROM canon
 """,

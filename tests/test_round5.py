@@ -768,3 +768,65 @@ def test_gate_funnel_stage_attrition(spark):
     assert rows["exact_dup"]["n_out"] == 2
     for r in rows.values():
         assert r["n_in"] - r["n_dropped"] == r["n_out"]
+
+
+# ------------------------------------------ geo functions
+
+def test_haversine_reference_pin(spark):
+    """Munich->Berlin = 504.2 km — the reference geo.py docstring's own
+    example (geo.py::distance); plus symmetry and zero."""
+    from pyspark.sql import functions as F
+
+    from greynirserver_spark.functions.geo import haversine_km
+
+    df = spark.range(1).select(
+        F.round(haversine_km(
+            F.lit(48.1372), F.lit(11.5756), F.lit(52.5186), F.lit(13.4083)
+        ), 1).alias("d"),
+        F.round(haversine_km(
+            F.lit(52.5186), F.lit(13.4083), F.lit(48.1372), F.lit(11.5756)
+        ), 1).alias("d_rev"),
+        haversine_km(F.lit(64.1), F.lit(-21.9), F.lit(64.1),
+                     F.lit(-21.9)).alias("zero"),
+    ).first()
+    assert df["d"] == 504.2 and df["d_rev"] == 504.2
+    assert df["zero"] == 0.0
+
+
+def test_in_iceland_and_capital_region(spark):
+    from pyspark.sql import functions as F
+
+    from greynirserver_spark.functions.geo import (
+        in_iceland, near_capital_region,
+    )
+
+    row = spark.range(1).select(
+        in_iceland(F.lit(64.133097), F.lit(-21.898145)).alias("rvk"),
+        in_iceland(F.lit(48.1372), F.lit(11.5756)).alias("munich"),
+        near_capital_region(F.lit(64.15), F.lit(-21.9)).alias("near"),
+        near_capital_region(F.lit(65.6835), F.lit(-18.1002)).alias("ak"),
+    ).first()
+    assert row["rvk"] and not row["munich"]
+    assert row["near"] and not row["ak"]
+
+
+def test_geo_tag_documents_broadcast_plan(spark):
+    from greynirserver_spark.functions.geo import geo_tag_documents
+
+    docs = spark.createDataFrame(
+        [(1, "meet in spark and spark again near vector")],
+        "doc_id long, text string",
+    )
+    places = spark.createDataFrame(
+        [("spark", 64.133097, -21.898145, "IS"),
+         ("vector", 48.1372, 11.5756, "DE")],
+        "place string, lat double, lon double, country string",
+    )
+    out = geo_tag_documents(docs, places)
+    rows = {r["place"]: r for r in out.collect()}
+    assert rows["spark"]["n_mentions"] == 2
+    assert rows["spark"]["in_iceland"] == 1
+    assert rows["vector"]["in_iceland"] == 0
+    assert rows["spark"]["dist_rvk_km"] == 0.0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
