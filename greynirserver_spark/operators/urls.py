@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["canonical_url", "normalize_urls", "url_dup_groups",
-           "TRACKING_PARAM_RE"]
+           "incremental_url_seen", "TRACKING_PARAM_RE"]
 
 # query parameters that never identify content (RE2/Java common subset)
 TRACKING_PARAM_RE = "^(utm_[^=]*|fbclid|gclid|ref)="
@@ -111,3 +111,75 @@ def url_dup_groups(df: DataFrame, url_col: str = "url") -> DataFrame:
             F.min("doc_id").alias("min_doc_id"),
         )
     )
+
+
+def incremental_url_seen(
+    spark,
+    store_root: str,
+    new_urls: DataFrame,
+    url_col: str = "url",
+    run_id=None,
+) -> DataFrame:
+    """Crawl-frontier gate — the reference's scrape loop re-fetches a
+    URL list every 30 minutes and upserts on the raw url string
+    (/root/reference/scraper.py, article.py); at crawl scale the
+    frontier must instead ask "which of these candidate URLs have we
+    EVER seen?" without re-reading the corpus. This is that gate on the
+    log-structured key store (`operators/runstore.py`, the same
+    substrate as the MinHash/embedding incremental gates).
+
+    Returns every batch row tagged (doc_id, url, canonical_url, status):
+    * ``invalid``   — no canonical key (relative/garbage URL)
+    * ``dup_store`` — canonical key already in the accumulated store
+    * ``dup_batch`` — first seen in THIS batch, but an earlier batch row
+                      (smaller doc_id) claims the key
+    * ``new``       — first sighting anywhere; exactly these keys are
+                      appended to the store as one O(batch) run
+                      (crash-safe, replay-deduped by *run_id*)
+
+    Scale shape: the batch side is always the small side, so the
+    store-membership probe BROADCASTS the batch's distinct keys against
+    the store scan — the 10^12-key store is scanned (columnar, single
+    key column) but never shuffled, and everything else is
+    batch × batch. Processing batches in doc_id order makes the union
+    of ``new`` rows across batches equal the one-shot
+    `url_dup_groups` keep-first survivors (test-pinned).
+    """
+    from .runstore import append_run, load_rows
+
+    norm = normalize_urls(new_urls, url_col)
+    valid = norm.where(F.col("canonical_url").isNotNull())
+    firsts = valid.groupBy("canonical_url").agg(
+        F.min("doc_id").alias("first_id")
+    )
+    store = load_rows(spark, store_root)
+    if store is not None:
+        known = (
+            store.join(F.broadcast(firsts), "canonical_url")
+            .select("canonical_url")
+            .distinct()
+            .withColumn("in_store", F.lit(True))
+        )
+    else:
+        known = None
+    tagged = norm.join(F.broadcast(firsts), "canonical_url", "left")
+    if known is not None:
+        tagged = tagged.join(F.broadcast(known), "canonical_url", "left")
+    else:
+        tagged = tagged.withColumn("in_store", F.lit(None).cast("boolean"))
+    out = tagged.select(
+        "doc_id", url_col, "canonical_url",
+        F.when(F.col("canonical_url").isNull(), "invalid")
+        .when(F.col("in_store"), "dup_store")
+        .when(F.col("doc_id") != F.col("first_id"), "dup_batch")
+        .otherwise("new")
+        .alias("status"),
+    )
+    # materialize BEFORE the append: the lazy plan lists store files at
+    # action time and must not see the batch's own run as "stored"
+    out = out.localCheckpoint(eager=True)
+    new_keys = (
+        out.where(F.col("status") == "new").select("canonical_url")
+    )
+    append_run(spark, store_root, new_keys, run_id=run_id)
+    return out

@@ -830,3 +830,48 @@ def test_geo_tag_documents_broadcast_plan(spark):
     assert rows["spark"]["dist_rvk_km"] == 0.0
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# ------------------------------------------ incremental URL frontier
+
+def test_incremental_url_seen_matches_one_shot(spark, tmp_path):
+    """Union of 'new' rows across batches (processed in doc_id order)
+    == the one-shot url_dup_groups keep-first survivors; replays are
+    refused by the store; the membership probe broadcasts the batch,
+    never shuffles the store."""
+    from greynirserver_spark.operators.urls import (
+        incremental_url_seen, url_dup_groups,
+    )
+
+    root = str(tmp_path / "frontier")
+    all_rows = [
+        (1, "https://a.is/x"),
+        (2, "https://WWW.a.is/x/"),          # batch-dup of 1
+        (3, "bad url"),                      # invalid
+        (4, "https://b.is/y?b=2&a=1"),
+        (5, "https://a.is/x?utm_source=z"),  # store-dup of 1
+        (6, "https://b.is/y?a=1&b=2"),       # store-dup of 4
+        (7, "https://c.is/z"),
+    ]
+    batches = [all_rows[:4], all_rows[4:]]
+    new_ids = []
+    for i, b in enumerate(batches):
+        df = spark.createDataFrame(b, "doc_id long, url string")
+        out = incremental_url_seen(spark, root, df, run_id=f"b{i}")
+        got = {r["doc_id"]: r["status"] for r in out.collect()}
+        new_ids += [d for d, st in got.items() if st == "new"]
+    assert got == {5: "dup_store", 6: "dup_store", 7: "new"}
+    one_shot = url_dup_groups(
+        spark.createDataFrame(all_rows, "doc_id long, url string")
+    )
+    assert sorted(new_ids) == sorted(
+        r["min_doc_id"] for r in one_shot.collect()
+    )
+    # replayed batch: store append refused (no double-count) and every
+    # valid key now reads as already-stored
+    df = spark.createDataFrame(batches[1], "doc_id long, url string")
+    replay = incremental_url_seen(spark, root, df, run_id="b1")
+    assert {r["status"] for r in replay.collect()} == {"dup_store"}
+    from greynirserver_spark.operators.runstore import load_rows
+
+    assert load_rows(spark, root).count() == 3  # a/x, b/y, c/z once each
