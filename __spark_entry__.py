@@ -490,6 +490,38 @@ def _pii_oracle_sql() -> str:
     )
 
 
+def _topic_oracle_sql() -> str:
+    """Term-space topic tagging: VALUES built FROM the same TOPICS
+    tuple the Spark operator defaults to, tf-idf formula identical to
+    the tfidf_keywords oracle (w = tf * ln(n/df), df >= 3)."""
+    from greynirserver_spark.operators.lsa import TOPICS
+
+    kw_values = ",\n    ".join(
+        f"('{name}', '{kw}', {thr!r})"
+        for name, kws, thr in TOPICS for kw in kws
+    )
+    return _TOK_CTE + f""",
+nd AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM documents),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY 1
+        HAVING count(*) >= 3),
+w AS (SELECT p.doc_id, p.term, p.tf::DOUBLE * ln(nd.n / dfs.df) AS w
+      FROM post p JOIN dfs USING (term), nd),
+dn AS (SELECT doc_id, sqrt(sum(w * w)) AS dnorm FROM w GROUP BY 1),
+kwd(topic, term, threshold) AS (VALUES
+    {kw_values}),
+tw AS (SELECT k.topic, k.term, k.threshold, ln(nd.n / dfs.df) AS kw
+       FROM kwd k JOIN dfs USING (term), nd),
+tn AS (SELECT topic, sqrt(sum(kw * kw)) AS tnorm FROM tw GROUP BY 1),
+dots AS (SELECT w.doc_id, tw.topic, tw.threshold,
+                sum(w.w * tw.kw) AS dot
+         FROM w JOIN tw USING (term) GROUP BY 1, 2, 3)
+SELECT d.doc_id, d.topic,
+       round(d.dot / (dn.dnorm * tn.tnorm), 4) AS sim
+FROM dots d JOIN dn USING (doc_id) JOIN tn USING (topic)
+WHERE d.dot / (dn.dnorm * tn.tnorm) >= d.threshold
+"""
+
+
 def _minhash_params_values() -> str:
     """The MinHash permutation params (seeded, identical to
     dedup._minhash_params) inlined as a SQL VALUES list."""
@@ -1011,6 +1043,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_tagging": lambda s, d: __import__(
             "greynirserver_spark.functions.geo", fromlist=["x"]
         ).geo_tag_documents(_docs(s, d), _places_df(s)),
+        # term-space thresholded topic tagging (oracle-gated twin of
+        # the LSA path; reference assign_article_topics semantics)
+        "topic_assign_cosine": lambda s, d: __import__(
+            "greynirserver_spark.operators.lsa", fromlist=["x"]
+        ).topic_assign_cosine(_docs(s, d)),
+        # LSA-space tagging: distributed Gram fit + eigh projection —
+        # genuinely non-SQL (SVD), driver records the rows-only check;
+        # the fit is numpy-pinned in tests/test_lsa.py
+        "lsa_topic_assign": lambda s, d: (
+            lambda L: L.assign_topics_lsa(
+                _docs(s, d), L.fit_lsa(_docs(s, d), k=8, vocab_size=64)
+            )
+        )(__import__("greynirserver_spark.operators.lsa", fromlist=["x"])),
         "url_normalize": lambda s, d: __import__(
             "greynirserver_spark.operators.urls", fromlist=["x"]
         ).normalize_urls(_url_docs(s, d)),
@@ -1241,6 +1286,7 @@ GROUP BY t.doc_id
         "gopher_rules": _gopher_oracle_sql(),
         "gate_funnel": _funnel_oracle_sql(),
         "geo_tagging": _geo_oracle_sql(),
+        "topic_assign_cosine": _topic_oracle_sql(),
         "url_normalize": _URL_CTE + """
 SELECT doc_id, url, canonical_url FROM canon
 """,
