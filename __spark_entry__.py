@@ -1025,6 +1025,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kwic_snippets": lambda s, d: P.kwic_snippets(
             _docs(s, d), "spark", window=4, k=20
         ),
+        # boolean retrieval: AND gate + NOT anti-join + BM25 ranking
+        "bm25_boolean_topk": lambda s, d: T.bm25_boolean_topk(
+            _docs(s, d), must=["spark", "join"],
+            should=["window", "stream"], must_not=["dup"], k=20,
+        ),
         "doc_quality": lambda s, d: T.quality_scores(_docs(s, d)),
         "doc_fingerprints": lambda s, d: T.document_fingerprints(_docs(s, d)),
         "unigram_logprob": lambda s, d: T.unigram_logprob_scores(_docs(s, d)),
@@ -1229,6 +1234,36 @@ sc AS (
 SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
        doc_id, score
 FROM sc ORDER BY score DESC, doc_id ASC LIMIT 20
+""",
+        "bm25_boolean_topk": _TOK_CTE + """,
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS doclen FROM post GROUP BY 1),
+corp AS (SELECT count(*)::BIGINT AS n_docs,
+                sum(doclen)::DOUBLE / count(*) AS avgdl FROM dl),
+ts AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY 1
+       HAVING count(*) >= 3),
+tsi AS (SELECT term,
+               ln((corp.n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+        FROM ts, corp),
+cand AS (SELECT doc_id FROM post WHERE term IN ('join', 'spark')
+         GROUP BY doc_id HAVING count(DISTINCT term) = 2),
+ex AS (SELECT DISTINCT doc_id FROM post WHERE term IN ('dup')),
+sc AS (
+  SELECT p.doc_id,
+         round(sum(tsi.idf * (p.tf * (1.2 + 1.0))
+               / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doclen / corp.avgdl))), 4)
+           AS score
+  FROM post p
+  JOIN tsi USING (term)
+  JOIN dl ON dl.doc_id = p.doc_id, corp
+  WHERE p.term IN ('join', 'spark', 'stream', 'window')
+  GROUP BY p.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+       doc_id, score
+FROM sc
+JOIN cand USING (doc_id)
+WHERE doc_id NOT IN (SELECT doc_id FROM ex)
+ORDER BY score DESC, doc_id ASC LIMIT 20
 """,
         "phrase_topk": _PHRASE_SQL,
         "phrase_topk_positional": _PHRASE_SQL,

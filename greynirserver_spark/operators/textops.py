@@ -28,6 +28,7 @@ __all__ = [
     "document_term_stats",
     "document_corpus_stats",
     "bm25_documents_topk",
+    "bm25_boolean_topk",
     "quality_scores",
     "document_fingerprints",
     "TOKEN_SPLIT_RE",
@@ -152,6 +153,100 @@ def bm25_documents_topk(
             ).alias("score"),
         )
     )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("rank", "doc_id", "score")
+    )
+
+
+def bm25_boolean_topk(
+    docs: DataFrame, must: Sequence[str], should: Sequence[str] = (),
+    must_not: Sequence[str] = (), k: int = 20, min_df: int = 3,
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Boolean-gated BM25 top-k: (rank, doc_id, score).
+
+    Semantics (the classic AND/OR/NOT retrieval surface the reference's
+    search only exposes as plain OR, search.py): a candidate document
+    must contain EVERY `must` term (presence gate on raw postings, not
+    df-pruned), none of the `must_not` terms (distributed anti-join —
+    never a collected id set), and is scored by BM25 over all matched
+    `must` + `should` terms (df >= min_df terms only, same formula and
+    rounding as bm25_documents_topk so DuckDB reproduces rows
+    bit-for-bit).  Candidates whose every query term was df-pruned
+    carry no score row and are dropped — documented, mirrored in the
+    oracle.  At serving scale the same gates compose over the segment
+    store: term-pruned scans for the AND gate and the Router's
+    anti-join shape for NOT."""
+    must = sorted(set(must))
+    should = sorted(set(should))
+    match_terms = sorted(set(must) | set(should))
+    if postings is None:
+        postings = document_postings(docs).cache()
+    doclen = postings.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("doclen")
+    )
+    corpus = doclen.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("doclen").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tstats = (
+        postings.groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+        .where(F.col("df") >= min_df)
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+        )
+    )
+    scored = (
+        postings.where(F.col("term").isin(match_terms))
+        .join(F.broadcast(tstats.where(F.col("term").isin(match_terms))),
+              "term")
+        .join(doclen, "doc_id")
+        .withColumn(
+            "part",
+            F.col("idf")
+            * (F.col("tf") * (K1 + 1.0))
+            / (
+                F.col("tf")
+                + K1 * (1.0 - B + B * F.col("doclen") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("term", "part"))).alias("p")
+        )
+        .select(
+            "doc_id",
+            F.round(
+                F.aggregate("p", F.lit(0.0), lambda a, x: a + x["part"]), 4
+            ).alias("score"),
+        )
+    )
+    if must:
+        gate = (
+            postings.where(F.col("term").isin(must))
+            .groupBy("doc_id")
+            .agg(F.countDistinct("term").alias("nm"))
+            .where(F.col("nm") == len(must))
+            .select("doc_id")
+        )
+        scored = scored.join(gate, "doc_id")
+    if must_not:
+        ex = (
+            postings.where(F.col("term").isin(sorted(set(must_not))))
+            .select("doc_id").distinct()
+        )
+        scored = scored.join(ex, "doc_id", "left_anti")
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         scored.orderBy(F.desc("score"), F.asc("doc_id"))

@@ -875,3 +875,48 @@ def test_incremental_url_seen_matches_one_shot(spark, tmp_path):
     from greynirserver_spark.operators.runstore import load_rows
 
     assert load_rows(spark, root).count() == 3  # a/x, b/y, c/z once each
+
+
+def test_bm25_boolean_gates(spark):
+    """AND gate, NOT anti-join and score parity with the plain scorer."""
+    from greynirserver_spark.operators import textops as T
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    post = T.document_postings(docs).cache()
+    res = T.bm25_boolean_topk(
+        docs, must=["spark", "join"], should=["window"],
+        must_not=["dup"], k=50, postings=post,
+    ).collect()
+    assert res, "boolean query returned no rows"
+    by_doc = (
+        post.where(F.col("term").isin(["spark", "join", "dup"]))
+        .groupBy("doc_id")
+        .agg(F.collect_set("term").alias("ts"))
+        .collect()
+    )
+    terms_of = {r["doc_id"]: set(r["ts"]) for r in by_doc}
+    for r in res:
+        ts = terms_of[r["doc_id"]]
+        assert {"spark", "join"} <= ts
+        assert "dup" not in ts
+    # ranking is (score desc, doc_id asc) like the plain scorer
+    scores = [(r["rank"], -r["score"], r["doc_id"]) for r in res]
+    assert scores == sorted(scores)
+    # no gates == the plain disjunctive scorer, row for row
+    plain = T.bm25_documents_topk(
+        docs, ["spark", "join", "window"], k=10, postings=post).collect()
+    loose = T.bm25_boolean_topk(
+        docs, must=[], should=["spark", "join", "window"], k=10,
+        postings=post).collect()
+    assert [tuple(r) for r in plain] == [tuple(r) for r in loose]
+
+
+def test_bm25_boolean_not_gate_is_anti_join(spark):
+    from greynirserver_spark.operators import textops as T
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = T.bm25_boolean_topk(
+        docs, must=["spark"], must_not=["dup"], k=5
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
