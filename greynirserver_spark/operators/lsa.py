@@ -59,6 +59,10 @@ __all__ = [
     "lsa_vocabulary",
     "document_vectors",
     "fit_lsa",
+    "init_gram_store",
+    "append_gram",
+    "fit_from_gram_store",
+    "compact_gram_store",
     "project_documents",
     "topic_vectors_lsa",
     "assign_topics_lsa",
@@ -178,6 +182,26 @@ def _sum_rows(key, pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"i": [key[0]], "v": [acc.tolist()]})
 
 
+def _model_from_gram(g: np.ndarray, vrows, k: int) -> LsaModel:
+    evals, evecs = np.linalg.eigh(g)
+    order = np.argsort(evals)[::-1][: min(k, g.shape[0])]
+    u = evecs[:, order]
+    s = np.sqrt(np.clip(evals[order], 0.0, None))
+    # Deterministic sign: the largest-magnitude component of each
+    # eigenvector is made positive (first index on ties).
+    for j in range(u.shape[1]):
+        pivot = int(np.argmax(np.abs(u[:, j])))
+        if u[pivot, j] < 0:
+            u[:, j] = -u[:, j]
+    return LsaModel(
+        terms=[r["term"] for r in vrows],
+        df=np.array([r["df"] for r in vrows], dtype=np.int64),
+        n_docs=int(vrows[0]["n_docs"]),
+        u=u,
+        s=s,
+    )
+
+
 def fit_lsa(docs: DataFrame, k: int = 32, vocab_size: int = 512,
             min_df: int = 3) -> LsaModel:
     """Fit a rank-k LSA model distributed.  G = A^T A is accumulated
@@ -204,23 +228,99 @@ def fit_lsa(docs: DataFrame, k: int = 32, vocab_size: int = 512,
     g = np.zeros((v_dim, v_dim))
     for r in rows:
         g[r["i"]] = np.asarray(r["v"], dtype=np.float64)
-    evals, evecs = np.linalg.eigh(g)
-    order = np.argsort(evals)[::-1][: min(k, v_dim)]
-    u = evecs[:, order]
-    s = np.sqrt(np.clip(evals[order], 0.0, None))
-    # Deterministic sign: the largest-magnitude component of each
-    # eigenvector is made positive (first index on ties).
-    for j in range(u.shape[1]):
-        pivot = int(np.argmax(np.abs(u[:, j])))
-        if u[pivot, j] < 0:
-            u[:, j] = -u[:, j]
-    return LsaModel(
-        terms=[r["term"] for r in vrows],
-        df=np.array([r["df"] for r in vrows], dtype=np.int64),
-        n_docs=int(vrows[0]["n_docs"]),
-        u=u,
-        s=s,
-    )
+    return _model_from_gram(g, vrows, k)
+
+
+# --------------------------------------------------------------- Gram store
+#
+# Incremental LSA refresh on the log-structured substrate (runstore):
+# the Gram matrix is ADDITIVE over documents, so an append batch
+# contributes one run of V rows — O(batch) compute, zero reads of old
+# documents — and a refit is a row-sum + driver eigh.  The vocabulary
+# (and therefore the tf-idf weights) is FROZEN at store init, exactly
+# the reference's pickled-dictionary/TfidfModel staleness semantics
+# (builder.py:180-207: the tfidf model is built once from the
+# dictionary and reused for every later article); recomputing the
+# vocabulary is a rebuild, not an append.
+
+def init_gram_store(docs: DataFrame, store_dir: str,
+                    vocab_size: int = 512, min_df: int = 3) -> bool:
+    """Freeze the vocabulary for an incremental Gram store (no-op if
+    the store is already initialized)."""
+    import os
+
+    vdir = os.path.join(store_dir, "vocab")
+    if os.path.isdir(vdir):
+        return False
+    os.makedirs(store_dir, exist_ok=True)
+    staging = os.path.join(store_dir, ".vocab-staging")
+    lsa_vocabulary(docs, vocab_size=vocab_size, min_df=min_df) \
+        .write.mode("overwrite").parquet(staging)
+    os.rename(staging, vdir)
+    return True
+
+
+def _gram_vocab(spark: SparkSession, store_dir: str) -> DataFrame:
+    import os
+
+    return spark.read.parquet(os.path.join(store_dir, "vocab"))
+
+
+def append_gram(spark: SparkSession, store_dir: str, docs_batch: DataFrame,
+                batch_id: str) -> bool:
+    """Append one batch's Gram contribution as a runstore run —
+    write-only, replay-idempotent by batch id (crash recovery:
+    `runstore.remove_run(spark, <store>/gram, batch_id)`)."""
+    import os
+
+    from . import runstore
+
+    vocab = _gram_vocab(spark, store_dir)
+    v_dim = vocab.count()
+    vecs = document_vectors(docs_batch, vocab)
+    gram_df = vecs.mapInPandas(
+        _gram_rows(v_dim), schema="i long, v array<double>")
+    return runstore.append_run(
+        spark, os.path.join(store_dir, "gram"), gram_df, run_id=batch_id)
+
+
+def _summed_gram(spark: SparkSession, store_dir: str):
+    import os
+
+    from . import runstore
+
+    rows_df = runstore.load_rows(spark, os.path.join(store_dir, "gram"))
+    if rows_df is None:
+        return None
+    return rows_df.groupBy("i").applyInPandas(
+        _sum_rows, schema="i long, v array<double>")
+
+
+def fit_from_gram_store(spark: SparkSession, store_dir: str,
+                        k: int = 32) -> LsaModel:
+    """Refit from base ∪ runs: one row-sum shuffle over (runs+1) × V
+    array rows, one O(V^2) collect, driver eigh — independent of how
+    many documents the appended batches carried."""
+    vrows = _gram_vocab(spark, store_dir).orderBy("idx").collect()
+    summed = _summed_gram(spark, store_dir)
+    v_dim = len(vrows)
+    g = np.zeros((v_dim, v_dim))
+    if summed is not None:
+        for r in summed.collect():
+            g[r["i"]] = np.asarray(r["v"], dtype=np.float64)
+    return _model_from_gram(g, vrows, k)
+
+
+def compact_gram_store(spark: SparkSession, store_dir: str) -> None:
+    """Fold all runs into a new base epoch (one atomic rename; folded
+    batch ids are adopted into the replay manifest by runstore)."""
+    import os
+
+    from . import runstore
+
+    summed = _summed_gram(spark, store_dir)
+    if summed is not None:
+        runstore.compact(spark, os.path.join(store_dir, "gram"), summed)
 
 
 def _term_u_df(spark: SparkSession, model: LsaModel) -> DataFrame:

@@ -128,3 +128,28 @@ def test_lsa_plans_are_broadcast_not_cartesian(docs, model):
     plan2 = lsa.topic_assign_cosine(
         docs)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan2
+
+
+def test_incremental_gram_store_equals_one_shot(spark, docs, model, tmp_path):
+    """Batch-by-batch Gram appends refit to the SAME model as the
+    one-shot fit (frozen vocabulary => Gram additivity is exact up to
+    float association), replays are no-ops, and compaction preserves
+    the fit."""
+    store = str(tmp_path / "lsa_store")
+    assert lsa.init_gram_store(docs, store, vocab_size=64)
+    assert not lsa.init_gram_store(docs, store, vocab_size=64)  # no-op
+    b1 = docs.where("doc_id % 2 = 0")
+    b2 = docs.where("doc_id % 2 = 1")
+    assert lsa.append_gram(spark, store, b1, "b1")
+    assert lsa.append_gram(spark, store, b2, "b2")
+    assert not lsa.append_gram(spark, store, b2, "b2")  # replay no-op
+    inc = lsa.fit_from_gram_store(spark, store, k=8)
+    assert inc.terms == model.terms
+    assert np.allclose(inc.s, model.s, rtol=1e-9)
+    assert np.allclose(inc.u @ inc.u.T, model.u @ model.u.T, atol=1e-6)
+    lsa.compact_gram_store(spark, store)
+    post = lsa.fit_from_gram_store(spark, store, k=8)
+    assert np.allclose(post.s, inc.s, rtol=1e-9)
+    assert np.allclose(post.u, inc.u, atol=1e-8)
+    # replay AFTER compaction still refused (applied manifest)
+    assert not lsa.append_gram(spark, store, b2, "b2")
