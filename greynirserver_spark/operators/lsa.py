@@ -453,8 +453,10 @@ def topic_assign_cosine(docs: DataFrame,
         .groupBy("doc_id", "topic", "threshold")
         .agg(F.sum(F.col("w") * F.col("kw")).alias("dot"))
     )
+    # doc_norm is per-document (corpus-sized) — shuffle join on doc_id;
+    # only the |topics|-row norm table is broadcast.
     return (
-        dots.join(F.broadcast(doc_norm), "doc_id")
+        dots.join(doc_norm, "doc_id")
         .join(F.broadcast(topic_norm), "topic")
         .withColumn("sim_raw",
                     F.col("dot") / (F.col("dnorm") * F.col("tnorm")))

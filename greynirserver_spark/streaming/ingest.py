@@ -121,6 +121,8 @@ def stream_append_to_store(
     emit_near_dup_pairs: bool = False,
     minhash_threshold: float = 0.8,
     minhash_bands: int = 8,
+    emit_topic_gram: bool = False,
+    lsa_vocab_size: int = 512,
 ):
     """Continuous index maintenance: stream pages files INTO a built
     :class:`~..plans.lineage.IndexStore` via ``append_pages`` per
@@ -153,6 +155,17 @@ def stream_append_to_store(
     url would re-sign under a new run id, which downstream clustering
     dedupes.
 
+    ``emit_topic_gram`` keeps the LSA topic model maintainable in the
+    same loop (the reference recalculates topic vectors in its own cron,
+    vectors/builder.py:271-320): each micro-batch appends ONE Gram run
+    to ``<root>/lsa_store`` (operators/lsa.py::append_gram — O(batch),
+    zero reads of old documents, replay-refused by batch run id). The
+    vocabulary freezes on the first non-empty batch — the reference's
+    pickled-dictionary staleness semantics; a rebuild re-freezes it.
+    Tagging itself stays a serving-side call
+    (``assign_topics_lsa(fit_from_gram_store(...))``) so a replayed
+    micro-batch never re-tags with a newer model.
+
     Returns the StreamingQuery (caller awaits/stops it).
     """
     import os
@@ -167,10 +180,8 @@ def stream_append_to_store(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
         append_pages(sp, store, batch_df, rebuild_every=rebuild_every)
-        if not emit_near_dup_pairs:
+        if not (emit_near_dup_pairs or emit_topic_gram):
             return
-        from ..operators.dedup import incremental_minhash_pairs
-
         texts = batch_df.where(F.col("lang") == "is").select(
             "url", extract_text_udf()(F.col("html")).alias("text")
         )
@@ -180,15 +191,27 @@ def stream_append_to_store(
             .join(texts, "url")
             .select("doc_id", "text")
         )
-        pairs = incremental_minhash_pairs(
-            sp, os.path.join(store.root, "minhash_store"), new_docs,
-            threshold=minhash_threshold, bands=minhash_bands,
-            run_id=f"stream-{batch_id}",
-        )
-        pairs.write.mode("overwrite").parquet(
-            os.path.join(store.root, "near_dup_pairs",
-                         f"batch_id={batch_id}")
-        )
+        if emit_near_dup_pairs:
+            from ..operators.dedup import incremental_minhash_pairs
+
+            pairs = incremental_minhash_pairs(
+                sp, os.path.join(store.root, "minhash_store"), new_docs,
+                threshold=minhash_threshold, bands=minhash_bands,
+                run_id=f"stream-{batch_id}",
+            )
+            pairs.write.mode("overwrite").parquet(
+                os.path.join(store.root, "near_dup_pairs",
+                             f"batch_id={batch_id}")
+            )
+        if emit_topic_gram:
+            from ..operators import lsa as _lsa
+
+            lsa_dir = os.path.join(store.root, "lsa_store")
+            if new_docs.take(1):
+                _lsa.init_gram_store(
+                    new_docs, lsa_dir, vocab_size=lsa_vocab_size)
+                _lsa.append_gram(
+                    sp, lsa_dir, new_docs, f"stream-{batch_id}")
 
     writer = (
         pages.writeStream.foreachBatch(process_batch)

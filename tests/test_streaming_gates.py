@@ -138,3 +138,57 @@ def test_stream_embedding_pairs_equal_to_one_shot(spark, tmp_path):
         for r in cosine_near_pairs_lsh(emb, 0.9, n_planes=4).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_topic_gram_equals_one_shot(spark, tmp_path):
+    """3 micro-batches with emit_topic_gram: the streamed Gram store
+    (vocab frozen on batch 1) refits to the same model as a one-shot
+    store inited on batch-1 docs and fed every streamed doc at once."""
+    from greynirserver_spark.extraction import extract_text_udf
+    from greynirserver_spark.operators import lsa
+    from greynirserver_spark.streaming.ingest import stream_append_to_store
+
+    all_pages = generate_pages(spark, 240).cache()
+    h = F.pmod(F.xxhash64("url"), F.lit(4))
+    base = all_pages.where(h == 0)
+    store = build_index_checkpointed(
+        spark, base, str(tmp_path / "store"), n_shards=4,
+    )
+    batches = [all_pages.where(h == i) for i in (1, 2, 3)]
+    indir = str(tmp_path / "incoming")
+    for b in batches:
+        b.coalesce(1).write.mode("append").parquet(indir)
+
+    q = stream_append_to_store(
+        spark, store, indir, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, emit_topic_gram=True,
+        lsa_vocab_size=64,
+    )
+    q.awaitTermination(600)
+
+    lsa_dir = os.path.join(store.root, "lsa_store")
+    runs = [d for d in os.listdir(os.path.join(lsa_dir, "gram"))
+            if d.startswith("run=")]
+    assert len(runs) >= 3 and all("-stream-" in r for r in runs)
+    streamed_model = lsa.fit_from_gram_store(spark, lsa_dir, k=8)
+
+    def docs_of(pages_df):
+        texts = pages_df.where(F.col("lang") == "is").select(
+            "url", extract_text_udf()(F.col("html")).alias("text"))
+        return (
+            spark.read.parquet(store.doc_map).select("doc_id", "url")
+            .join(texts, "url").select("doc_id", "text")
+        )
+
+    oneshot_dir = str(tmp_path / "oneshot_lsa")
+    lsa.init_gram_store(docs_of(batches[0]), oneshot_dir, vocab_size=64)
+    all_streamed = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    lsa.append_gram(spark, oneshot_dir, docs_of(all_streamed), "all")
+    want = lsa.fit_from_gram_store(spark, oneshot_dir, k=8)
+
+    assert streamed_model.terms == want.terms
+    assert np.allclose(streamed_model.s, want.s, rtol=1e-9)
+    assert np.allclose(
+        streamed_model.u @ streamed_model.u.T,
+        want.u @ want.u.T, atol=1e-6,
+    )
