@@ -84,13 +84,18 @@ TOPICS: Tuple[Tuple[str, Tuple[str, ...], float], ...] = (
 )
 
 
-def lsa_vocabulary(docs: DataFrame, vocab_size: int = 512,
-                   min_df: int = 3) -> DataFrame:
+def lsa_vocabulary(docs: DataFrame | None, vocab_size: int = 512,
+                   min_df: int = 3,
+                   postings: DataFrame | None = None) -> DataFrame:
     """(term, idx, df, n_docs): the top-`vocab_size` terms by document
     frequency (ties by term), densely indexed 0..V-1 — the analog of the
-    reference's pruned gensim dictionary (builder.py:180-196)."""
-    post = document_postings(docs)
-    nd = docs.select(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+    reference's pruned gensim dictionary (builder.py:180-196).
+
+    Pass `postings` (term, doc_id, tf) to reuse an already-built table
+    (e.g. an IndexStore's) instead of re-tokenizing `docs`."""
+    post = postings if postings is not None else document_postings(docs)
+    nd_src = docs if docs is not None else post
+    nd = nd_src.select(F.countDistinct("doc_id").cast("long").alias("n_docs"))
     dfs = (
         post.groupBy("term")
         .agg(F.count("*").cast("long").alias("df"))
@@ -108,11 +113,12 @@ def lsa_vocabulary(docs: DataFrame, vocab_size: int = 512,
     )
 
 
-def document_vectors(docs: DataFrame, vocab: DataFrame) -> DataFrame:
+def document_vectors(docs: DataFrame | None, vocab: DataFrame,
+                     postings: DataFrame | None = None) -> DataFrame:
     """(doc_id, idxs array<long>, ws array<double>): sparse tf-idf
     document vectors restricted to the LSA vocabulary, idx-sorted.
     weight = tf * ln(n_docs / df) — same formula as tfidf_keywords."""
-    post = document_postings(docs)
+    post = postings if postings is not None else document_postings(docs)
     weighted = post.join(F.broadcast(vocab), "term").select(
         "doc_id", "idx",
         (F.col("tf").cast("double")
@@ -202,8 +208,8 @@ def _model_from_gram(g: np.ndarray, vrows, k: int) -> LsaModel:
     )
 
 
-def fit_lsa(docs: DataFrame, k: int = 32, vocab_size: int = 512,
-            min_df: int = 3) -> LsaModel:
+def fit_lsa(docs: DataFrame | None, k: int = 32, vocab_size: int = 512,
+            min_df: int = 3, postings: DataFrame | None = None) -> LsaModel:
     """Fit a rank-k LSA model distributed.  G = A^T A is accumulated
     per partition (`mapInPandas`, sparse outer products), summed
     element-wise per Gram ROW (one shuffle of `partitions x V` array
@@ -211,13 +217,14 @@ def fit_lsa(docs: DataFrame, k: int = 32, vocab_size: int = 512,
     collected for the driver-side `eigh`.  Eigenvector sign is fixed
     (largest-|component| positive) so the fit is deterministic for any
     input partitioning."""
-    vocab = lsa_vocabulary(docs, vocab_size=vocab_size, min_df=min_df)
+    vocab = lsa_vocabulary(docs, vocab_size=vocab_size, min_df=min_df,
+                           postings=postings)
     vrows = vocab.orderBy("idx").collect()
     if not vrows:
         return LsaModel([], np.zeros(0, dtype=np.int64), 0,
                         np.zeros((0, 0)), np.zeros(0))
     v_dim = len(vrows)
-    vecs = document_vectors(docs, vocab)
+    vecs = document_vectors(docs, vocab, postings=postings)
     gram_df = vecs.mapInPandas(
         _gram_rows(v_dim), schema="i long, v array<double>"
     )
@@ -332,15 +339,16 @@ def _term_u_df(spark: SparkSession, model: LsaModel) -> DataFrame:
     return spark.createDataFrame(rows, "term string, idf double, u array<double>")
 
 
-def project_documents(docs: DataFrame, model: LsaModel) -> DataFrame:
+def project_documents(docs: DataFrame | None, model: LsaModel,
+                      postings: DataFrame | None = None) -> DataFrame:
     """(doc_id, vec array<double>): LSA vectors for every document —
     postings join a BROADCAST (term, idf, U-row) dim, per-term
     contribution `tf*idf*U[term]`, element-wise array sum per doc.
     All JVM higher-order functions; no Python in the per-token path."""
-    spark = docs.sparkSession
+    post = postings if postings is not None else document_postings(docs)
+    spark = post.sparkSession
     term_u = _term_u_df(spark, model)
     kdim = model.k
-    post = document_postings(docs)
     contrib = post.join(F.broadcast(term_u), "term").select(
         "doc_id",
         F.transform(

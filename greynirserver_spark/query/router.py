@@ -50,6 +50,9 @@ _COUNT_RE = re.compile(r"^(?:hversu margar greinar um|article count for)\s+(.+)$
 _NEWEST_RE = re.compile(r"^(?:nýjustu greinar|newest articles)\s*(.*)$", re.I)
 # a fully double-quoted query is an exact-phrase search
 _PHRASE_RE = re.compile(r'^"(.+)"$')
+_SIMILAR_RE = re.compile(
+    r"^(?:svipaðar greinar og|similar articles to)\s+(.+)$", re.I
+)
 
 
 @dataclass
@@ -94,6 +97,13 @@ class Router:
         self._open()
 
     def _open(self) -> None:
+        # release the previous snapshot's persisted LSA doc vectors
+        # before rebuilding views (persist-leak hygiene, round-3 #6)
+        vecs = getattr(self, "_lsa_vecs", None)
+        if vecs is not None:
+            vecs.unpersist()
+        self._lsa_vecs = None
+        self._lsa_model = None
         self.segments = self.store.load_segments(self.spark)
         self.corpus = self.store.load(self.spark, "corpus")
         self.postings = self.store.load(self.spark, "postings")
@@ -218,6 +228,8 @@ class Router:
             return Answer("ArticleCount", self.article_count(m.group(1)))
         if m := _NEWEST_RE.match(q):
             return Answer("NewestArticles", self.newest())
+        if m := _SIMILAR_RE.match(q):
+            return Answer("SimilarArticles", self.similar(m.group(1), k))
         if m := _PHRASE_RE.match(q):
             words = [t for t in re.split(PY_TOKEN_SPLIT_RE, m.group(1).lower())
                      if t]
@@ -372,6 +384,55 @@ class Router:
         terms = query_to_terms(words)
         return self.postings.where(F.col("term").isin(terms or ["∅"])).agg(
             F.countDistinct("doc_id").cast("long").alias("n_docs")
+        )
+
+    def _ensure_lsa(self, k_dim: int = 16, vocab_size: int = 512) -> None:
+        """Lazily materialize the LSA model + persisted doc-vector
+        table for this snapshot.  Prefers the streaming loop's Gram
+        store under ``<root>/lsa_store`` (one row-sum + driver eigh);
+        falls back to a one-shot fit over the store's OWN postings
+        table (no re-tokenization).  The projected vectors are
+        persisted once per snapshot — the simserver holds its
+        doc-topic matrix in driver memory
+        (/root/reference/vectors/simserver.py:96-180, a 1.2 GB matvec
+        per query); here they stay a cached distributed table and only
+        the top-k rows ever reach the driver."""
+        if self._lsa_vecs is not None:
+            return
+        import os
+
+        from ..operators import lsa as L
+
+        lsa_dir = os.path.join(self.store.root, "lsa_store")
+        if os.path.isdir(os.path.join(lsa_dir, "vocab")):
+            model = L.fit_from_gram_store(self.spark, lsa_dir, k=k_dim)
+        else:
+            model = L.fit_lsa(None, k=k_dim, vocab_size=vocab_size,
+                              postings=self.postings)
+        self._lsa_model = model
+        # self.postings is already tombstone-anti-joined in _open, so
+        # deleted docs never enter the vector table
+        self._lsa_vecs = L.project_documents(
+            None, model, postings=self.postings
+        ).persist()
+
+    def similar(self, url: str, k: int = 10) -> DataFrame:
+        """(doc_id, url, sim): articles most similar to `url` in LSA
+        topic space — the reference's similarity-server surface
+        (vectors/simserver.py:232-290 `refresh_topics`/`similar`)."""
+        self._ensure_lsa()
+        q = self.doc_map.where(F.col("url") == url).select("doc_id").take(1)
+        if not q:
+            return self.spark.createDataFrame(
+                [], "doc_id long, url string, sim double")
+        from ..operators.lsa import similar_docs_lsa
+
+        hits = similar_docs_lsa(
+            None, self._lsa_model, q[0][0], k=k, doc_vecs=self._lsa_vecs)
+        return (
+            hits.join(self.doc_map.select("doc_id", "url"), "doc_id")
+            .orderBy(F.desc("sim"), F.asc("doc_id"))
+            .select("doc_id", "url", "sim")
         )
 
     def newest(self, limit: int = _MAX_URLS) -> DataFrame:

@@ -920,3 +920,35 @@ def test_bm25_boolean_not_gate_is_anti_join(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_router_similar_articles(spark, tmp_path):
+    """simserver parity: LSA-space similar articles served from the
+    store's own postings, snapshot-scoped persisted vectors, no leak."""
+    from greynirserver_spark.corpus import generate_pages
+    from greynirserver_spark.plans.lineage import build_index_checkpointed
+    from greynirserver_spark.query.router import Router
+
+    pages = generate_pages(spark, 200)
+    store = build_index_checkpointed(
+        spark, pages, str(tmp_path / "store"), n_shards=4)
+    r = Router(spark, store)
+    url = r.doc_map.orderBy("doc_id").limit(1).collect()[0]["url"]
+    hits = r.similar(url, k=5).collect()
+    assert 0 < len(hits) <= 5
+    assert url not in {h["url"] for h in hits}
+    sims = [h["sim"] for h in hits]
+    assert sims == sorted(sims, reverse=True)
+    # dispatch + TTL cache path
+    ans = r.execute(f"similar articles to {url}", k=5)
+    assert ans.qtype == "SimilarArticles"
+    assert [t["url"] for t in ans.df.collect()] == [h["url"] for h in hits]
+    # unknown url -> empty, not an error
+    assert r.similar("https://nowhere.example/xyz", k=5).count() == 0
+    # snapshot re-open releases the persisted vector table (no leak)
+    sc = spark.sparkContext
+    base = len(sc._jsc.getPersistentRDDs())
+    for _ in range(3):
+        r._open()
+        r.similar(url, k=3).collect()
+    assert len(sc._jsc.getPersistentRDDs()) <= base
