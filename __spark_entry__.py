@@ -1061,6 +1061,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 _docs(s, d), L.fit_lsa(_docs(s, d), k=8, vocab_size=64)
             )
         )(__import__("greynirserver_spark.operators.lsa", fromlist=["x"])),
+        # distributed LDA (variational EM) — iterative, rows-only check;
+        # determinism/ELBO/planted-topic recovery pinned in tests/test_lda.py
+        "lda_topic_terms": lambda s, d: (
+            lambda L: s.createDataFrame(
+                L.lda_topic_terms(
+                    L.fit_lda(_docs(s, d), k=4, vocab_size=64, iters=5),
+                    topn=10,
+                ),
+                "topic long, rank long, term string, weight double",
+            )
+        )(__import__("greynirserver_spark.operators.lda", fromlist=["x"])),
         "url_normalize": lambda s, d: __import__(
             "greynirserver_spark.operators.urls", fromlist=["x"]
         ).normalize_urls(_url_docs(s, d)),
