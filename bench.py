@@ -312,6 +312,20 @@ def main() -> None:
               seg_t, spark, words, k=20,
               block_counts={"floor": DEFAULT_HEAVY_FLOOR, "terms": {}},
           ).count())
+    # --- q11: topic layer — distributed LSA fit (Gram + eigh) and
+    #          thresholded LSA-space tagging over the same documents
+    from greynirserver_spark.operators import lsa as L
+
+    lsa_model = None
+
+    def q11_fit():
+        nonlocal lsa_model
+        lsa_model = L.fit_lsa(docs, k=16, vocab_size=256)
+
+    timed("q11_lsa_fit", q11_fit)
+    timed("q11_lsa_assign",
+          lambda: L.assign_topics_lsa(docs, lsa_model).count())
+
     extras = {
         # matched-row payload a phrase query fetches from each format
         "pos_raw_query_bytes": int(

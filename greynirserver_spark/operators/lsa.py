@@ -71,6 +71,12 @@ __all__ = [
     "similar_docs_lsa",
 ]
 
+# The Gram trick is O(V^2) in executor-partial and driver memory
+# (V=8192 -> 512 MB of float64).  Beyond this, rank-k needs a
+# randomized/streaming SVD, not a bigger Gram — refuse loudly instead
+# of OOMing an executor at scale.
+MAX_GRAM_VOCAB = 8192
+
 # Deterministic topic definitions over the `documents` vocabulary —
 # the analog of the reference's Topics.conf keyword lists (each topic:
 # name, keyword tuple, cosine threshold).  Thresholds are chosen with
@@ -93,6 +99,12 @@ def lsa_vocabulary(docs: DataFrame | None, vocab_size: int = 512,
 
     Pass `postings` (term, doc_id, tf) to reuse an already-built table
     (e.g. an IndexStore's) instead of re-tokenizing `docs`."""
+    if vocab_size > MAX_GRAM_VOCAB:
+        raise ValueError(
+            f"vocab_size={vocab_size} > {MAX_GRAM_VOCAB}: the Gram-matrix "
+            "fit is O(V^2) per partition and on the driver; use a "
+            "randomized SVD for larger vocabularies"
+        )
     post = postings if postings is not None else document_postings(docs)
     nd_src = docs if docs is not None else post
     nd = nd_src.select(F.countDistinct("doc_id").cast("long").alias("n_docs"))

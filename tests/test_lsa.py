@@ -153,3 +153,8 @@ def test_incremental_gram_store_equals_one_shot(spark, docs, model, tmp_path):
     assert np.allclose(post.u, inc.u, atol=1e-8)
     # replay AFTER compaction still refused (applied manifest)
     assert not lsa.append_gram(spark, store, b2, "b2")
+
+
+def test_gram_vocab_guard(docs):
+    with pytest.raises(ValueError, match="randomized SVD"):
+        lsa.fit_lsa(docs, k=8, vocab_size=lsa.MAX_GRAM_VOCAB + 1)
