@@ -53,6 +53,9 @@ _PHRASE_RE = re.compile(r'^"(.+)"$')
 _SIMILAR_RE = re.compile(
     r"^(?:svipaðar greinar og|similar articles to)\s+(.+)$", re.I
 )
+_TOPICS_RE = re.compile(
+    r"^(?:efnisflokkar|topics of)\s+(.+)$", re.I
+)
 
 
 @dataclass
@@ -85,7 +88,11 @@ class Router:
         cache_ttl_s: float = 300.0,
         version_check_interval_s: float = 1.0,
         log_queries: bool = False,
+        topics=None,
     ) -> None:
+        # `topics`: [(name, (keyword, ...), threshold)] — the
+        # reference's Topics.conf; defaults to operators.lsa.TOPICS
+        self.topics_conf = topics
         self.spark = spark
         self.store = store
         self._cache_size = cache_size
@@ -230,6 +237,8 @@ class Router:
             return Answer("NewestArticles", self.newest())
         if m := _SIMILAR_RE.match(q):
             return Answer("SimilarArticles", self.similar(m.group(1), k))
+        if m := _TOPICS_RE.match(q):
+            return Answer("ArticleTopics", self.topics(m.group(1)))
         if m := _PHRASE_RE.match(q):
             words = [t for t in re.split(PY_TOKEN_SPLIT_RE, m.group(1).lower())
                      if t]
@@ -433,6 +442,36 @@ class Router:
             hits.join(self.doc_map.select("doc_id", "url"), "doc_id")
             .orderBy(F.desc("sim"), F.asc("doc_id"))
             .select("doc_id", "url", "sim")
+        )
+
+    def topics(self, url: str) -> DataFrame:
+        """(topic, sim): the article's topic tags — the read path of
+        the reference's cron tagger (vectors/builder.py:471-530 writes
+        ArticleTopic rows; the web layer reads them per article).  Here
+        the tags are computed on demand from the snapshot's LSA vectors:
+        one row per topic whose cosine clears that topic's threshold."""
+        self._ensure_lsa()
+        q = self.doc_map.where(F.col("url") == url).select("doc_id").take(1)
+        empty = "topic string, sim double"
+        if not q:
+            return self.spark.createDataFrame([], empty)
+        from ..operators.lsa import TOPICS, topic_vectors_lsa
+
+        tvecs = topic_vectors_lsa(
+            self._lsa_model, self.topics_conf or TOPICS)
+        tdf = self.spark.createDataFrame(
+            [(n, [float(x) for x in v], float(t)) for n, v, t in tvecs],
+            "topic string, tvec array<double>, threshold double",
+        )
+        from ..operators.lsa import _cosine_expr
+
+        one = self._lsa_vecs.where(F.col("doc_id") == q[0][0])
+        return (
+            one.crossJoin(F.broadcast(tdf))
+            .withColumn("sim_raw", _cosine_expr("vec", "tvec"))
+            .where(F.col("sim_raw") >= F.col("threshold"))
+            .select("topic", F.round("sim_raw", 4).alias("sim"))
+            .orderBy(F.desc("sim"), F.asc("topic"))
         )
 
     def newest(self, limit: int = _MAX_URLS) -> DataFrame:

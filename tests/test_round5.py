@@ -952,3 +952,37 @@ def test_router_similar_articles(spark, tmp_path):
         r._open()
         r.similar(url, k=3).collect()
     assert len(sc._jsc.getPersistentRDDs()) <= base
+
+
+def test_router_article_topics(spark, tmp_path):
+    """On-demand article topic tags over the snapshot's LSA vectors,
+    with an injectable Topics.conf (keywords from the store's own
+    vocabulary)."""
+    from greynirserver_spark.corpus import generate_pages
+    from greynirserver_spark.plans.lineage import build_index_checkpointed
+    from greynirserver_spark.query.router import Router
+
+    pages = generate_pages(spark, 200)
+    store = build_index_checkpointed(
+        spark, pages, str(tmp_path / "store"), n_shards=4)
+    probe = Router(spark, store)
+    # topic keywords drawn from the store's actual head terms so the
+    # synthetic Topics.conf matches this corpus's vocabulary
+    head = [r["term"] for r in probe.postings.groupBy("term").count()
+            .orderBy("count", ascending=False).limit(8).collect()]
+    conf = [("head_a", tuple(head[:4]), 0.05),
+            ("head_b", tuple(head[4:8]), 0.05),
+            ("impossible", tuple(head[:2]), 0.999999)]
+    r = Router(spark, store, topics=conf)
+    url = r.doc_map.orderBy("doc_id").limit(1).collect()[0]["url"]
+    rows = r.topics(url).collect()
+    names = {x["topic"] for x in rows}
+    assert names and names <= {"head_a", "head_b"}
+    assert "impossible" not in names
+    sims = [x["sim"] for x in rows]
+    assert sims == sorted(sims, reverse=True)
+    ans = r.execute(f"topics of {url}")
+    assert ans.qtype == "ArticleTopics"
+    assert {x["topic"] for x in ans.df.collect()} == names
+    # unknown url -> empty
+    assert r.topics("https://nowhere.example/x").count() == 0
