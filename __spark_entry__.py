@@ -490,6 +490,47 @@ def _pii_oracle_sql() -> str:
     )
 
 
+def _person_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic person-mention table (name/title/url/ts/gender) from
+    orders x customer — the analog of the reference's processor-built
+    `persons`/`words` tables, derivable identically in DuckDB."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    seg8 = F.repeat(F.concat(F.col("c_mktsegment"), F.lit(" ")), 8)
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            F.when(F.col("c_custkey") % 7 == 0, F.lit("Sturla"))
+            .otherwise(F.concat(
+                F.lit("Viðskiptavinur "),
+                (F.col("c_custkey") % 200).cast("string"))).alias("name"),
+            F.trim(seg8.substr(
+                F.lit(1), (F.col("c_custkey") % 90).cast("int"))
+            ).alias("title"),
+            F.concat(F.lit("https://frettir.example.is/"),
+                     F.col("o_orderkey").cast("string")).alias("url"),
+            F.col("o_orderdate").alias("ts"),
+            F.when(F.col("c_custkey") % 2 == 0, F.lit("kk"))
+            .otherwise(F.lit("kvk")).alias("gender"),
+        )
+    )
+
+
+_PEOPLE_CTE = """
+WITH m AS (
+  SELECT CASE WHEN c_custkey % 7 = 0 THEN 'Sturla'
+              ELSE 'Viðskiptavinur ' || (c_custkey % 200)::VARCHAR
+         END AS name,
+         trim(substr(repeat(c_mktsegment || ' ', 8), 1,
+                     (c_custkey % 90)::INT)) AS title,
+         'https://frettir.example.is/' || o_orderkey::VARCHAR AS url,
+         o_orderdate AS ts,
+         CASE WHEN c_custkey % 2 = 0 THEN 'kk' ELSE 'kvk' END AS gender
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+"""
+
+
 def _topic_oracle_sql() -> str:
     """Term-space topic tagging: VALUES built FROM the same TOPICS
     tuple the Spark operator defaults to, tf-idf formula identical to
@@ -1048,6 +1089,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_tagging": lambda s, d: __import__(
             "greynirserver_spark.functions.geo", fromlist=["x"]
         ).geo_tag_documents(_docs(s, d), _places_df(s)),
+        # the /people surface: better-title scan + frequency ranking
+        "recent_persons": lambda s, d: __import__(
+            "greynirserver_spark.operators.people", fromlist=["x"]
+        ).recent_persons(_person_mentions(s, d), limit=12),
+        "top_persons": lambda s, d: __import__(
+            "greynirserver_spark.operators.people", fromlist=["x"]
+        ).top_persons(_person_mentions(s, d), limit=20, days=30),
         # term-space thresholded topic tagging (oracle-gated twin of
         # the LSA path; reference assign_article_topics semantics)
         "topic_assign_cosine": lambda s, d: __import__(
@@ -1333,6 +1381,43 @@ GROUP BY t.doc_id
         "gate_funnel": _funnel_oracle_sql(),
         "geo_tagging": _geo_oracle_sql(),
         "topic_assign_cosine": _topic_oracle_sql(),
+        "recent_persons": _PEOPLE_CTE + """,
+cand AS (
+  SELECT * FROM m ORDER BY ts DESC, url, name, title LIMIT 24
+), r AS (
+  SELECT *, row_number() OVER (ORDER BY ts DESC, url, name, title) AS rn
+  FROM cand
+), f AS (
+  SELECT *, min(rn) OVER (PARTITION BY name) AS rn_first FROM r
+), nr AS (
+  SELECT *, dense_rank() OVER (ORDER BY rn_first) AS name_rank FROM f
+), co AS (
+  SELECT *, max(CASE WHEN name_rank = 12 THEN rn_first END) OVER () AS cutoff
+  FROM nr
+), sc AS (
+  SELECT * FROM co
+  WHERE rn <= coalesce(cutoff, 4611686018427387904)
+), pk AS (
+  SELECT *, row_number() OVER (PARTITION BY name ORDER BY
+      (length(title) >= 64)::INT ASC,
+      CASE WHEN length(title) >= 64 THEN length(title)
+           ELSE -length(title) END ASC,
+      rn ASC) AS pk
+  FROM sc
+)
+SELECT name, title, url FROM pk WHERE pk = 1
+""",
+        "top_persons": _PEOPLE_CTE + """,
+latest AS (SELECT max(ts) AS t1 FROM m),
+recent AS (
+  SELECT DISTINCT name, gender, url
+  FROM m, latest
+  WHERE ts > t1 - INTERVAL 30 DAY AND name LIKE '% %'
+)
+SELECT name, gender, count(*)::BIGINT AS n_articles
+FROM recent GROUP BY 1, 2
+ORDER BY n_articles DESC, name ASC LIMIT 20
+""",
         "url_normalize": _URL_CTE + """
 SELECT doc_id, url, canonical_url FROM canon
 """,

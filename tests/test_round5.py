@@ -986,3 +986,67 @@ def test_router_article_topics(spark, tmp_path):
     assert {x["topic"] for x in ans.df.collect()} == names
     # unknown url -> empty
     assert r.topics("https://nowhere.example/x").count() == 0
+
+
+def test_recent_persons_better_title_and_cutoff(spark):
+    """The reference's is_better_title rule and the early-termination
+    cutoff, pinned on a hand-built mention table."""
+    import datetime as dt
+
+    from greynirserver_spark.operators.people import recent_persons
+
+    d0 = dt.date(2026, 3, 1)
+    LONG_90 = "x" * 90
+    LONG_70 = "y" * 70
+    rows = [
+        # Alpha: long title first, then a SHORTER long one (better),
+        # then a short one (best of all), then a longer short one that
+        # falls AFTER the cutoff and must be ignored
+        ("Alpha", LONG_90, "u/a1", d0 + dt.timedelta(days=9)),
+        ("Alpha", LONG_70, "u/a2", d0 + dt.timedelta(days=8)),
+        ("Alpha", "stutt", "u/a3", d0 + dt.timedelta(days=7)),
+        ("Beta", "ráðherra", "u/b1", d0 + dt.timedelta(days=6)),
+        # cutoff: limit=2 -> scan stops at Beta's first occurrence
+        ("Alpha", "miklu lengri stuttur titill", "u/a4",
+         d0 + dt.timedelta(days=5)),
+        ("Gamma", "aldrei séð", "u/c1", d0 + dt.timedelta(days=4)),
+    ]
+    m = spark.createDataFrame(
+        rows, "name string, title string, url string, ts date")
+    got = {r["name"]: (r["title"], r["url"])
+           for r in recent_persons(m, limit=2).collect()}
+    assert set(got) == {"Alpha", "Beta"}
+    # short beats long; the post-cutoff longer-short title is ignored
+    assert got["Alpha"] == ("stutt", "u/a3")
+    assert got["Beta"] == ("ráðherra", "u/b1")
+    # among over-long titles only, the SHORTER wins (scan order kept)
+    m2 = spark.createDataFrame(
+        [("Alpha", LONG_90, "u/1", d0), ("Alpha", LONG_70, "u/2", d0)],
+        "name string, title string, url string, ts date")
+    got2 = recent_persons(m2, limit=2).collect()[0]
+    assert got2["title"] == LONG_70
+
+
+def test_top_persons_window_dedup_and_name_filter(spark):
+    import datetime as dt
+
+    from greynirserver_spark.operators.people import top_persons
+
+    d1 = dt.date(2026, 6, 30)
+    rows = [
+        # two-part name, 3 distinct articles (one duplicated row)
+        ("Jón Jónsson", "kk", "u/1", d1),
+        ("Jón Jónsson", "kk", "u/1", d1),
+        ("Jón Jónsson", "kk", "u/2", d1 - dt.timedelta(days=1)),
+        ("Jón Jónsson", "kk", "u/3", d1 - dt.timedelta(days=2)),
+        # outside the window
+        ("Jón Jónsson", "kk", "u/4", d1 - dt.timedelta(days=40)),
+        # mononym: filtered by the two-name-parts rule
+        ("Sturla", "kk", "u/5", d1),
+        ("Anna Pála", "kvk", "u/6", d1),
+    ]
+    w = spark.createDataFrame(
+        rows, "name string, gender string, url string, ts date")
+    got = [(r["name"], r["gender"], r["n_articles"])
+           for r in top_persons(w, limit=10, days=30).collect()]
+    assert got == [("Jón Jónsson", "kk", 3), ("Anna Pála", "kvk", 1)]
