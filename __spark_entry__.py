@@ -512,7 +512,22 @@ def _person_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").alias("ts"),
             F.when(F.col("c_custkey") % 2 == 0, F.lit("kk"))
             .otherwise(F.lit("kvk")).alias("gender"),
+            F.col("c_custkey").alias("custkey"),
         )
+    )
+
+
+def _title_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(answer, url, ts) title-mention table with planted 'fyrrverandi'
+    prefixes so the ex-mention branch of the scorer is exercised."""
+    m = _person_mentions(spark, sf_dir)
+    ans = F.trim(
+        F.when(F.col("custkey") % 11 == 0,
+               F.concat(F.lit("fyrrverandi "), F.col("title")))
+        .otherwise(F.col("title")))
+    return (
+        m.select(ans.alias("answer"), "url", "ts")
+        .where(F.length("answer") > 0)
     )
 
 
@@ -525,9 +540,89 @@ WITH m AS (
                      (c_custkey % 90)::INT)) AS title,
          'https://frettir.example.is/' || o_orderkey::VARCHAR AS url,
          o_orderdate AS ts,
-         CASE WHEN c_custkey % 2 = 0 THEN 'kk' ELSE 'kvk' END AS gender
+         CASE WHEN c_custkey % 2 = 0 THEN 'kk' ELSE 'kvk' END AS gender,
+         c_custkey AS custkey
   FROM orders JOIN customer ON o_custkey = c_custkey
 )
+"""
+
+_EX_CONTAINED = " OR ".join(
+    f"position(' {w} ' IN ' ' || lower(answer) || ' ') > 0"
+    for w in ("fyrrverandi", "fv.", "fráfarandi", "áður", "þáverandi",
+              "fyrrum")
+)
+
+_TITLES_SQL = _PEOPLE_CTE + f""",
+men AS (
+  SELECT trim(CASE WHEN custkey % 11 = 0 THEN 'fyrrverandi ' || title
+              ELSE title END) AS answer, url, ts
+  FROM m
+), men2 AS (SELECT * FROM men WHERE length(answer) > 0),
+anchor AS (SELECT max(ts) AS now FROM men2),
+newest AS (
+  SELECT men2.*, anchor.now,
+         row_number() OVER (PARTITION BY answer
+                            ORDER BY ts DESC, url) AS rn
+  FROM men2, anchor
+),
+pa AS (
+  SELECT answer,
+         sum(CASE WHEN rn <= 5 THEN
+             14.0 / (1.0 + ln(greatest(0, date_diff('day', ts, now))
+                              + 4.0) / ln(4.0)) END) AS mw0,
+         sum(CASE WHEN rn <= 5 THEN 1 END)::BIGINT AS n_m,
+         count(DISTINCT url)::BIGINT AS n_articles,
+         min(CASE WHEN rn = 1 THEN url END) AS newest_url
+  FROM newest GROUP BY 1
+),
+pa2 AS (SELECT *, CASE WHEN n_m = 1 THEN mw0 / exp(1.0) ELSE mw0 END AS mw
+        FROM pa),
+pa3 AS (
+  SELECT *, mw + least(exp(1.0) * ln(length(answer)), 10.0) AS base,
+         ({_EX_CONTAINED}) AS is_ex,
+         row_number() OVER (ORDER BY round(mw, 6) DESC, answer) AS mw_rank
+  FROM pa2
+),
+pr AS (
+  SELECT i.answer AS a_i, i.mw AS mw_i, i.is_ex AS ex_i, i.mw_rank AS r_i,
+         j.answer AS a_j, j.mw AS mw_j, j.is_ex AS ex_j, j.mw_rank AS r_j
+  FROM pa3 i JOIN pa3 j ON i.mw_rank < j.mw_rank
+  WHERE position(' ' || lower(i.answer) || ' '
+                 IN ' ' || lower(j.answer) || ' ') > 0
+     OR position(' ' || lower(j.answer) || ' '
+                 IN ' ' || lower(i.answer) || ' ') > 0
+),
+pc AS (SELECT *, row_number() OVER (PARTITION BY r_i ORDER BY r_j)
+              AS crosses FROM pr),
+pf AS (SELECT * FROM pc WHERE crosses <= 5),
+bon AS (
+  SELECT answer, sum(bonus) AS bonus FROM (
+    SELECT a_i AS answer,
+           (CASE WHEN ex_i AND NOT ex_j THEN mw_j * 0.35 ELSE 0 END)
+         + (CASE WHEN NOT (ex_j AND NOT ex_i)
+                 THEN mw_j * 0.20 / crosses ELSE 0 END) AS bonus
+    FROM pf
+    UNION ALL
+    SELECT a_j,
+           (CASE WHEN NOT (ex_i AND NOT ex_j)
+                 THEN mw_i * 0.20 / crosses ELSE 0 END)
+         + (CASE WHEN ex_j AND NOT ex_i THEN mw_i * 0.35 ELSE 0 END)
+    FROM pf
+  ) GROUP BY 1
+),
+sc AS (
+  SELECT pa3.*, pa3.base + coalesce(bon.bonus, 0.0) AS score
+  FROM pa3 LEFT JOIN bon USING (answer)
+),
+fr AS (SELECT *, row_number() OVER (ORDER BY round(score, 4) DESC, answer)
+              AS final_rank FROM sc),
+cutf AS (SELECT max(CASE WHEN final_rank = 5 AND n_articles > 1
+                    THEN 1 ELSE 0 END) AS cut FROM fr),
+kept AS (SELECT fr.* FROM fr, cutf WHERE cut = 0 OR n_articles > 1)
+SELECT row_number() OVER (ORDER BY round(score, 4) DESC, answer)::BIGINT
+         AS rank,
+       answer, round(score, 4) AS score, n_articles, newest_url
+FROM kept ORDER BY round(score, 4) DESC, answer LIMIT 20
 """
 
 
@@ -1096,6 +1191,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_persons": lambda s, d: __import__(
             "greynirserver_spark.operators.people", fromlist=["x"]
         ).top_persons(_person_mentions(s, d), limit=20, days=30),
+        # the "who is X" answer scorer: mention decay + length weight
+        # + cross-mention containment bonuses + ex-prefix rule
+        "prioritize_titles": lambda s, d: __import__(
+            "greynirserver_spark.operators.titles", fromlist=["x"]
+        ).prioritize_titles(_title_mentions(s, d)),
         # term-space thresholded topic tagging (oracle-gated twin of
         # the LSA path; reference assign_article_topics semantics)
         "topic_assign_cosine": lambda s, d: __import__(
@@ -1381,6 +1481,7 @@ GROUP BY t.doc_id
         "gate_funnel": _funnel_oracle_sql(),
         "geo_tagging": _geo_oracle_sql(),
         "topic_assign_cosine": _topic_oracle_sql(),
+        "prioritize_titles": _TITLES_SQL,
         "recent_persons": _PEOPLE_CTE + """,
 cand AS (
   SELECT * FROM m ORDER BY ts DESC, url, name, title LIMIT 24

@@ -1050,3 +1050,90 @@ def test_top_persons_window_dedup_and_name_filter(spark):
     got = [(r["name"], r["gender"], r["n_articles"])
            for r in top_persons(w, limit=10, days=30).collect()]
     assert got == [("Jón Jónsson", "kk", 3), ("Anna Pála", "kvk", 1)]
+
+
+def test_prioritize_titles_matches_reference_algorithm(spark):
+    """Pin the relational scorer against a pure-Python transliteration
+    of the reference loop (queries/builtin.py:225-335) with the same
+    determinism anchors (now = max ts, answer tiebreaks)."""
+    import datetime as dt
+    import math
+
+    from greynirserver_spark.operators.titles import prioritize_titles
+
+    d = lambda n: dt.date(2026, 6, 1) + dt.timedelta(days=n)
+    rows = []
+    # forseti: 6 mentions (only newest 5 count), contained in two others
+    for i in range(6):
+        rows.append(("forseti landsins", f"u/f{i}", d(30 - i)))
+    # ex-variant contains forseti -> ex branch
+    rows.append(("fyrrverandi forseti landsins", "u/x1", d(29)))
+    rows.append(("fyrrverandi forseti landsins", "u/x2", d(5)))
+    # another container (not ex)
+    rows.append(("varaforseti", "u/v1", d(28)))  # NOT whole-word contained
+    rows.append(("forseti landsins og ritari", "u/w1", d(27)))
+    rows.append(("forseti landsins og ritari", "u/w2", d(26)))
+    # single mention -> /e penalty
+    rows.append(("ritari", "u/r1", d(25)))
+    # old mentions -> decay
+    rows.append(("gjaldkeri stjórnarinnar", "u/g1", d(0)))
+    rows.append(("gjaldkeri stjórnarinnar", "u/g2", d(1)))
+    mentions = spark.createDataFrame(
+        rows, "answer string, url string, ts date")
+
+    # ---- pure-python reference mirror ----
+    rd = {}
+    for a, u, t in rows:
+        rd.setdefault(a, {})[u] = t
+    now = max(t for _, _, t in rows)
+
+    def mw_of(arts):
+        newest = sorted(arts.items(), key=lambda kv: (-kv[1].toordinal(),
+                                                      kv[0]))[:5]
+        w = sum(14.0 / (1.0 + math.log(max(0, (now - t).days) + 4, 4))
+                for _, t in newest)
+        return w / math.e if len(newest) == 1 else w
+
+    def contained(n, h):
+        return (" " + n.lower() + " ") in (" " + h.lower() + " ")
+
+    def is_ex(s):
+        return any(contained(x, s) for x in
+                   ("fyrrverandi", "fv.", "fráfarandi", "áður",
+                    "þáverandi", "fyrrum"))
+
+    mws = {a: mw_of(arts) for a, arts in rd.items()}
+    scores = {a: mws[a] + min(math.e * math.log(len(a)), 10.0)
+              for a in rd}
+    rl = sorted(rd, key=lambda a: (-round(mws[a], 6), a))
+    for i in range(len(rl) - 1):
+        ri, crosses, ex_i = rl[i], 0, is_ex(rl[i])
+        for j in range(i + 1, len(rl)):
+            rj = rl[j]
+            if contained(rj, ri) or contained(ri, rj):
+                crosses += 1
+                ex_j = is_ex(rj)
+                if ex_i and not ex_j:
+                    scores[ri] += mws[rj] * 0.35
+                else:
+                    scores[rj] += mws[ri] * 0.20 / crosses
+                if ex_j and not ex_i:
+                    scores[rj] += mws[ri] * 0.35
+                else:
+                    scores[ri] += mws[rj] * 0.20 / crosses
+                if crosses == 5:
+                    break
+    order = sorted(rd, key=lambda a: (-round(scores[a], 4), a))
+    if len(order) > 4 and len(rd[order[4]]) > 1:
+        order = [a for a in order if len(rd[a]) > 1]
+    want = [
+        (k + 1, a, round(scores[a], 4), len(rd[a]),
+         min(sorted(rd[a].items(), key=lambda kv: (-kv[1].toordinal(),
+                                                   kv[0]))[:1])[0])
+        for k, a in enumerate(order[:20])
+    ]
+
+    got = [(r["rank"], r["answer"], r["score"], r["n_articles"],
+            r["newest_url"])
+           for r in prioritize_titles(mentions).collect()]
+    assert got == want
