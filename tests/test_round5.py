@@ -1137,3 +1137,28 @@ def test_prioritize_titles_matches_reference_algorithm(spark):
             r["newest_url"])
            for r in prioritize_titles(mentions).collect()]
     assert got == want
+
+
+def test_people_and_titles_plans(spark, tmp_path):
+    """recent_persons bounds the scan with a distributed top-2N
+    (TakeOrderedAndProject) and prioritize_titles broadcasts the
+    pairwise containment join — no cartesian product anywhere."""
+    import datetime as dt
+
+    from greynirserver_spark.operators.people import recent_persons
+    from greynirserver_spark.operators.titles import prioritize_titles
+
+    rows = [(f"Nafn {i % 7}", f"titill {i}", f"u/{i}",
+             dt.date(2026, 1, 1) + dt.timedelta(days=i % 50))
+            for i in range(300)]
+    m = spark.createDataFrame(
+        rows, "name string, title string, url string, ts date")
+    p1 = recent_persons(m, limit=5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in p1
+    assert "CartesianProduct" not in p1
+    t = m.selectExpr("title as answer", "url", "ts")
+    p2 = prioritize_titles(t)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in p2
+    assert "CartesianProduct" not in p2
