@@ -517,6 +517,20 @@ def _person_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASCIIFY_TRAPS = (
+    (100001, "Þórður á Húsavík í Öræfum"),
+    (100002, "ÆÐI — þýðing æviskrár"),
+    (100003, "engin breyting her"),
+    (100004, "emoji \U0001F600 og grísk βήτα falla burt"),
+)
+
+
+def _asciify_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    traps = spark.createDataFrame(
+        list(_ASCIIFY_TRAPS), "doc_id long, text string")
+    return _docs(spark, sf_dir).select("doc_id", "text").unionByName(traps)
+
+
 def _title_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(answer, url, ts) title-mention table with planted 'fyrrverandi'
     prefixes so the ex-mention branch of the scorer is exercised."""
@@ -623,6 +637,34 @@ SELECT row_number() OVER (ORDER BY round(score, 4) DESC, answer)::BIGINT
          AS rank,
        answer, round(score, 4) AS score, n_articles, newest_url
 FROM kept ORDER BY round(score, 4) DESC, answer LIMIT 20
+"""
+
+
+def _asciify_oracle_sql() -> str:
+    """Replacement chain built FROM the same maps the Spark expression
+    uses, so both engines fold identically."""
+    from greynirserver_spark.functions.strings import (
+        ASCIIFY_MULTI,
+        ASCIIFY_ONE_CHAR,
+    )
+
+    traps = ",\n    ".join(
+        "(%d::BIGINT, '%s')" % (i, t.replace("'", "''"))
+        for i, t in _ASCIIFY_TRAPS
+    )
+    expr = "text"
+    for k, v in list(ASCIIFY_ONE_CHAR.items()) + list(ASCIIFY_MULTI):
+        expr = f"replace({expr}, '{k}', '{v}')"
+    expr = f"regexp_replace({expr}, '[^\\x00-\\x7F]', '', 'g')"
+    return f"""
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+    {traps}
+  ) AS v(doc_id, text)
+)
+SELECT doc_id, {expr} AS ascii_text FROM src
 """
 
 
@@ -1167,6 +1209,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             should=["window", "stream"], must_not=["dup"], k=20,
         ),
         "doc_quality": lambda s, d: T.quality_scores(_docs(s, d)),
+        # utility.py:147-184 ascii fold, pure JVM expressions
+        "icelandic_asciify": lambda s, d: _asciify_docs(s, d).select(
+            "doc_id",
+            __import__(
+                "greynirserver_spark.functions.strings", fromlist=["x"]
+            ).icelandic_asciify(F.col("text")).alias("ascii_text"),
+        ),
         "doc_fingerprints": lambda s, d: T.document_fingerprints(_docs(s, d)),
         "unigram_logprob": lambda s, d: T.unigram_logprob_scores(_docs(s, d)),
         "pii_redaction": lambda s, d: __import__(
@@ -1482,6 +1531,7 @@ GROUP BY t.doc_id
         "geo_tagging": _geo_oracle_sql(),
         "topic_assign_cosine": _topic_oracle_sql(),
         "prioritize_titles": _TITLES_SQL,
+        "icelandic_asciify": _asciify_oracle_sql(),
         "recent_persons": _PEOPLE_CTE + """,
 cand AS (
   SELECT * FROM m ORDER BY ts DESC, url, name, title LIMIT 24

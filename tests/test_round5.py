@@ -1162,3 +1162,30 @@ def test_people_and_titles_plans(spark, tmp_path):
         .executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in p2
     assert "CartesianProduct" not in p2
+
+
+def test_icelandic_asciify_matches_reference(spark):
+    """Byte-level pin against a transliteration of utility.py:147-184."""
+    from greynirserver_spark.functions.strings import icelandic_asciify
+
+    cases = [
+        "Þórður á Húsavík í Öræfum",
+        "ÆÐI — þýðing æviskrár",
+        "óbreytt ascii line 123",
+        "emoji \U0001F600 og grísk βήτα",
+    ]
+
+    def ref(text):
+        table = {"ð": "d", "Ð": "D", "á": "a", "Á": "A", "ú": "u",
+                 "Ú": "U", "í": "i", "Í": "I", "é": "e", "É": "E",
+                 "þ": "th", "Þ": "TH", "ó": "o", "Ó": "O", "ý": "y",
+                 "Ý": "Y", "ö": "o", "Ö": "O", "æ": "ae", "Æ": "AE"}
+        t = text
+        for k, v in table.items():
+            t = t.replace(k, v)
+        return t.encode("ascii", "ignore").decode()
+
+    df = spark.createDataFrame([(c,) for c in cases], "text string")
+    got = [r[0] for r in
+           df.select(icelandic_asciify(F.col("text"))).collect()]
+    assert got == [ref(c) for c in cases]
