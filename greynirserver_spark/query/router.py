@@ -56,6 +56,7 @@ _SIMILAR_RE = re.compile(
 _TOPICS_RE = re.compile(
     r"^(?:efnisflokkar|topics of)\s+(.+)$", re.I
 )
+_WHOIS_RE = re.compile(r"^(?:hver er|hver var|who is)\s+(.+)$", re.I)
 
 
 @dataclass
@@ -89,10 +90,14 @@ class Router:
         version_check_interval_s: float = 1.0,
         log_queries: bool = False,
         topics=None,
+        person_mentions: "DataFrame | None" = None,
     ) -> None:
         # `topics`: [(name, (keyword, ...), threshold)] — the
         # reference's Topics.conf; defaults to operators.lsa.TOPICS
+        # `person_mentions`: (name, title, url, ts) — the processor-
+        # built persons table backing the who-is qtype; None disables it
         self.topics_conf = topics
+        self.person_mentions = person_mentions
         self.spark = spark
         self.store = store
         self._cache_size = cache_size
@@ -239,6 +244,9 @@ class Router:
             return Answer("SimilarArticles", self.similar(m.group(1), k))
         if m := _TOPICS_RE.match(q):
             return Answer("ArticleTopics", self.topics(m.group(1)))
+        if (m := _WHOIS_RE.match(q)) and self.person_mentions is not None:
+            return Answer("Person", self.whois(m.group(1), k),
+                          [m.group(1)])
         if m := _PHRASE_RE.match(q):
             words = [t for t in re.split(PY_TOKEN_SPLIT_RE, m.group(1).lower())
                      if t]
@@ -473,6 +481,20 @@ class Router:
             .select("topic", F.round("sim_raw", 4).alias("sim"))
             .orderBy(F.desc("sim"), F.asc("topic"))
         )
+
+    def whois(self, name: str, k: int = 10) -> DataFrame:
+        """(rank, answer, score, n_articles, newest_url): the "hver er
+        X" qtype — the person's candidate titles ranked by the
+        reference scorer (queries/builtin.py:225-335) over the injected
+        persons table."""
+        from ..operators.titles import prioritize_titles
+
+        cand = (
+            self.person_mentions
+            .where(F.lower(F.col("name")) == name.lower())
+            .select(F.col("title").alias("answer"), "url", "ts")
+        )
+        return prioritize_titles(cand, limit=k)
 
     def newest(self, limit: int = _MAX_URLS) -> DataFrame:
         """Newest articles (ArticleListQuery db/sql.py:369-410), capped

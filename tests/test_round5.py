@@ -1189,3 +1189,30 @@ def test_icelandic_asciify_matches_reference(spark):
     got = [r[0] for r in
            df.select(icelandic_asciify(F.col("text"))).collect()]
     assert got == [ref(c) for c in cases]
+
+
+def test_router_whois_route(spark, tmp_path):
+    import datetime as dt
+
+    from greynirserver_spark.corpus import generate_pages
+    from greynirserver_spark.plans.lineage import build_index_checkpointed
+    from greynirserver_spark.query.router import Router
+
+    store = build_index_checkpointed(
+        spark, generate_pages(spark, 120), str(tmp_path / "s"), n_shards=4)
+    d0 = dt.date(2026, 5, 1)
+    mentions = spark.createDataFrame(
+        [("Jón Jónsson", "forsætisráðherra", "u/1", d0),
+         ("Jón Jónsson", "forsætisráðherra", "u/2", d0),
+         ("Jón Jónsson", "þingmaður", "u/3", d0),
+         ("Anna Pála", "ritstjóri", "u/4", d0)],
+        "name string, title string, url string, ts date")
+    r = Router(spark, store, person_mentions=mentions)
+    ans = r.execute("hver er Jón Jónsson", k=5)
+    assert ans.qtype == "Person"
+    rows = ans.df.collect()
+    assert [x["answer"] for x in rows][:1] == ["forsætisráðherra"]
+    assert all(x["answer"] != "ritstjóri" for x in rows)
+    # without a persons table the pattern falls through to Search
+    r2 = Router(spark, store)
+    assert r2.execute("hver er Jón Jónsson", k=5).qtype == "Search"
