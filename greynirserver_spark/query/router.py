@@ -13,6 +13,10 @@ surface it ultimately hits is small and relational:
 | WordFrequency timeline | WordFrequencyQuery (db/sql.py:413-466) | :meth:`Router.word_frequency` |
 | ArticleCount | ArticleCountQuery (db/sql.py:338-366) | :meth:`Router.article_count` |
 | NewestArticles | ArticleListQuery (db/sql.py:369-410) | :meth:`Router.newest` |
+| PhraseSearch ("..." quoted) | positional index | :meth:`Router.phrase` |
+| SimilarArticles | simserver /similar (vectors/simserver.py:232-290) | :meth:`Router.similar` — LSA cosine |
+| ArticleTopics | ArticleTopic tags (vectors/builder.py:471-530) | :meth:`Router.topics` |
+| Person ("hver er X") | title ranking (queries/builtin.py:225-335) | :meth:`Router.whois` |
 
 Plain-text pattern matching (the reference's regex matchers,
 queries/words.py:202-247) picks the qtype; everything else is a
