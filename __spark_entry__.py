@@ -517,6 +517,21 @@ def _person_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DEF_TRAPS = (
+    (200001, "Jón Jónsson er forsætisráðherra landsins. Hann fór heim."),
+    (200002, "ekkert hér. Reykjavík er höfuðborg Íslands"),
+    (200003, "Anna Pála var ritstjóri blaðsins. Þau eru vinir."),
+    (200004, "lágstafir er ekki nafn og Greinin ER HÁSTAFA ekki skilgreining"),
+    (200005, "Alþingi eru elsta löggjafarsamkoma heims. Svo er það."),
+)
+
+
+def _def_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    traps = spark.createDataFrame(
+        list(_DEF_TRAPS), "doc_id long, text string")
+    return _docs(spark, sf_dir).select("doc_id", "text").unionByName(traps)
+
+
 _ASCIIFY_TRAPS = (
     (100001, "Þórður á Húsavík í Öræfum"),
     (100002, "ÆÐI — þýðing æviskrár"),
@@ -665,6 +680,32 @@ WITH src AS (
   ) AS v(doc_id, text)
 )
 SELECT doc_id, {expr} AS ascii_text FROM src
+"""
+
+
+def _definitions_oracle_sql() -> str:
+    from greynirserver_spark.functions.ner import DEFINITION_RE
+
+    traps = ",\n    ".join(
+        "(%d::BIGINT, '%s')" % (i, t.replace("'", "''"))
+        for i, t in _DEF_TRAPS
+    )
+    pat = DEFINITION_RE.replace("'", "''")
+    return f"""
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+    {traps}
+  ) AS v(doc_id, text)
+), mm AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{pat}')) AS m
+  FROM src
+)
+SELECT DISTINCT doc_id,
+       regexp_extract(m, '{pat}', 1) AS name,
+       regexp_extract(m, '{pat}', 2) AS definition
+FROM mm
 """
 
 
@@ -1209,6 +1250,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             should=["window", "stream"], must_not=["dup"], k=20,
         ),
         "doc_quality": lambda s, d: T.quality_scores(_docs(s, d)),
+        # entities-processor parity: copular definition extraction
+        "entity_definitions": lambda s, d: __import__(
+            "greynirserver_spark.functions.ner", fromlist=["x"]
+        ).extract_definitions(_def_docs(s, d)),
         # utility.py:147-184 ascii fold, pure JVM expressions
         "icelandic_asciify": lambda s, d: _asciify_docs(s, d).select(
             "doc_id",
@@ -1532,6 +1577,7 @@ GROUP BY t.doc_id
         "topic_assign_cosine": _topic_oracle_sql(),
         "prioritize_titles": _TITLES_SQL,
         "icelandic_asciify": _asciify_oracle_sql(),
+        "entity_definitions": _definitions_oracle_sql(),
         "recent_persons": _PEOPLE_CTE + """,
 cand AS (
   SELECT * FROM m ORDER BY ts DESC, url, name, title LIMIT 24

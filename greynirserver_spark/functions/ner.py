@@ -289,3 +289,44 @@ def recognize_entities(
         )
     )
     return base.unionByName(backrefs)
+
+
+# Icelandic copular definition extraction — the analytics-parity core of
+# the reference's entities tree processor (/root/reference/processors/
+# entities.py:66,407-546: "X er/var Y" sentences become entity
+# definitions, served by the "hvað er X" qtype).  The reference walks
+# parse trees; here a sentence-anchored regex captures the same
+# (capitalized-name, lowercase-definition) shape — pure JVM, held to the
+# Java/RE2 common subset so a DuckDB oracle matches byte-for-byte.
+DEFINITION_RE = (
+    "(?:^|[.!?] )"
+    "([A-ZÁÉÍÓÚÝÞÆÖ][\\p{L}-]*(?: [A-ZÁÉÍÓÚÝÞÆÖ][\\p{L}-]*)*)"
+    " (?:er|var|eru|voru) "
+    # head word lowercase (rejects 'Greinin ER HÁSTAFA'), continuation
+    # words any case so proper-noun genitives stay in the definition
+    # ('höfuðborg Íslands', 'fjall við Reykjavík')
+    "([a-záéíóúýþæö][\\p{L}-]*(?: [\\p{L}][\\p{L}-]*){0,5})"
+)
+
+
+def extract_definitions(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, name, definition): copular definition sentences.
+
+    One `regexp_extract_all` pass per document (whole-stage codegen),
+    then the two groups re-extracted from each match — no Python, no
+    shuffle until the final distinct."""
+    m = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(DEFINITION_RE),
+                                 F.lit(0))
+        ).alias("m"),
+    )
+    return (
+        m.select(
+            "doc_id",
+            F.regexp_extract("m", DEFINITION_RE, 1).alias("name"),
+            F.regexp_extract("m", DEFINITION_RE, 2).alias("definition"),
+        )
+        .distinct()
+    )

@@ -61,6 +61,7 @@ _TOPICS_RE = re.compile(
     r"^(?:efnisflokkar|topics of)\s+(.+)$", re.I
 )
 _WHOIS_RE = re.compile(r"^(?:hver er|hver var|who is)\s+(.+)$", re.I)
+_WHATIS_RE = re.compile(r"^(?:hvað er|hvað var|what is)\s+(.+)$", re.I)
 
 
 @dataclass
@@ -95,13 +96,17 @@ class Router:
         log_queries: bool = False,
         topics=None,
         person_mentions: "DataFrame | None" = None,
+        entity_definitions: "DataFrame | None" = None,
     ) -> None:
         # `topics`: [(name, (keyword, ...), threshold)] — the
         # reference's Topics.conf; defaults to operators.lsa.TOPICS
         # `person_mentions`: (name, title, url, ts) — the processor-
         # built persons table backing the who-is qtype; None disables it
+        # `entity_definitions`: (name, definition, doc_id) — the
+        # extract_definitions output backing the what-is qtype
         self.topics_conf = topics
         self.person_mentions = person_mentions
+        self.entity_definitions = entity_definitions
         self.spark = spark
         self.store = store
         self._cache_size = cache_size
@@ -250,6 +255,10 @@ class Router:
             return Answer("ArticleTopics", self.topics(m.group(1)))
         if (m := _WHOIS_RE.match(q)) and self.person_mentions is not None:
             return Answer("Person", self.whois(m.group(1), k),
+                          [m.group(1)])
+        if (m := _WHATIS_RE.match(q)) \
+                and self.entity_definitions is not None:
+            return Answer("Entity", self.whatis(m.group(1), k),
                           [m.group(1)])
         if m := _PHRASE_RE.match(q):
             words = [t for t in re.split(PY_TOKEN_SPLIT_RE, m.group(1).lower())
@@ -497,6 +506,24 @@ class Router:
             self.person_mentions
             .where(F.lower(F.col("name")) == name.lower())
             .select(F.col("title").alias("answer"), "url", "ts")
+        )
+        return prioritize_titles(cand, limit=k)
+
+    def whatis(self, name: str, k: int = 10) -> DataFrame:
+        """The "hvað er X" qtype: the entity's extracted copular
+        definitions (functions/ner.py::extract_definitions — the
+        entities-processor output, processors/entities.py:407-546)
+        ranked by the same scorer as who-is, with article url/ts joined
+        from the snapshot's doc_map."""
+        from ..operators.titles import prioritize_titles
+
+        cand = (
+            self.entity_definitions
+            .where(F.lower(F.col("name")) == name.lower())
+            .join(self.doc_map.select("doc_id", "url", "warc_ts"),
+                  "doc_id")
+            .select(F.col("definition").alias("answer"), "url",
+                    F.to_date("warc_ts").alias("ts"))
         )
         return prioritize_titles(cand, limit=k)
 

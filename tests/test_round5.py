@@ -1216,3 +1216,37 @@ def test_router_whois_route(spark, tmp_path):
     # without a persons table the pattern falls through to Search
     r2 = Router(spark, store)
     assert r2.execute("hver er Jón Jónsson", k=5).qtype == "Search"
+
+
+def test_router_whatis_route(spark, tmp_path):
+    """End-to-end: definitions EXTRACTED from the indexed pages' own
+    text feed the what-is qtype."""
+    from greynirserver_spark.corpus import generate_pages
+    from greynirserver_spark.functions.ner import extract_definitions
+    from greynirserver_spark.plans.lineage import build_index_checkpointed
+    from greynirserver_spark.query.router import Router
+
+    pages = generate_pages(spark, 120)
+    store = build_index_checkpointed(
+        spark, pages, str(tmp_path / "s"), n_shards=4)
+    # plant definition sentences into extracted text keyed to REAL
+    # doc ids so the doc_map join resolves
+    base = Router(spark, store)
+    ids = [r["doc_id"] for r in base.doc_map.orderBy("doc_id")
+           .limit(3).collect()]
+    texts = spark.createDataFrame(
+        [(ids[0], "Alþingi er elsta löggjafarsamkoma heims."),
+         (ids[1], "Alþingi er löggjafarsamkoma heims og fleira."),
+         (ids[2], "Esjan er fjall við Reykjavík.")],
+        "doc_id long, text string")
+    defs = extract_definitions(texts)
+    r = Router(spark, store, entity_definitions=defs)
+    ans = r.execute("hvað er Alþingi", k=5)
+    assert ans.qtype == "Entity"
+    rows = ans.df.collect()
+    assert len(rows) == 2
+    assert all("löggjafarsamkoma" in x["answer"] for x in rows)
+    assert r.execute("hvað er Esjan", k=5).df.collect()[0]["answer"] \
+        == "fjall við Reykjavík"
+    # no definitions table -> falls through to Search
+    assert base.execute("hvað er Alþingi", k=5).qtype == "Search"
