@@ -1320,6 +1320,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dup_groups": lambda s, d: __import__(
             "greynirserver_spark.operators.urls", fromlist=["x"]
         ).url_dup_groups(_url_docs(s, d)),
+        "fetch_plan": lambda s, d: __import__(
+            "greynirserver_spark.operators.urls", fromlist=["x"]
+        ).fetch_plan(_url_docs(s, d)),
+        # seed-trained multinomial NB gate (CCNet/GPT-3-class): label
+        # the doc_id%5!=0 split by 'spark'-presence, fit, score ALL
+        "nb_seed_classifier": lambda s, d: __import__(
+            "greynirserver_spark.operators.classifier", fromlist=["x"]
+        ).nb_seed_classifier(_docs(s, d)),
+        # BPE iteration-0 pair table; the full training loop is
+        # iterative (non-SQL) — merges below are a rows-only entry,
+        # pinned against pure-Python Sennrich BPE in tests/test_bpe.py
+        "bpe_pair_counts": lambda s, d: __import__(
+            "greynirserver_spark.operators.bpe", fromlist=["x"]
+        ).bpe_pair_counts(_docs(s, d)),
+        "bpe_merges": lambda s, d: (lambda B: s.createDataFrame(
+            [(i + 1, l, r) for i, (l, r) in enumerate(
+                B.train_bpe(_docs(s, d), num_merges=20)[0])],
+            "rank long, left_sym string, right_sym string",
+        ))(__import__("greynirserver_spark.operators.bpe", fromlist=["x"])),
         # the synthetic sources are uniform (25 docs each), which would
         # make temperature sampling a no-op — skew them first (half the
         # corpus folded into one head domain) so the oracle checks real
@@ -1622,6 +1641,79 @@ SELECT doc_id, url, canonical_url FROM canon
 SELECT canonical_url, count(*)::BIGINT AS n_urls,
        min(doc_id) AS min_doc_id
 FROM canon GROUP BY canonical_url
+""",
+        "fetch_plan": _URL_CTE + """, fp AS (
+  SELECT c.url, p.host, c.canonical_url,
+         row_number() OVER (PARTITION BY p.host
+                            ORDER BY c.canonical_url, c.url) AS rn
+  FROM canon c JOIN parts p ON c.doc_id = p.doc_id AND c.url = p.url
+  WHERE c.canonical_url IS NOT NULL
+)
+SELECT url, host,
+       ((rn - 1) // 4)::BIGINT AS wave,
+       ((rn - 1) % 4)::BIGINT AS slot
+FROM fp
+""",
+        "nb_seed_classifier": _TOK_CTE + """,
+train AS (SELECT doc_id, term FROM tokf WHERE doc_id % 5 <> 0),
+lab AS (
+  SELECT doc_id,
+         max(CASE WHEN term = 'spark' THEN 1 ELSE 0 END)::BIGINT AS label
+  FROM train GROUP BY 1
+),
+tc AS (
+  SELECT t.term,
+         sum(l.label)::BIGINT AS n1,
+         (count(*) - sum(l.label))::BIGINT AS n0
+  FROM train t JOIN lab l USING (doc_id)
+  GROUP BY 1
+),
+tot AS (
+  SELECT sum(n1)::DOUBLE AS t1, sum(n0)::DOUBLE AS t0,
+         count(*)::BIGINT AS v
+  FROM tc
+),
+pri AS (
+  SELECT sum(label)::DOUBLE AS n_pos,
+         (count(*) - sum(label))::DOUBLE AS n_neg
+  FROM lab
+),
+model AS (
+  SELECT term,
+         round((ln((n1 + 1.0) / (t1 + v))
+                - ln((n0 + 1.0) / (t0 + v))) * 1e6, 0)::BIGINT
+           AS llr_micro
+  FROM tc CROSS JOIN tot
+),
+konst AS (
+  SELECT round(ln((n_pos + 1.0) / (n_neg + 1.0)) * 1e6, 0)::BIGINT
+           AS prior_micro,
+         round((ln(1.0 / (t1 + v)) - ln(1.0 / (t0 + v))) * 1e6, 0)::BIGINT
+           AS unk_micro
+  FROM tot CROSS JOIN pri
+)
+SELECT t.doc_id,
+       count(*)::BIGINT AS n_tokens,
+       round((any_value(k.prior_micro)
+              + sum(coalesce(m.llr_micro, k.unk_micro))) / 1e6, 4)
+         AS nb_llr,
+       (round((any_value(k.prior_micro)
+               + sum(coalesce(m.llr_micro, k.unk_micro))) / 1e6, 4) > 0)
+         ::BIGINT AS nb_label
+FROM tokf t LEFT JOIN model m USING (term) CROSS JOIN konst k
+GROUP BY t.doc_id
+""",
+        "bpe_pair_counts": _TOK_CTE + """,
+wc AS (SELECT term AS word, count(*)::BIGINT AS n FROM tokf GROUP BY 1),
+pos AS (
+  SELECT word, n, unnest(generate_series(1, length(word))) AS i FROM wc
+)
+SELECT substr(word, i, 1) AS left_sym,
+       CASE WHEN i < length(word) THEN substr(word, i + 1, 1)
+            ELSE '</w>' END AS right_sym,
+       sum(n)::BIGINT AS cnt
+FROM pos
+GROUP BY 1, 2
 """,
         "source_temperature_sample": """
 WITH sk AS (

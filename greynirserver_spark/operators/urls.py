@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["canonical_url", "normalize_urls", "url_dup_groups",
-           "incremental_url_seen", "TRACKING_PARAM_RE"]
+           "incremental_url_seen", "fetch_plan", "TRACKING_PARAM_RE"]
 
 # query parameters that never identify content (RE2/Java common subset)
 TRACKING_PARAM_RE = "^(utm_[^=]*|fbclid|gclid|ref)="
@@ -183,3 +183,52 @@ def incremental_url_seen(
     )
     append_run(spark, store_root, new_keys, run_id=run_id)
     return out
+
+
+def fetch_plan(
+    df: DataFrame, url_col: str = "url", per_host: int = 4
+) -> DataFrame:
+    """(url, host, wave, slot): politeness-scheduled fetch plan — the
+    reference scrapes per-root with one helper process per news root
+    and an implicit one-at-a-time budget per site
+    (/root/reference/scraper.py::Scraper._scrape_single_root); at
+    crawl scale the same invariant is "at most *per_host* in-flight
+    fetches per host per wave".  Rows are numbered within their host
+    (deterministic order: canonical URL) and cut into waves of
+    *per_host*; a scheduler executes wave 0 across all hosts, then
+    wave 1, never exceeding the per-host budget while keeping every
+    host busy — the long tail of small hosts finishes in wave 0 and
+    the plan's depth is ceil(max_host_frontier / per_host).
+
+    Scale shape: one window partitioned by host.  A single host's
+    frontier lands in one partition, which is exactly the politeness
+    constraint's locality (its wave assignment is a per-host serial
+    order); pathological single-host floods should be capped upstream
+    with ``source_cap_sample`` (operators/webclean.py), the same
+    composition a real frontier uses.  Unparseable URLs are dropped,
+    as in ``url_dup_groups``.
+    """
+    from pyspark.sql import Window
+
+    canon = canonical_url(F.col(url_col))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(F.col(url_col), _HOST_RE, 1)),
+        r"^www\.", "",
+    )
+    # tiebreak on the raw url: distinct spellings of the SAME canonical
+    # form otherwise tie and the wave split becomes nondeterministic
+    w = Window.partitionBy("host").orderBy("canonical_url", "url")
+    return (
+        df.select(
+            F.col(url_col).alias("url"),
+            host.alias("host"),
+            canon.alias("canonical_url"),
+        )
+        .where(F.col("canonical_url").isNotNull())
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "url", "host",
+            ((F.col("rn") - 1) / per_host).cast("long").alias("wave"),
+            ((F.col("rn") - 1) % per_host).cast("long").alias("slot"),
+        )
+    )
