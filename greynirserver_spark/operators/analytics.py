@@ -236,7 +236,8 @@ def term_autocomplete(docs: DataFrame, prefix: str, limit: int = 10) -> DataFram
 
 
 def fuzzy_term_lookup(
-    docs: DataFrame, query: str, k: int = 10, max_dist: int = 2
+    docs: "DataFrame | None", query: str, k: int = 10, max_dist: int = 2,
+    vocab: "DataFrame | None" = None,
 ) -> DataFrame:
     """(term, df, lev, jaccard): spell-tolerant vocabulary lookup — the
     query path that maps a non-vocabulary token (typo, OCR noise) to
@@ -261,7 +262,9 @@ def fuzzy_term_lookup(
     q = query.lower()
     padded = f"^{q}$"
     qtris = sorted({padded[i:i + 3] for i in range(len(padded) - 2)})
-    vocab = document_term_stats(docs, min_df=1).select("term", "df")
+    if vocab is None:
+        vocab = document_term_stats(docs, min_df=1)
+    vocab = vocab.select("term", "df")
     p = F.concat(F.lit("^"), F.col("term"), F.lit("$"))
     tris = F.array_distinct(
         F.transform(

@@ -155,6 +155,67 @@ class Router:
         self._idf_cache: dict = {}
         self._version = _segments_version(self.store)
 
+    def spell_correct(
+        self, terms: List[str], max_dist: int = 2
+    ) -> List[str]:
+        """Map query tokens absent from the index vocabulary to their
+        closest indexed term; in-vocabulary tokens pass through
+        untouched.  The reference corrects tokens through static
+        replacement dictionaries loaded from resource files
+        (/root/reference/tools/trigrams.py:116-137); here the store's
+        own ``term_stats`` view IS the dictionary, so corrections track
+        the corpus with zero curation.  Candidate generation + ranking
+        is ``fuzzy_term_lookup``'s single codegen pass (trigram filter,
+        Levenshtein verify, df as the final tie-break signal) over the
+        vocabulary scan; a term with no candidate within *max_dist*
+        stays as typed (it will simply score nothing, the reference's
+        drop-unknown-words behavior, search.py).
+
+        Terms live in index space (``stem/category`` keys, the
+        `query_to_terms` output): a typo arrives as ``typo/entity``
+        (the unknown-token default), so matching runs on the STEM part
+        against the store's stem vocabulary, and the correction is the
+        highest-df full index key for the winning stem.
+
+        Driver cost: one bounded IN-probe for the literal query terms
+        plus two tiny jobs per unknown term — queries carry a handful
+        of tokens, so this is O(terms) small jobs, never O(vocab)
+        driver state."""
+        from ..operators.analytics import fuzzy_term_lookup
+
+        uniq = sorted({t for t in terms})
+        stats = self.store.load(self.spark, "term_stats")
+        present = {
+            r["term"]
+            for r in stats.where(F.col("term").isin(uniq))
+            .select("term").collect()
+        }
+        stem_col = F.split(F.col("term"), "/")[0]
+        stem_vocab = (
+            stats.select(stem_col.alias("term"), "df")
+            .groupBy("term")
+            .agg(F.sum("df").cast("long").alias("df"))
+        )
+        fixed = {}
+        for t in uniq:
+            if t in present:
+                continue
+            stem = t.split("/", 1)[0]
+            hit = fuzzy_term_lookup(
+                None, stem, k=1, max_dist=max_dist, vocab=stem_vocab
+            ).collect()
+            if not hit:
+                continue
+            full = (
+                stats.where(stem_col == hit[0]["term"])
+                .orderBy(F.desc("df"), F.asc("term"))
+                .select("term")
+                .first()
+            )
+            if full is not None:
+                fixed[t] = full["term"]
+        return [fixed.get(t, t) for t in terms]
+
     def _term_idf(self, terms) -> "dict | None":
         if not self._exact_stats:
             return None
@@ -269,7 +330,9 @@ class Router:
 
     # ---------------------------------------------------------- handlers
 
-    def search(self, terms: List[str], k: int = 10) -> DataFrame:
+    def search(
+        self, terms: List[str], k: int = 10, autocorrect: bool = False
+    ) -> DataFrame:
         """BM25 top-k joined to urls — the reference's similarity answer
         list (search.py:119-214), capped like _MAXLEN_SEARCH.
 
@@ -284,6 +347,8 @@ class Router:
         #1 — no k + n_tomb heap anywhere)."""
         from pyspark.sql.window import Window
 
+        if autocorrect:
+            terms = self.spell_correct(terms)
         k = min(k, _MAXLEN_ANSWER)
         term_idf = self._term_idf(sorted(set(terms)))
         kk = k + min(self._n_tombstones, 3 * k)

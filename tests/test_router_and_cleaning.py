@@ -252,3 +252,32 @@ def test_router_query_log(spark, tmp_path):
     assert qtypes == ["NewestArticles", "Search"]
     for r in recs:
         assert r["wall_ms"] >= 0 and r["n_rows"] >= 0
+
+
+def test_spell_correct_serving_path(router):
+    """Typo'd query tokens map to the store's own vocabulary and the
+    autocorrected search serves exactly what the corrected terms
+    would; in-vocabulary tokens pass through untouched."""
+    from greynirserver_spark.plans.pipeline import query_to_terms
+
+    stem = indexable_stems_by_rank(1)[0]
+    good = query_to_terms(stem)          # ['<stem>/<cat>'] in-vocab
+    typo = query_to_terms(stem + "x")    # ['<stem>x/entity'] unknown
+
+    # passthrough for known terms
+    assert router.spell_correct(good) == good
+
+    fixed = router.spell_correct(typo)
+    assert fixed != typo
+    stats = router.store.load(router.spark, "term_stats")
+    assert stats.where(F.col("term") == fixed[0]).count() == 1
+
+    got = router.search(typo, k=5, autocorrect=True).collect()
+    want = router.search(fixed, k=5).collect()
+    assert len(got) > 0
+    assert [r.doc_id for r in got] == [r.doc_id for r in want]
+
+    # no candidate within max_dist: the token stays as typed
+    assert router.spell_correct(["qqqqqqqqqq/entity"]) == [
+        "qqqqqqqqqq/entity"
+    ]
