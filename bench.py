@@ -258,6 +258,20 @@ def main() -> None:
     timed("q8b_pii_redact", lambda: pii_redact(docs).count())
     timed("q8c_unigram_logprob",
           lambda: T.unigram_logprob_scores(docs).count())
+    from greynirserver_spark.operators.classifier import nb_seed_classifier
+
+    timed("q8d_nb_seed_classifier",
+          lambda: nb_seed_classifier(docs).count())
+
+    # --- q12: BPE vocabulary training (iterative; 12 JVM merge
+    #     rounds over the word-frequency table, 1-row argmax each) ---
+    from greynirserver_spark.operators import bpe as BP
+
+    def q12():
+        merges, vocab = BP.train_bpe(docs, num_merges=12)
+        return BP.encode_stats(docs, vocab).count()
+
+    timed("q12_bpe_train12_encode", q12)
 
     # --- q9: exact-phrase search (positional offset alignment) ---
     from greynirserver_spark.operators import phrase as PH
