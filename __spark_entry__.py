@@ -1467,6 +1467,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_stats": lambda s, d: __import__(
             "greynirserver_spark.operators.webclean", fromlist=["webclean"]
         ).source_stats(_docs(s, d)),
+        # exact per-source token quantiles from the value histogram
+        # (scale-safe: no per-group percentile buffering)
+        "source_token_report": lambda s, d: __import__(
+            "greynirserver_spark.operators.webclean", fromlist=["webclean"]
+        ).source_token_report(_docs(s, d)),
         "random_sample": lambda s, d: A.random_sample(_docs(s, d), n=50),
         "latest_event_per_user": lambda s, d: A.latest_event_per_user(s, d),
         "top_users_by_active_days": lambda s, d: A.top_users_by_active_days(s, d),
@@ -2211,6 +2216,44 @@ SELECT source, n_docs, total_chars,
        round(n_docs / all_docs, 6) AS docs_share,
        round(n_docs / (all_docs / n_sources), 6) AS skew_ratio
 FROM per, tot
+""",
+        "source_token_report": _TOK_CTE + """,
+dc AS (
+  SELECT d.doc_id, d.source, coalesce(t.n_tokens, 0) AS n_tokens
+  FROM documents d LEFT JOIN (
+    SELECT doc_id, count(*)::BIGINT AS n_tokens FROM tokf GROUP BY 1
+  ) t USING (doc_id)
+),
+base AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(n_tokens)::BIGINT AS total_tokens,
+         round(avg(n_tokens), 4) AS mean_tokens
+  FROM dc GROUP BY 1
+),
+hist AS (
+  SELECT source, n_tokens, count(*)::BIGINT AS c FROM dc GROUP BY 1, 2
+),
+cum AS (
+  SELECT source, n_tokens,
+         sum(c) OVER (PARTITION BY source ORDER BY n_tokens
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hist
+),
+q50 AS (
+  SELECT c.source, min(c.n_tokens)::BIGINT AS q50_tokens
+  FROM cum c JOIN base b USING (source)
+  WHERE c.cum >= (b.n_docs * 50 + 99) // 100
+  GROUP BY 1
+),
+q90 AS (
+  SELECT c.source, min(c.n_tokens)::BIGINT AS q90_tokens
+  FROM cum c JOIN base b USING (source)
+  WHERE c.cum >= (b.n_docs * 90 + 99) // 100
+  GROUP BY 1
+)
+SELECT b.source, b.n_docs, b.total_tokens, b.mean_tokens,
+       q50.q50_tokens, q90.q90_tokens
+FROM base b JOIN q50 USING (source) JOIN q90 USING (source)
 """,
         "latest_event_per_user": """
 SELECT user_id, event_id, ts, event_type FROM (

@@ -58,7 +58,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from ..tokenization import MAX_WORD_LEN, TOKEN_SPLIT_RE
 
 __all__ = ["span_dedup", "source_cap_sample", "source_stats",
-           "source_temperature_sample"]
+           "source_temperature_sample", "source_token_report"]
 
 
 def _tokens_arr() -> Column:
@@ -257,3 +257,69 @@ def source_temperature_sample(docs: DataFrame, alpha: float = 0.5) -> DataFrame:
         .where(u < F.col("p_keep"))
         .select("doc_id", "source", F.round("p_keep", 6).alias("p_keep"))
     )
+
+
+def source_token_report(
+    docs: DataFrame, quantiles: "tuple[int, ...]" = (50, 90)
+) -> DataFrame:
+    """(source, n_docs, total_tokens, mean_tokens, q50_tokens,
+    q90_tokens): the per-source token-budget report a pipeline owner
+    reads before mixing sources — volumes, means, and EXACT
+    distribution quantiles of per-document token counts.
+
+    Quantiles are computed from the (source, n_tokens) value HISTOGRAM
+    with a running-count window, not from Spark's `percentile`
+    aggregate: exact `percentile` buffers every group's values on one
+    task, which at 10^12 documents per head source is an OOM, while
+    the histogram is bounded by the number of DISTINCT token counts
+    (≤ max doc length, ~10^5) regardless of corpus size.  The quantile
+    rule is explicit type-1 (value at rank ``ceil(q·n)``, 1-indexed) so
+    the same formula is expressible verbatim in the SQL oracle —
+    no reliance on any engine's interpolation flavor.
+
+    Scale shape: one groupBy(doc_id) for token counts, one
+    groupBy(source, n_tokens) for the histogram, a per-source window
+    over ≤|distinct counts| histogram rows (never document rows), and
+    two broadcast-size joins.  Zero-token documents count with
+    n_tokens = 0 (unlike the scoring operators, a volume report must
+    not lose rows).
+    """
+    from .textops import document_tokens
+
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select("doc_id", "source")
+        .join(
+            document_tokens(docs).groupBy("doc_id").agg(
+                F.count("*").cast("long").alias("n_tokens")
+            ),
+            "doc_id", "left",
+        )
+        .withColumn("n_tokens", F.coalesce("n_tokens", F.lit(0)))
+    )
+    base = counts.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("mean_tokens"),
+    )
+    hist = counts.groupBy("source", "n_tokens").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    w = (
+        Window.partitionBy("source").orderBy("n_tokens")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    out = base
+    for pct in quantiles:
+        name = f"q{pct:02d}_tokens"
+        rank = F.floor((F.col("n_docs") * F.lit(pct) + 99) / 100)
+        ranked = (
+            cum.join(base.select("source", "n_docs"), "source")
+            .where(F.col("cum") >= rank)
+            .groupBy("source")
+            .agg(F.min("n_tokens").cast("long").alias(name))
+        )
+        out = out.join(ranked, "source")
+    return out

@@ -117,3 +117,37 @@ def test_span_dedup_plan_has_no_cartesian_and_partial_agg(spark, webclean):
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "partial" in plan.lower()  # map-side combine on the digest agg
+
+
+def test_source_token_report_exact_quantiles(spark):
+    """Hand-computed type-1 quantiles, zero-token docs included, and
+    the histogram plan never buffers per-group values."""
+    from pyspark.sql import functions as F
+    from greynirserver_spark.operators.webclean import source_token_report
+
+    # source a: token counts [1,2,3,4,10]; source b: [0 (empty), 5]
+    rows = [
+        (1, "a", "x"), (2, "a", "x y"), (3, "a", "x y z"),
+        (4, "a", "x y z w"), (5, "a", " ".join(["t"] * 10)),
+        (6, "b", ""), (7, "b", "a b c d e"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    out = {r["source"]: r for r in source_token_report(docs).collect()}
+    a, b = out["a"], out["b"]
+    assert a["n_docs"] == 5 and a["total_tokens"] == 20
+    # rank ceil(50*5/100)=3 -> 3rd smallest = 3; ceil(90*5/100)=5 -> 10
+    assert a["q50_tokens"] == 3 and a["q90_tokens"] == 10
+    assert a["mean_tokens"] == 4.0
+    # empty doc participates: counts [0,5]; rank 1 -> 0, rank 2 -> 5
+    assert b["n_docs"] == 2 and b["q50_tokens"] == 0
+    assert b["q90_tokens"] == 5
+
+    plan = (
+        source_token_report(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "percentile" not in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
