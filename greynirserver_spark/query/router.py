@@ -314,6 +314,21 @@ class Router:
             return Answer("SimilarArticles", self.similar(m.group(1), k))
         if m := _TOPICS_RE.match(q):
             return Answer("ArticleTopics", self.topics(m.group(1)))
+        # arithmetic outranks the who-is/what-is patterns: "hvað er 5
+        # sinnum 7" must not be treated as an entity question (the
+        # reference's grammar disambiguates the same way — a parsed
+        # QArithmetic wins over the builtin qtypes)
+        from .arithmetic import parse_arithmetic
+
+        if (ar := parse_arithmetic(q)) is not None:
+            row = [(ar["expr"], ar["value"], ar["answer"])]
+            return Answer(
+                "Arithmetic",
+                self.spark.createDataFrame(
+                    row, "expr string, value double, answer string"
+                ),
+                [ar["op"]],
+            )
         if (m := _WHOIS_RE.match(q)) and self.person_mentions is not None:
             return Answer("Person", self.whois(m.group(1), k),
                           [m.group(1)])

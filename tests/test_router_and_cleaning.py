@@ -281,3 +281,20 @@ def test_spell_correct_serving_path(router):
     assert router.spell_correct(["qqqqqqqqqq/entity"]) == [
         "qqqqqqqqqq/entity"
     ]
+
+
+def test_arithmetic_dispatch_outranks_entity_qtypes(router):
+    """'hvað er 5 sinnum 7' is Arithmetic, not Entity/Search; the
+    answer row carries the reference's expression key and Icelandic
+    number format."""
+    ans = router.execute("Hvað er 5 sinnum 7?")
+    assert ans.qtype == "Arithmetic"
+    row = ans.df.first()
+    assert row["value"] == 35.0 and row["answer"] == "35"
+    assert row["expr"] == "5.0 * 7.0"
+    # division by zero: refusal text, NULL value (arithmetic.py:557)
+    z = router.execute("Hvað er 9 deilt með 0?")
+    assert z.qtype == "Arithmetic"
+    assert z.df.first()["value"] is None
+    # non-arithmetic 'hvað er' still falls through to the next qtype
+    assert router.execute("nýjustu greinar").qtype == "NewestArticles"
