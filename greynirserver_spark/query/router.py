@@ -29,6 +29,7 @@ from __future__ import annotations
 import re
 import time
 from collections import OrderedDict
+from datetime import date as _date
 from dataclasses import dataclass, field
 from typing import List, Optional
 
@@ -97,6 +98,7 @@ class Router:
         topics=None,
         person_mentions: "DataFrame | None" = None,
         entity_definitions: "DataFrame | None" = None,
+        clock=None,
     ) -> None:
         # `topics`: [(name, (keyword, ...), threshold)] — the
         # reference's Topics.conf; defaults to operators.lsa.TOPICS
@@ -104,6 +106,10 @@ class Router:
         # built persons table backing the who-is qtype; None disables it
         # `entity_definitions`: (name, definition, doc_id) — the
         # extract_definitions output backing the what-is qtype
+        # `clock`: () -> datetime.date, injectable so date answers are
+        # deterministic in tests (the reference reads the worker's
+        # wall clock, date.py:120-123)
+        self.clock = clock
         self.topics_conf = topics
         self.person_mentions = person_mentions
         self.entity_definitions = entity_definitions
@@ -328,6 +334,20 @@ class Router:
                     row, "expr string, value double, answer string"
                 ),
                 [ar["op"]],
+            )
+        from .dates import parse_date_query
+
+        nowd = self.clock() if self.clock else _date.today()
+        if (dt := parse_date_query(q, nowd)) is not None:
+            row = [(dt["op"], dt["target"], dt["value"], dt["answer"])]
+            return Answer(
+                "Date",
+                self.spark.createDataFrame(
+                    row,
+                    "op string, target string, value double, "
+                    "answer string",
+                ),
+                [dt["op"]],
             )
         if (m := _WHOIS_RE.match(q)) and self.person_mentions is not None:
             return Answer("Person", self.whois(m.group(1), k),

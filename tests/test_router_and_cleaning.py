@@ -298,3 +298,23 @@ def test_arithmetic_dispatch_outranks_entity_qtypes(router):
     assert z.df.first()["value"] is None
     # non-arithmetic 'hvað er' still falls through to the next qtype
     assert router.execute("nýjustu greinar").qtype == "NewestArticles"
+
+
+def test_date_dispatch_with_injected_clock(spark, tmp_path):
+    """Date qtype answers from the injected clock, deterministic."""
+    from datetime import date
+
+    pages = spark.createDataFrame(generate_pages_pdf(60))
+    store = build_index_checkpointed(
+        spark, pages, str(tmp_path / "dts"), n_shards=2, block_size=32
+    )
+    r = Router(spark, store, clock=lambda: date(2026, 8, 17))
+    a = r.execute("Hvaða dagur er í dag?")
+    assert a.qtype == "Date"
+    assert a.df.first()["answer"] == "Í dag er mánudagur 17. ágúst 2026."
+    b = r.execute("Hvenær eru páskar?")
+    assert b.qtype == "Date" and b.df.first()["target"] == "2027-03-28"
+    # arithmetic still outranks ("hvað er langt til jóla" is Date,
+    # "hvað er 2 plús 2" is Arithmetic, plain text is Search)
+    assert r.execute("hvað er langt til jóla").qtype == "Date"
+    assert r.execute("hvað er 2 plús 2").qtype == "Arithmetic"
