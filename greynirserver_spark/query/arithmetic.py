@@ -37,6 +37,7 @@ _VAT_MULT = 1.24  # reference arithmetic.py:470
 
 _NUMBER_WORDS = {
     "núll": 0, "einn": 1, "ein": 1, "eitt": 1, "einum": 1,
+    "einni": 1, "einu": 1,
     "tveir": 2, "tvær": 2, "tvö": 2, "tveimur": 2, "tveim": 2,
     "þrír": 3, "þrjár": 3, "þrjú": 3, "þremur": 3, "þrem": 3,
     "fjórir": 4, "fjórar": 4, "fjögur": 4, "fjórum": 4,

@@ -335,6 +335,17 @@ class Router:
                 ),
                 [ar["op"]],
             )
+        from .units import parse_unit_query
+
+        if (un := parse_unit_query(q)) is not None:
+            row = [(un["expr"], un["value"], un["answer"])]
+            return Answer(
+                "UnitConversion",
+                self.spark.createDataFrame(
+                    row, "expr string, value double, answer string"
+                ),
+                [un["op"]],
+            )
         from .dates import parse_date_query
 
         nowd = self.clock() if self.clock else _date.today()

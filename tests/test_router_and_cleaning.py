@@ -318,3 +318,6 @@ def test_date_dispatch_with_injected_clock(spark, tmp_path):
     # "hvað er 2 plús 2" is Arithmetic, plain text is Search)
     assert r.execute("hvað er langt til jóla").qtype == "Date"
     assert r.execute("hvað er 2 plús 2").qtype == "Arithmetic"
+    u = r.execute("Hvað eru 5 kíló í pundum?")
+    assert u.qtype == "UnitConversion"
+    assert u.df.first()["answer"] == "5 kíló eru 11,0132 pund."
