@@ -63,6 +63,10 @@ _TOPICS_RE = re.compile(
 )
 _WHOIS_RE = re.compile(r"^(?:hver er|hver var|who is)\s+(.+)$", re.I)
 _WHATIS_RE = re.compile(r"^(?:hvað er|hvað var|what is)\s+(.+)$", re.I)
+_DISTANCE_RE = re.compile(
+    r"^(?:hvað er langt|hversu langt er)\s+"
+    r"(?:á milli\s+(.+?)\s+og\s+(.+?)|frá\s+(.+?)\s+til\s+(.+?))\??$",
+    re.I)
 
 
 @dataclass
@@ -99,6 +103,7 @@ class Router:
         person_mentions: "DataFrame | None" = None,
         entity_definitions: "DataFrame | None" = None,
         clock=None,
+        places: "DataFrame | None" = None,
     ) -> None:
         # `topics`: [(name, (keyword, ...), threshold)] — the
         # reference's Topics.conf; defaults to operators.lsa.TOPICS
@@ -110,6 +115,11 @@ class Router:
         # deterministic in tests (the reference reads the worker's
         # wall clock, date.py:120-123)
         self.clock = clock
+        # `places`: (place, lat, lon[, country]) dim backing the
+        # distance qtype (the reference resolves placenames from its
+        # geo JSON resources, geo.py::lookup_city_info; here any
+        # injected dimension works); None disables it
+        self.places = places
         self.topics_conf = topics
         self.person_mentions = person_mentions
         self.entity_definitions = entity_definitions
@@ -359,6 +369,12 @@ class Router:
                     "answer string",
                 ),
                 [dt["op"]],
+            )
+        if (m := _DISTANCE_RE.match(q)) and self.places is not None:
+            a = m.group(1) or m.group(3)
+            b = m.group(2) or m.group(4)
+            return Answer(
+                "Distance", self.distance_between(a, b), [a, b]
             )
         if (m := _WHOIS_RE.match(q)) and self.person_mentions is not None:
             return Answer("Person", self.whois(m.group(1), k),
@@ -637,6 +653,61 @@ class Router:
                     F.to_date("warc_ts").alias("ts"))
         )
         return prioritize_titles(cand, limit=k)
+
+    def distance_between(self, a: str, b: str) -> DataFrame:
+        """The "hvað er langt á milli X og Y" qtype
+        (reference queries/distance.py — its from-user-location form
+        needs device GPS, out of scope; the place-to-place form is
+        computable from the injected places dim).  Resolution tries a
+        genitive fold (Reykjavíkur→Reykjavík, Akureyrar→Akureyri) the
+        way the reference leans on BÍN; the distance itself is the
+        SAME JVM `haversine_km` expression the batch geo layer uses,
+        evaluated over a 1-row literal frame.  Unknown places yield 0
+        rows (caller falls back to a refusal)."""
+        from ..functions.geo import haversine_km
+
+        def _cands(name: str) -> list:
+            n = name.strip().lower()
+            out = [n]
+            if n.endswith("ur"):
+                out.append(n[:-2])
+            if n.endswith("ar"):
+                out += [n[:-2], n[:-2] + "i", n[:-1]]
+            if n.endswith("s"):
+                out.append(n[:-1])
+            return out
+
+        def _find(name: str):
+            rows = (
+                self.places.where(
+                    F.lower(F.col("place")).isin(_cands(name))
+                ).limit(1).collect()
+            )
+            return rows[0] if rows else None
+
+        ra, rb = _find(a), _find(b)
+        schema = ("place_a string, place_b string, distance_km double, "
+                  "answer string")
+        if ra is None or rb is None:
+            return self.spark.createDataFrame([], schema)
+        one = self.spark.createDataFrame(
+            [(ra["place"], float(ra["lat"]), float(ra["lon"]),
+              rb["place"], float(rb["lat"]), float(rb["lon"]))],
+            "place_a string, lat1 double, lon1 double, "
+            "place_b string, lat2 double, lon2 double",
+        )
+        km = F.round(
+            haversine_km(F.col("lat1"), F.col("lon1"),
+                         F.col("lat2"), F.col("lon2")), 1)
+        return one.select(
+            "place_a", "place_b", km.alias("distance_km"),
+            F.concat(
+                F.lit("Það eru "),
+                F.replace(km.cast("string"), F.lit("."), F.lit(",")),
+                F.lit(" kílómetrar á milli "), F.col("place_a"),
+                F.lit(" og "), F.col("place_b"), F.lit("."),
+            ).alias("answer"),
+        )
 
     def newest(self, limit: int = _MAX_URLS) -> DataFrame:
         """Newest articles (ArticleListQuery db/sql.py:369-410), capped

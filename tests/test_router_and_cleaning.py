@@ -321,3 +321,33 @@ def test_date_dispatch_with_injected_clock(spark, tmp_path):
     u = r.execute("Hvað eru 5 kíló í pundum?")
     assert u.qtype == "UnitConversion"
     assert u.df.first()["answer"] == "5 kíló eru 11,0132 pund."
+
+
+def test_distance_dispatch_with_places_dim(spark, tmp_path):
+    """Place-to-place distance from the injected places dimension,
+    genitive-folded names, haversine pinned to the reference's own
+    Munich-Berlin docstring example (geo.py::distance, 504.2 km)."""
+    pages = spark.createDataFrame(generate_pages_pdf(60))
+    store = build_index_checkpointed(
+        spark, pages, str(tmp_path / "dst"), n_shards=2, block_size=32
+    )
+    places = spark.createDataFrame(
+        [("Reykjavík", 64.133097, -21.898145),
+         ("Akureyri", 65.6835, -18.1002),
+         ("München", 48.1372, 11.5756),
+         ("Berlín", 52.5186, 13.4083)],
+        "place string, lat double, lon double",
+    )
+    r = Router(spark, store, places=places)
+    a = r.execute("Hvað er langt á milli München og Berlín?")
+    assert a.qtype == "Distance"
+    row = a.df.first()
+    assert row["distance_km"] == 504.2
+    assert "kílómetrar á milli" in row["answer"]
+    # genitive fold: Reykjavíkur -> Reykjavík, Akureyrar -> Akureyri
+    b = r.execute("hvað er langt frá Reykjavíkur til Akureyrar")
+    assert b.qtype == "Distance"
+    assert 240 < b.df.first()["distance_km"] < 260
+    # unknown place: 0 rows, no crash
+    c = r.execute("hvað er langt á milli Hvergi og Reykjavíkur")
+    assert c.qtype == "Distance" and c.df.count() == 0
