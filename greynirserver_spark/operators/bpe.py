@@ -120,14 +120,23 @@ def _merge_expr(l: str, r: str):
 
 
 def train_bpe(
-    docs: DataFrame, num_merges: int = 20, min_pair_count: int = 2
+    docs: DataFrame, num_merges: int = 20, min_pair_count: int = 2,
+    checkpoint_every: int = 4,
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Fit *num_merges* BPE merges; stop early when the best pair
     falls under *min_pair_count*.  Returns ``(merges, vocab)`` where
     *vocab* is ``(word, n, syms)`` with the final piece segmentation —
-    the dictionary the encoder broadcasts."""
+    the dictionary the encoder broadcasts.
+
+    Merge folds are CHAINED for *checkpoint_every* iterations before a
+    ``localCheckpoint`` truncates the plan: at a 10^7-word web
+    vocabulary, materializing the whole table once per merge is the
+    dominant cost, while re-evaluating ≤K chained codegen folds during
+    the next pair count is nearly free — K bounds both the plan depth
+    and the recompute factor."""
     vocab = _initial_vocab(word_counts(docs)).localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
+    chained = 0
     for _ in range(num_merges):
         best = (
             _pair_counts(vocab)
@@ -139,9 +148,13 @@ def train_bpe(
             break
         l, r = best[0]["l"], best[0]["r"]
         merges.append((l, r))
-        vocab = vocab.withColumn(
-            "syms", _merge_expr(l, r)
-        ).localCheckpoint(eager=True)
+        vocab = vocab.withColumn("syms", _merge_expr(l, r))
+        chained += 1
+        if chained >= checkpoint_every:
+            vocab = vocab.localCheckpoint(eager=True)
+            chained = 0
+    if chained:
+        vocab = vocab.localCheckpoint(eager=True)
     return merges, vocab
 
 
