@@ -358,6 +358,74 @@ GROUP BY t.doc_id, t.term, lat, lon, country
 """
 
 
+# Solar-position grid: the geo places dim × a 2026 date spine (1st and
+# 15th of each month).  Both engines evaluate the SAME generated NOAA
+# select items (greynirserver_spark.functions.sun.sun_select_items), so
+# the doubles differ only at the last ulp and round(,4) matches.
+_SUN_DATES: tuple[str, ...] = tuple(
+    f"2026-{m:02d}-{day:02d}" for m in range(1, 13) for day in (1, 15)
+)
+
+_SUN_ROUNDED = (
+    "place", "d",
+    "round(decl_deg, 4) AS decl_deg",
+    "round(eot_min, 4) AS eot_min",
+    "round(noon_utc_min, 4) AS noon_utc_min",
+    "round(sunrise_utc_min, 4) AS sunrise_utc_min",
+    "round(sunset_utc_min, 4) AS sunset_utc_min",
+    "round(daylight_min, 4) AS daylight_min",
+    "round(noon_elev_deg, 4) AS noon_elev_deg",
+    "CAST(polar_day AS BIGINT) AS polar_day",
+    "CAST(polar_night AS BIGINT) AS polar_night",
+)
+
+
+def _sun_times(spark: SparkSession) -> DataFrame:
+    from greynirserver_spark.functions.sun import sun_times_table
+
+    places = _places_df(spark).select("place", "lat", "lon")
+    dates = spark.createDataFrame(
+        [(d,) for d in _SUN_DATES], "ds string"
+    ).selectExpr("CAST(ds AS DATE) AS d")
+    out = sun_times_table(places, dates)
+    return out.selectExpr(
+        "place", "CAST(d AS STRING) AS d", *_SUN_ROUNDED[2:]
+    )
+
+
+def _sun_oracle_sql() -> str:
+    from greynirserver_spark.functions.sun import sun_select_items
+
+    pvals = ",\n    ".join(
+        f"('{p}', {lat}::DOUBLE, {lon}::DOUBLE)"
+        for p, lat, lon, _c in _GEO_PLACES
+    )
+    dvals = ",\n    ".join(f"(DATE '{d}')" for d in _SUN_DATES)
+    items = ",\n  ".join(sun_select_items(days="days", lat="lat",
+                                          lon="lon"))
+    rounded = ",\n       ".join(_SUN_ROUNDED[2:])
+    return f"""
+WITH p AS (SELECT * FROM (VALUES
+    {pvals}
+  ) AS p(place, lat, lon)),
+ds AS (SELECT * FROM (VALUES
+    {dvals}
+  ) AS ds(d)),
+base AS (
+  SELECT place, lat, lon, d,
+         CAST(date_diff('day', DATE '2000-01-01', d) AS DOUBLE) AS days
+  FROM p CROSS JOIN ds
+),
+s AS (
+  SELECT place, d, {items}
+  FROM base
+)
+SELECT place, CAST(d AS VARCHAR) AS d,
+       {rounded}
+FROM s
+"""
+
+
 def _funnel_oracle_sql() -> str:
     """gate_funnel mirror: gopher passes (stops=the/a, min 20 words) ->
     ppl <= 31 on the published 4-dp value -> md5 keep-first among
@@ -1278,6 +1346,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_tagging": lambda s, d: __import__(
             "greynirserver_spark.functions.geo", fromlist=["x"]
         ).geo_tag_documents(_docs(s, d), _places_df(s)),
+        # NOAA solar positions over the places dim × a 2026 spine —
+        # the sunpos qtype's computed engine (functions/sun.py)
+        "sun_times": lambda s, d: _sun_times(s),
         # the /people surface: better-title scan + frequency ranking
         "recent_persons": lambda s, d: __import__(
             "greynirserver_spark.operators.people", fromlist=["x"]
@@ -1598,6 +1669,7 @@ GROUP BY t.doc_id
         "gopher_rules": _gopher_oracle_sql(),
         "gate_funnel": _funnel_oracle_sql(),
         "geo_tagging": _geo_oracle_sql(),
+        "sun_times": _sun_oracle_sql(),
         "topic_assign_cosine": _topic_oracle_sql(),
         "prioritize_titles": _TITLES_SQL,
         "icelandic_asciify": _asciify_oracle_sql(),

@@ -69,6 +69,21 @@ _DISTANCE_RE = re.compile(
     re.I)
 
 
+def _place_candidates(name: str) -> list:
+    """Genitive/dative fold for placename resolution (Reykjavíkur→
+    Reykjavík, Akureyrar→Akureyri) — the reference leans on BÍN for
+    this (geo.py::capitalize_placename + iceaddr lookup)."""
+    n = name.strip().lower()
+    out = [n]
+    if n.endswith("ur"):
+        out.append(n[:-2])
+    if n.endswith("ar"):
+        out += [n[:-2], n[:-2] + "i", n[:-1]]
+    if n.endswith("s"):
+        out.append(n[:-1])
+    return out
+
+
 @dataclass
 class Answer:
     qtype: str
@@ -104,6 +119,7 @@ class Router:
         entity_definitions: "DataFrame | None" = None,
         clock=None,
         places: "DataFrame | None" = None,
+        sun_almanac: "DataFrame | None" = None,
     ) -> None:
         # `topics`: [(name, (keyword, ...), threshold)] — the
         # reference's Topics.conf; defaults to operators.lsa.TOPICS
@@ -120,6 +136,12 @@ class Router:
         # geo JSON resources, geo.py::lookup_city_info; here any
         # injected dimension works); None disables it
         self.places = places
+        # `sun_almanac`: optional (city, lat, lon, d, dogun, birting,
+        # solris, hadegi, solarlag, myrkur, dagsetur, solarhaed) dim —
+        # the reference's Almanak HÍ table (queries/sunpos.py:219-341)
+        # as an injectable dimension; None routes the sun qtype to the
+        # computed NOAA engine (functions/sun.py)
+        self.sun_almanac = sun_almanac
         self.topics_conf = topics
         self.person_mentions = person_mentions
         self.entity_definitions = entity_definitions
@@ -369,6 +391,17 @@ class Router:
                     "answer string",
                 ),
                 [dt["op"]],
+            )
+        # sun positions outrank the generic what-is ("hvað er
+        # miðnætti" is a SunPosition, not an entity question)
+        from .sun import parse_sun_query
+
+        if (sq := parse_sun_query(q, nowd)) is not None:
+            return Answer(
+                "SunPosition",
+                self.sun_answer(sq["position"], sq["date"],
+                                sq["when"], sq["place"]),
+                [sq["position"]],
             )
         if (m := _DISTANCE_RE.match(q)) and self.places is not None:
             a = m.group(1) or m.group(3)
@@ -666,16 +699,7 @@ class Router:
         rows (caller falls back to a refusal)."""
         from ..functions.geo import haversine_km
 
-        def _cands(name: str) -> list:
-            n = name.strip().lower()
-            out = [n]
-            if n.endswith("ur"):
-                out.append(n[:-2])
-            if n.endswith("ar"):
-                out += [n[:-2], n[:-2] + "i", n[:-1]]
-            if n.endswith("s"):
-                out.append(n[:-1])
-            return out
+        _cands = _place_candidates
 
         def _find(name: str):
             rows = (
@@ -707,6 +731,130 @@ class Router:
                 F.lit(" kílómetrar á milli "), F.col("place_a"),
                 F.lit(" og "), F.col("place_b"), F.lit("."),
             ).alias("answer"),
+        )
+
+    def sun_answer(self, position: str, qdate,
+                   when: str = "í dag",
+                   place: "str | None" = None) -> DataFrame:
+        """The SunPosition qtype (reference queries/sunpos.py).
+
+        Resolution order mirrors the reference: the asked place (or
+        Reykjavík, the reference's capital-region default,
+        sunpos.py:210-212) → with an injected almanac dim, the nearest
+        tabulated city (sunpos.py:381-395) and nearest tabulated date
+        (sunpos.py:398-404); without one, the computed NOAA engine at
+        the place's own coordinates.  Driver work is bounded: the
+        almanac city list is a tiny dim (the reference's table has
+        ~10 cities) and the computed path collects exactly one row.
+        Unknown places / almanac-only positions yield 0 rows (caller
+        falls back to a refusal)."""
+        import math
+
+        from datetime import date as _d
+
+        from .sun import POSITION_WORDS, format_sun_answer
+
+        schema = ("position string, city string, d string, "
+                  "value double, answer string")
+        empty = self.spark.createDataFrame([], schema)
+        if position not in POSITION_WORDS:
+            return empty
+        today = self.clock() if self.clock else _d.today()
+
+        city, lat, lon = "Reykjavík", 64.133097, -21.898145
+        if place is not None:
+            if self.places is None:
+                return empty
+            rows = (
+                self.places.where(
+                    F.lower(F.col("place")).isin(
+                        _place_candidates(place))
+                ).limit(1).collect()
+            )
+            if not rows:
+                return empty
+            city = rows[0]["place"]
+            lat, lon = float(rows[0]["lat"]), float(rows[0]["lon"])
+
+        minutes: "float | None" = None
+        degrees: "float | None" = None
+        d_used = qdate
+        if self.sun_almanac is not None:
+            cities = (
+                self.sun_almanac.select("city", "lat", "lon")
+                .distinct().collect()
+            )
+            if not cities:
+                return empty
+
+            def _km(r):  # reference geo.py::distance, driver-side
+                p1, p2 = map(math.radians, (lat, float(r["lat"])))
+                dp = p2 - p1
+                dl = math.radians(float(r["lon"]) - lon)
+                a = (math.sin(dp / 2) ** 2
+                     + math.cos(p1) * math.cos(p2)
+                     * math.sin(dl / 2) ** 2)
+                return 12742.0 * math.asin(math.sqrt(a))
+
+            best = min(cities, key=_km)
+            col = POSITION_WORDS[position][1]
+            have_mid = "midnaetti" in self.sun_almanac.columns
+            sel = col if (position != "midnaetti" or have_mid) \
+                else "hadegi"
+            row = (
+                self.sun_almanac
+                .where(F.col("city") == best["city"])
+                .orderBy(F.abs(F.datediff(F.col("d"), F.lit(qdate))),
+                         F.asc("d"))
+                .limit(1).collect()
+            )
+            if not row:
+                return empty
+            city = best["city"]
+            d_used = row[0]["d"]
+            v = row[0][sel]
+            if position == "solarhaed":
+                degrees = None if v is None else float(v)
+            elif v is not None:
+                minutes = float(v)
+                if position == "midnaetti" and not have_mid:
+                    # solar midnight from solar noon (sunpos.py:322-328)
+                    minutes = (minutes + 720.0) % 1440.0
+        else:
+            if position in ("birting", "dagsetur"):
+                return empty  # table-defined thresholds, almanac-only
+            from ..functions.sun import solar_columns
+
+            zen = "96.0" if position in ("dogun", "myrkur") \
+                else "90.833"
+            one = self.spark.createDataFrame(
+                [(city, lat, lon, qdate)],
+                "city string, lat double, lon double, d date",
+            )
+            r = solar_columns(one, zenith=zen).collect()[0]
+            rise_set = {
+                "solris": r["sunrise_utc_min"],
+                "dogun": r["sunrise_utc_min"],
+                "solarlag": r["sunset_utc_min"],
+                "myrkur": r["sunset_utc_min"],
+                "hadegi": r["noon_utc_min"],
+                "midnaetti": r["midnight_utc_min"] % 1440.0,
+            }
+            if position == "solarhaed":
+                degrees = r["noon_elev_deg"]
+            else:
+                minutes = rise_set[position]
+                if (r["polar_day"] or r["polar_night"]) and position \
+                        in ("solris", "dogun", "solarlag", "myrkur"):
+                    minutes = None  # sun never crosses that horizon
+
+        ans = format_sun_answer(position, when, qdate, today,
+                                minutes, degrees)
+        value = degrees if position == "solarhaed" else minutes
+        return self.spark.createDataFrame(
+            [(position, city, str(d_used),
+              None if value is None else float(value), ans)],
+            schema,
         )
 
     def newest(self, limit: int = _MAX_URLS) -> DataFrame:
