@@ -120,6 +120,12 @@ class Router:
         clock=None,
         places: "DataFrame | None" = None,
         sun_almanac: "DataFrame | None" = None,
+        countries: "DataFrame | None" = None,
+        exchange_rates: "DataFrame | None" = None,
+        timezones: "DataFrame | None" = None,
+        now=None,
+        rng=None,
+        special_responses: "DataFrame | None" = None,
     ) -> None:
         # `topics`: [(name, (keyword, ...), threshold)] — the
         # reference's Topics.conf; defaults to operators.lsa.TOPICS
@@ -142,6 +148,32 @@ class Router:
         # as an injectable dimension; None routes the sun qtype to the
         # computed NOAA engine (functions/sun.py)
         self.sun_almanac = sun_almanac
+        # `countries`: optional (cc, country, country_gen, country_loc,
+        # capital, continent, continent_dat) dim backing the geography
+        # qtype (reference queries/geography.py resources); the case
+        # forms the reference pulls from BÍN live in the dimension
+        self.countries = countries
+        # `exchange_rates`: optional (cc, rate_isk) dim — the
+        # reference's bank-API rates dict (currency.py:210-240) as an
+        # injectable dimension; None disables the currency qtype
+        self.exchange_rates = exchange_rates
+        # `timezones`: optional (city, utc_offset_min) dim for located
+        # clock queries (the reference's pytz chain, time.py:166-213)
+        self.timezones = timezones
+        # `now`: () -> datetime for the clock qtype (injectable like
+        # `clock`; defaults to the wall clock in UTC = Iceland time)
+        self.now = now
+        # `rng`: randint/choice source for the Random qtype —
+        # injectable (e.g. random.Random(seed)) so tests are
+        # deterministic; the reference uses the global `random`
+        self.rng = rng
+        # `special_responses`: optional (q, answer) dim of canned
+        # answers matched on the lowercased query with '?' stripped —
+        # the reference's _SPECIAL_QUERIES dict + opinion table
+        # (queries/special.py:2682-2695, queries/opinion.py), checked
+        # before everything else the same way handle_plain_text runs
+        # before the grammar
+        self.special_responses = special_responses
         self.topics_conf = topics
         self.person_mentions = person_mentions
         self.entity_definitions = entity_definitions
@@ -340,6 +372,19 @@ class Router:
         os.rename(tmp, os.path.join(d, f"q-{uuid.uuid4().hex[:12]}.json"))
 
     def _dispatch(self, q: str, k: int) -> Answer:
+        # canned answers first — the reference's special/opinion
+        # handle_plain_text wins before any other processing
+        if self.special_responses is not None:
+            ql = q.strip().lower().rstrip("?")
+            hit = (
+                self.special_responses
+                .where(F.lower(F.col("q")) == ql)
+                .limit(1).collect()
+            )
+            if hit:
+                return Answer("Special", self.spark.createDataFrame(
+                    [(ql, hit[0]["answer"])],
+                    "q string, answer string"))
         if m := _RELATED_RE.match(q):
             return Answer("RelatedWords", self.related(m.group(1)))
         if m := _FREQ_RE.match(q):
@@ -392,8 +437,16 @@ class Router:
                 ),
                 [dt["op"]],
             )
-        # sun positions outrank the generic what-is ("hvað er
-        # miðnætti" is a SunPosition, not an entity question)
+        # the clock, sun, geography and currency qtypes all outrank
+        # the generic what-is ("hvað er klukkan" / "hvað er miðnætti"
+        # / "hvað er gengi evru" are not entity questions)
+        from .clock import parse_clock_query
+
+        if (ck := parse_clock_query(q)) is not None:
+            ans = self.clock_answer(ck["loc"])
+            if ans is not None:
+                return Answer("Time", ans,
+                              [ck["loc"]] if ck["loc"] else [])
         from .sun import parse_sun_query
 
         if (sq := parse_sun_query(q, nowd)) is not None:
@@ -403,6 +456,64 @@ class Router:
                                 sq["when"], sq["place"]),
                 [sq["position"]],
             )
+        from .geography import parse_geo_query
+
+        if (ge := parse_geo_query(q)) is not None \
+                and self.countries is not None:
+            ans = self.geo_answer(ge["op"], ge["subject"])
+            # unresolved subjects fall through (e.g. "hvar er X"
+            # where X is not a country/place -> plain search)
+            if ans is not None:
+                return Answer("Geography", ans, [ge["subject"]])
+        from .currency import parse_currency_query
+
+        if (cu := parse_currency_query(q)) is not None \
+                and self.exchange_rates is not None:
+            return Answer(
+                "Currency",
+                self.currency_answer(cu["op"], cu["c1"], cu["c2"],
+                                     cu["amount"]),
+                [cu["c1"]],
+            )
+        # small command qtypes (counting / random / parrot /
+        # telephone / yule lads) — all prefix-anchored, no overlap
+        # with the index-backed matchers
+        from .smalltalk import (
+            answer_random,
+            parse_counting_query,
+            parse_random_query,
+            parse_repeat_query,
+            parse_tel_query,
+            parse_yulelads_query,
+        )
+
+        if (co := parse_counting_query(q)) is not None:
+            return Answer("Counting", self.spark.createDataFrame(
+                [(co["qkey"], co["first"], co["last"], co["answer"])],
+                "qkey string, first bigint, last bigint, "
+                "answer string"), [co["qkey"]])
+        if (rd := parse_random_query(q)) is not None:
+            import random as _random
+
+            rng = self.rng if self.rng is not None else _random
+            ra = answer_random(rd, rng)
+            return Answer("Random", self.spark.createDataFrame(
+                [(ra["qkey"], ra["answer"], ra["voice"])],
+                "qkey string, answer string, voice string"),
+                [ra["qkey"]])
+        if (rp := parse_repeat_query(q)) is not None:
+            return Answer("Parrot", self.spark.createDataFrame(
+                [("Parrot", rp["answer"], rp["answer"])],
+                "qkey string, answer string, voice string"))
+        if (tl := parse_tel_query(q)) is not None:
+            return Answer("Telephone", self.spark.createDataFrame(
+                [(tl["number"], tl["answer"], tl["url"])],
+                "number string, answer string, url string"),
+                [tl["number"]])
+        if (yl := parse_yulelads_query(q)) is not None:
+            return Answer("YuleLads", self.spark.createDataFrame(
+                [(yl["qkey"], yl["answer"])],
+                "qkey string, answer string"), [yl["qkey"]])
         if (m := _DISTANCE_RE.match(q)) and self.places is not None:
             a = m.group(1) or m.group(3)
             b = m.group(2) or m.group(4)
@@ -856,6 +967,164 @@ class Router:
               None if value is None else float(value), ans)],
             schema,
         )
+
+    def clock_answer(self, loc: "str | None" = None) -> "DataFrame | None":
+        """The Time qtype (reference queries/time.py:166-244): HH:MM
+        from the injectable wall clock; located queries through the
+        (city, utc_offset_min) dim.  None when the location cannot be
+        resolved (caller falls through to search)."""
+        import datetime as _dt
+
+        from .clock import format_clock_answer
+
+        now = self.now() if self.now else _dt.datetime.now(
+            _dt.timezone.utc)
+        city, offset = None, 0
+        if loc is not None:
+            if self.timezones is None:
+                return None
+            rows = (
+                self.timezones.where(
+                    F.lower(F.col("city")).isin(
+                        _place_candidates(loc))
+                ).limit(1).collect()
+            )
+            if not rows:
+                return None
+            city = rows[0]["city"]
+            offset = int(rows[0]["utc_offset_min"])
+        answer, voice = format_clock_answer(
+            now.hour * 60 + now.minute + offset, city)
+        return self.spark.createDataFrame(
+            [(city, answer, voice)],
+            "city string, answer string, voice string",
+        )
+
+    def geo_answer(self, op: str,
+                   subject: str) -> "DataFrame | None":
+        """The Geography qtype (reference queries/geography.py) over
+        the injected countries dim (+ places dim for placename
+        subjects).  Returns None when the subject resolves to neither
+        a country nor a place, so the dispatcher can fall through to
+        plain search — the reference's handler returns False the same
+        way (geography.py:268-290)."""
+        from .geography import cap_first
+
+        sub = subject.strip()
+        low = sub.lower()
+
+        def _country_row(by_gen: bool = True):
+            cond = F.lower(F.col("country")) == low
+            if by_gen:
+                cond = cond | (F.lower(F.col("country_gen")) == low)
+            rows = self.countries.where(cond).limit(1).collect()
+            return rows[0] if rows else None
+
+        def _country_for_place():
+            if self.places is None or \
+                    "country" not in self.places.columns:
+                return None
+            rows = (
+                self.places.where(
+                    F.lower(F.col("place")).isin(
+                        _place_candidates(sub))
+                ).limit(1).collect()
+            )
+            if not rows:
+                return None
+            crows = self.countries.where(
+                F.col("cc") == rows[0]["country"]
+            ).limit(1).collect()
+            return crows[0] if crows else None
+
+        schema = "subject string, answer string, voice string"
+
+        def _one(answer: str, voice: str) -> DataFrame:
+            return self.spark.createDataFrame(
+                [(sub, answer, voice)], schema)
+
+        if op == "capital":
+            c = _country_row()
+            if c is None:
+                return None
+            return _one(
+                c["capital"],
+                f"Höfuðborg {c['country_gen']} er {c['capital']}.")
+        if op == "country_of":
+            c = _country_for_place()
+            if c is None:
+                return None
+            return _one(cap_first(c["country_loc"]) + ".",
+                        f"{sub} er {c['country_loc']}.")
+        if op == "continent_of":
+            c = _country_row()
+            if c is not None:
+                return _one(
+                    c["continent_dat"],
+                    f"Landið {c['country']} er í {c['continent_dat']}.")
+            c = _country_for_place()
+            if c is None:
+                return None
+            # placename: "Í Þýskalandi, Evrópu" (geography.py:214-219)
+            cd = cap_first(c["country_loc"])
+            return _one(
+                f"{cd}, {c['continent_dat']}",
+                f"Staðurinn {sub} er {cd}, sem er land í "
+                f"{c['continent_dat']}.")
+        if op == "where_is":
+            c = _country_row(by_gen=False)
+            if c is not None:
+                ans = (f"{c['country']} er land í "
+                       f"{c['continent_dat']}.")
+                return _one(ans, ans)
+            c = _country_for_place()
+            if c is None:
+                return None
+            return _one(cap_first(c["country_loc"]) + ".",
+                        f"{sub} er {c['country_loc']}.")
+        return None
+
+    def currency_answer(self, op: str, c1: str, c2: str,
+                        amount: "float | None") -> DataFrame:
+        """The Currency qtype (reference queries/currency.py:275-345)
+        over the injected (cc, rate_isk) dim.  The dim is tiny (one
+        row per quoted currency), so collecting it into the rates
+        dict is bounded — the exact shape of the reference's fetched
+        dict."""
+        from .currency import (
+            compute_currency,
+            iceformat_float,
+            is_plural_isk,
+        )
+
+        schema = ("op string, value double, answer string, "
+                  "voice string")
+        rates = {
+            r["cc"]: float(r["rate_isk"])
+            for r in self.exchange_rates.collect()
+        }
+        val = compute_currency(op, c1, c2, amount, rates)
+        if val is None:
+            return self.spark.createDataFrame([], schema)
+        num = iceformat_float(val)
+        if op == "index":
+            answer, voice = num, f"Gengisvísitalan er {num} stig."
+        elif op == "exchange":
+            answer = num
+            voice = f"Gengi {c1} gagnvart {c2} er {num}."
+        elif op == "general":
+            suffix = "króna" if not is_plural_isk(val) else "krónur"
+            answer = f"{num} {suffix}"
+            voice = f"Gengi {c1} er {answer}."
+        else:  # convert
+            suffix = c2 if c2 != "ISK" else (
+                "króna" if not is_plural_isk(val) else "krónur")
+            verb = "er" if not is_plural_isk(amount or 0.0) else "eru"
+            answer = f"{num} {suffix}"
+            voice = (f"{iceformat_float(amount or 0.0)} {c1} {verb} "
+                     f"{answer}.")
+        return self.spark.createDataFrame(
+            [(op, float(val), answer, voice)], schema)
 
     def newest(self, limit: int = _MAX_URLS) -> DataFrame:
         """Newest articles (ArticleListQuery db/sql.py:369-410), capped
