@@ -126,6 +126,8 @@ class Router:
         now=None,
         rng=None,
         special_responses: "DataFrame | None" = None,
+        bin_forms: "DataFrame | None" = None,
+        dictionary_defs: "DataFrame | None" = None,
     ) -> None:
         # `topics`: [(name, (keyword, ...), threshold)] — the
         # reference's Topics.conf; defaults to operators.lsa.TOPICS
@@ -174,6 +176,16 @@ class Router:
         # before everything else the same way handle_plain_text runs
         # before the grammar
         self.special_responses = special_responses
+        # `bin_forms`: optional (word, nom, acc, dat, gen) morphology
+        # dim for the Declension qtype — the reference casts through
+        # BÍN at query time (words.py:106-144); here the paradigm
+        # table is an injectable broadcast dim like the tokenizer's
+        # category dictionary
+        self.bin_forms = bin_forms
+        # `dictionary_defs`: optional (word, definition, ord) dim for
+        # the Dictionary qtype (the reference's islenskordabok REST
+        # API, dictionary.py:103-144)
+        self.dictionary_defs = dictionary_defs
         self.topics_conf = topics
         self.person_mentions = person_mentions
         self.entity_definitions = entity_definitions
@@ -514,6 +526,15 @@ class Router:
             return Answer("YuleLads", self.spark.createDataFrame(
                 [(yl["qkey"], yl["answer"])],
                 "qkey string, answer string"), [yl["qkey"]])
+        from .words import parse_word_query
+
+        if (wq := parse_word_query(q)) is not None:
+            ans = self.word_answer(wq["op"], wq["word"])
+            if ans is not None:
+                qt = {"spelling": "Spelling",
+                      "declension": "Declension",
+                      "dictionary": "Dictionary"}[wq["op"]]
+                return Answer(qt, ans, [wq["word"]])
         if (m := _DISTANCE_RE.match(q)) and self.places is not None:
             a = m.group(1) or m.group(3)
             b = m.group(2) or m.group(4)
@@ -966,6 +987,51 @@ class Router:
             [(position, city, str(d_used),
               None if value is None else float(value), ans)],
             schema,
+        )
+
+    def word_answer(self, op: str,
+                    word: str) -> "DataFrame | None":
+        """The Spelling / Declension / Dictionary qtypes (reference
+        queries/words.py + queries/dictionary.py).  Spelling needs no
+        data; the other two read their injectable dims and return
+        None when the dim is absent (caller falls through).  Lookups
+        match the word lowercased, with the reference's capitalize
+        retry folded into the predicate (words.py:112-117)."""
+        from .words import (
+            declension_answer,
+            dictionary_answer,
+            spelling_answer,
+        )
+
+        low = word.lower()
+        if op == "spelling":
+            a = spelling_answer(word)
+        elif op == "declension":
+            if self.bin_forms is None:
+                return None
+            rows = (
+                self.bin_forms
+                .where(F.lower(F.col("word")) == low)
+                .limit(1).collect()
+            )
+            forms = None
+            if rows:
+                r = rows[0]
+                forms = (r["nom"], r["acc"], r["dat"], r["gen"])
+            a = declension_answer(word, forms)
+        else:
+            if self.dictionary_defs is None:
+                return None
+            rows = (
+                self.dictionary_defs
+                .where(F.lower(F.col("word")) == low)
+                .orderBy(F.asc("ord"))
+                .collect()
+            )
+            a = dictionary_answer(low, [r["definition"] for r in rows])
+        return self.spark.createDataFrame(
+            [(word, a["answer"], a["voice"])],
+            "word string, answer string, voice string",
         )
 
     def clock_answer(self, loc: "str | None" = None) -> "DataFrame | None":
