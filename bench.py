@@ -212,6 +212,42 @@ def main() -> None:
     searcher.search(warm_terms, 10)
     timings["q2b_searcher_cached"] = round(time.perf_counter() - t0, 4)
 
+    # --- q2d: Router offline-qtype dispatch (arithmetic / sun /
+    #     counting / currency) — the reference pays an Earley grammar
+    #     parse per query; this layer must stay negligible next to the
+    #     index-backed paths. Cache cleared per rep; the answer frame
+    #     is materialized (first()) so the 1-row createDataFrame cost
+    #     is inside the timing.
+    from datetime import date as _bench_date
+
+    from greynirserver_spark.query.router import Router
+
+    router = Router(
+        spark, store, clock=lambda: _bench_date(2026, 8, 17),
+        exchange_rates=spark.createDataFrame(
+            [("EUR", 152.4)], "cc string, rate_isk double"),
+    )
+    qtype_queries = (
+        "hvað er 17 sinnum 23",
+        "hvenær rís sólin á morgun",
+        "teldu upp að 20",
+        "hvert er gengi evru",
+    )
+    per_q2d = []
+    q2d_spread = []
+    for qq in qtype_queries:
+        vals = []
+        for _ in range(reps_n):
+            router._cache.clear()
+            t0 = time.perf_counter()
+            router.execute(qq).df.first()
+            vals.append(round(time.perf_counter() - t0, 3))
+        per_q2d.append(min(vals))
+        q2d_spread.append(vals)
+    timings["q2d_router_qtype_p50"] = round(
+        statistics.median(per_q2d), 3)
+    rep_log["q2d_router_qtype_per_query"] = q2d_spread
+
     scaling_only = os.environ.get("SPARK_GRAFT_SCALING_ONLY") == "1"
     if scaling_only:
         # scaling evidence mode: only the build + serve metrics
