@@ -89,6 +89,21 @@ class Answer:
     qtype: str
     df: DataFrame
     terms: List[str] = field(default_factory=list)
+    # context the answer leaves behind for follow-up queries (the
+    # reference's q.set_context, queries/__init__.py:746-755); None
+    # leaves the client's previous context standing
+    context: "dict | None" = None
+    # context-resolved answers depend on per-client state, so they
+    # must not enter the shared text-keyed result cache
+    cacheable: bool = True
+
+
+# follow-up forms that read the client's context (the reference's
+# q.fetch_context consumers)
+_CTX_RESULT_RE = re.compile(r"\b(það|því)\b", re.I)
+_CTX_TEL_RE = re.compile(
+    r"^(?:vinsamlegast )?hringdu í (?:hann|hana|það)$", re.I)
+_CTX_WHOIS_RE = re.compile(r"^hver er (?:hann|hún)$", re.I)
 
 
 class Router:
@@ -196,6 +211,11 @@ class Router:
         self._version_check_interval_s = version_check_interval_s
         self._last_version_check = float("-inf")
         self._cache: "OrderedDict" = OrderedDict()
+        # per-client follow-up context (reference `queries` rows carry
+        # a context dict per client; here an in-process map — a
+        # multi-worker deployment would back it with the same metrics
+        # table the query log uses)
+        self._context: dict = {}
         self.log_queries = log_queries
         self._open()
 
@@ -384,13 +404,24 @@ class Router:
 
     # ---------------------------------------------------------- dispatch
 
-    def execute(self, qtext: str, k: int = 10) -> Answer:
+    def execute(self, qtext: str, k: int = 10,
+                client_id: str = "local") -> Answer:
         """Preprocess (strip trailing punctuation, reference
         queries/__init__.py:393-408), serve from the TTL cache when
         fresh, else dispatch by plain-text pattern (default qtype is
-        Search) and cache the materialized answer."""
+        Search) and cache the materialized answer.
+
+        *client_id* scopes the follow-up context (the reference keys
+        its context rows on the client, queries/__init__.py:757-794):
+        an Arithmetic/Currency answer leaves its numeric result, a
+        Geography/Person answer its subject, a Telephone answer its
+        number — so "hvað er það sinnum 17", "hver er hann" and
+        "hringdu í hann" resolve against the previous answer.
+        Context-resolved answers bypass the shared text-keyed cache
+        (same text, different client state)."""
         q = qtext.strip().rstrip("?!.").strip()
         self._check_snapshot()
+        ctx = self._context.get(client_id)
         key = (q.lower(), k)
         now = time.monotonic()
         hit = self._cache.get(key)
@@ -403,15 +434,19 @@ class Router:
                 )
             del self._cache[key]
         t0 = time.monotonic()
-        ans = self._dispatch(q, k)
+        ans = self._dispatch(q, k, ctx=ctx)
         rows = ans.df.collect()
         schema = ans.df.schema
         if self.log_queries:
             self._log_query(q, ans.qtype, k, len(rows),
                             time.monotonic() - t0)
-        self._cache[key] = (now, ans.qtype, ans.terms, schema, rows)
-        if len(self._cache) > self._cache_size:
-            self._cache.popitem(last=False)
+        if ans.context is not None:
+            self._context[client_id] = ans.context
+        if ans.cacheable:
+            self._cache[key] = (now, ans.qtype, ans.terms, schema,
+                                rows)
+            if len(self._cache) > self._cache_size:
+                self._cache.popitem(last=False)
         return Answer(
             ans.qtype, self._rows_frame(rows, schema), ans.terms
         )
@@ -437,7 +472,51 @@ class Router:
             f.write(json.dumps(rec) + "\n")
         os.rename(tmp, os.path.join(d, f"q-{uuid.uuid4().hex[:12]}.json"))
 
-    def _dispatch(self, q: str, k: int) -> Answer:
+    def _dispatch(self, q: str, k: int,
+                  ctx: "dict | None" = None) -> Answer:
+        # follow-up forms that read the previous answer's context —
+        # resolved before everything else and never cached
+        if ctx:
+            if _CTX_TEL_RE.match(q) and "phone_number" in ctx:
+                num = ctx["phone_number"]
+                return Answer("Telephone", self._one_row_frame(
+                    (num, "Skal gert", f"tel:{num}"),
+                    "number string, answer string, url string"),
+                    [num], cacheable=False)
+            if _CTX_WHOIS_RE.match(q) and "subject" in ctx \
+                    and self.person_mentions is not None:
+                return Answer("Person",
+                              self.whois(ctx["subject"], k),
+                              [ctx["subject"]], cacheable=False)
+            if "result" in ctx and _CTX_RESULT_RE.search(q):
+                # "hvað er það sinnum 17" (arithmetic.py:355-364):
+                # substitute the previous numeric result and re-parse
+                v = float(ctx["result"])
+                num = (str(int(v)) if v == int(v)
+                       else f"{v:.10g}".replace(".", ","))
+                q2 = _CTX_RESULT_RE.sub(num, q)
+                from .arithmetic import parse_arithmetic as _pa
+
+                if (ar2 := _pa(q2)) is not None:
+                    return Answer(
+                        "Arithmetic",
+                        self._one_row_frame(
+                            (ar2["expr"], ar2["value"],
+                             ar2["answer"]),
+                            "expr string, value double, "
+                            "answer string",
+                        ),
+                        [ar2["op"]],
+                        context={"result": ar2["value"]},
+                        cacheable=False,
+                    )
+        if _CTX_TEL_RE.match(q):
+            # pronoun call with no number on record (tel.py:204-206)
+            ans = "Ég veit ekki við hvern þú átt"
+            return Answer("Telephone", self._one_row_frame(
+                (None, ans, None),
+                "number string, answer string, url string"),
+                cacheable=False)
         # canned answers first — the reference's special/opinion
         # handle_plain_text wins before any other processing
         if self.special_responses is not None:
@@ -477,6 +556,7 @@ class Router:
                     "expr string, value double, answer string",
                 ),
                 [ar["op"]],
+                context={"result": ar["value"]},
             )
         from .units import parse_unit_query
 
@@ -529,16 +609,18 @@ class Router:
             # unresolved subjects fall through (e.g. "hvar er X"
             # where X is not a country/place -> plain search)
             if ans is not None:
-                return Answer("Geography", ans, [ge["subject"]])
+                return Answer("Geography", ans, [ge["subject"]],
+                              context={"subject": ge["subject"]})
         from .currency import parse_currency_query
 
         if (cu := parse_currency_query(q)) is not None \
                 and self.exchange_rates is not None:
+            cdf = self.currency_answer(cu["op"], cu["c1"], cu["c2"],
+                                       cu["amount"])
+            crow = cdf.first()
             return Answer(
-                "Currency",
-                self.currency_answer(cu["op"], cu["c1"], cu["c2"],
-                                     cu["amount"]),
-                [cu["c1"]],
+                "Currency", cdf, [cu["c1"]],
+                context=({"result": crow["value"]} if crow else None),
             )
         # small command qtypes (counting / random / parrot /
         # telephone / yule lads) — all prefix-anchored, no overlap
@@ -574,7 +656,9 @@ class Router:
             return Answer("Telephone", self._one_row_frame(
                 (tl["number"], tl["answer"], tl["url"]),
                 "number string, answer string, url string"),
-                [tl["number"]])
+                [tl["number"]],
+                context=({"phone_number": tl["number"]}
+                         if tl["url"] else None))
         if (yl := parse_yulelads_query(q)) is not None:
             return Answer("YuleLads", self._one_row_frame(
                 (yl["qkey"], yl["answer"]),
@@ -596,7 +680,8 @@ class Router:
             )
         if (m := _WHOIS_RE.match(q)) and self.person_mentions is not None:
             return Answer("Person", self.whois(m.group(1), k),
-                          [m.group(1)])
+                          [m.group(1)],
+                          context={"subject": m.group(1)})
         if (m := _WHATIS_RE.match(q)) \
                 and self.entity_definitions is not None:
             return Answer("Entity", self.whatis(m.group(1), k),
