@@ -52,7 +52,15 @@ _MAX_URLS = 5         # reference queries/builtin.py:94
 _RELATED_RE = re.compile(r"^(?:skyld orð við|related words for)\s+(.+)$", re.I)
 _FREQ_RE = re.compile(r"^(?:tíðni orðsins|word frequency of)\s+(.+)$", re.I)
 _COUNT_RE = re.compile(r"^(?:hversu margar greinar um|article count for)\s+(.+)$", re.I)
-_NEWEST_RE = re.compile(r"^(?:nýjustu greinar|newest articles)\s*(.*)$", re.I)
+_NEWEST_RE = re.compile(
+    r"^(?:nýjustu greinar|newest articles"
+    # the News qtype's trigger phrases (queries/news.py:44-71) —
+    # the reference reads the RÚV headline API; here the newest
+    # articles in the index ARE the headline feed
+    r"|hvað er í fréttum|hvað er að frétta"
+    r"|segðu mér fréttir(?: dagsins)?|fréttir dagsins)"
+    r"\s*(.*)$",
+    re.I)
 # a fully double-quoted query is an exact-phrase search
 _PHRASE_RE = re.compile(r'^"(.+)"$')
 _SIMILAR_RE = re.compile(
