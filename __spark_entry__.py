@@ -49,6 +49,47 @@ _BM25_BATCH = {
     "q2": ["stream", "batch"],
 }
 _PHRASE = ["slow", "hash", "batch"]
+# proximity (NEAR/6): unordered, all three terms within a 6-token span
+_PROX_TERMS = ["spark", "window", "stream"]
+_PROX_WINDOW = 6
+
+
+def _proximity_oracle_sql() -> str:
+    """proximity_topk mirror: identical bit-mask + RANGE-frame window
+    plan over the shared token pipeline (1-based positions here,
+    0-based in Spark — only position differences enter the frame)."""
+    cases = " ".join(
+        f"WHEN '{t}' THEN {1 << i}" for i, t in enumerate(_PROX_TERMS)
+    )
+    quoted = ", ".join(f"'{t}'" for t in _PROX_TERMS)
+    full = (1 << len(_PROX_TERMS)) - 1
+    return f"""
+WITH tokarr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_TOKEN_RE}'),
+                     x -> length(x) BETWEEN 1 AND 64) AS toks
+  FROM documents
+), tokidx AS (
+  SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, toks
+  FROM tokarr
+), sel AS (
+  SELECT doc_id, pos,
+         CASE toks[pos] {cases} END AS bit
+  FROM tokidx WHERE toks[pos] IN ({quoted})
+), win AS (
+  SELECT doc_id,
+         bit_or(bit) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           RANGE BETWEEN CURRENT ROW AND {_PROX_WINDOW - 1} FOLLOWING
+         ) AS mask
+  FROM sel
+)
+SELECT doc_id, count(*)::BIGINT AS prox_tf
+FROM win WHERE mask = {full}
+GROUP BY doc_id
+ORDER BY prox_tf DESC, doc_id
+LIMIT 20
+"""
 
 _PHRASE_SQL = f"""
 WITH tokarr AS (
@@ -1290,6 +1331,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_topk": lambda s, d: P.phrase_topk(
             s, _docs(s, d), _PHRASE, k=20
         ),
+        # proximity (NEAR/window): bit-mask window aggregate, oracle
+        # shares the identical RANGE-frame shape
+        "proximity_topk": lambda s, d: P.proximity_topk(
+            s, _docs(s, d), _PROX_TERMS, window=_PROX_WINDOW, k=20
+        ),
+        "proximity_topk_positional": lambda s, d:
+            P.proximity_topk_positional(
+                P.positional_postings(_docs(s, d)), s, _PROX_TERMS,
+                window=_PROX_WINDOW, k=20
+            ),
         # same result through a materialized positional-postings table
         # (the serving path: term-pruned scan, positions re-exploded)
         "phrase_topk_positional": lambda s, d: P.phrase_topk_positional(
@@ -1614,6 +1665,8 @@ WHERE doc_id NOT IN (SELECT doc_id FROM ex)
 ORDER BY score DESC, doc_id ASC LIMIT 20
 """,
         "phrase_topk": _PHRASE_SQL,
+        "proximity_topk": _proximity_oracle_sql(),
+        "proximity_topk_positional": _proximity_oracle_sql(),
         "phrase_topk_positional": _PHRASE_SQL,
         "phrase_topk_segments": _PHRASE_SQL,
         "kwic_snippets": f"""

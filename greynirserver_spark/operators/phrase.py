@@ -45,6 +45,9 @@ __all__ = [
     "phrase_topk",
     "phrase_topk_positional",
     "kwic_snippets",
+    "proximity_match_counts",
+    "proximity_topk",
+    "proximity_topk_positional",
 ]
 
 
@@ -181,5 +184,114 @@ def phrase_topk_positional(
         starts.groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("phrase_tf"))
         .orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+# ------------------------------------------------------------ proximity
+
+def _proximity_dim(spark: SparkSession, terms: Sequence[str]):
+    """Distinct lowercase terms, each assigned one bit in
+    first-occurrence order (the same order the oracle SQL generator
+    uses, so masks agree across engines)."""
+    uniq: list = []
+    for t in terms:
+        tl = t.lower()
+        if tl not in uniq:
+            uniq.append(tl)
+    if not uniq:
+        raise ValueError("empty term list")
+    if len(uniq) > 30:
+        raise ValueError("proximity supports at most 30 distinct terms")
+    dim = spark.createDataFrame(
+        [(t, 1 << i) for i, t in enumerate(uniq)],
+        "term string, bit long",
+    )
+    return dim, uniq
+
+
+def proximity_match_counts(
+    spark: SparkSession, docs: DataFrame, terms: Sequence[str],
+    window: int = 8,
+) -> DataFrame:
+    """(doc_id, prox_tf): proximity (NEAR/``window``) matching — the
+    sloppy counterpart of the exact phrase operator, a standard
+    inverted-index feature (Lucene's sloppy phrase / NEAR) the
+    reference lacks.
+
+    Semantics: a query-term occurrence at position ``p`` is a *cover
+    start* when every DISTINCT query term occurs somewhere in
+    ``[p, p + window - 1]``; ``prox_tf`` counts a document's cover
+    starts (unordered proximity, span ≤ ``window`` tokens).
+
+    Plan shape (the 100-TB story): each distinct term is one bit of a
+    mask; after the broadcast term join keeps only query-term
+    occurrences (a vanishing fraction of the corpus), a single
+    ``bit_or`` over a RANGE frame per doc decides coverage — one
+    shuffle on doc_id, no self-join, no per-row Python, and the whole
+    predicate is a plain window aggregate both Spark and DuckDB
+    evaluate identically (the driver oracle shares the exact shape).
+    """
+    from pyspark.sql import Window
+
+    dim, uniq = _proximity_dim(spark, terms)
+    full = (1 << len(uniq)) - 1
+    toks = document_positional_tokens(docs).join(
+        F.broadcast(dim), "term")
+    w = (
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rangeBetween(Window.currentRow, window - 1)
+    )
+    starts = (
+        toks.select("doc_id", "pos",
+                    F.bit_or("bit").over(w).alias("mask"))
+        .where(F.col("mask") == full)
+    )
+    return starts.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("prox_tf")
+    )
+
+
+def proximity_topk(
+    spark: SparkSession, docs: DataFrame, terms: Sequence[str],
+    window: int = 8, k: int = 20,
+) -> DataFrame:
+    """Top-k docs by proximity cover count, deterministic order."""
+    return (
+        proximity_match_counts(spark, docs, terms, window)
+        .orderBy(F.desc("prox_tf"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def proximity_topk_positional(
+    postings: DataFrame, spark: SparkSession, terms: Sequence[str],
+    window: int = 8, k: int = 20,
+) -> DataFrame:
+    """Proximity top-k from a materialized ``positional_postings``
+    table — the index-side form: the ``term IN (query)`` filter prunes
+    at the parquet scan, positions re-explode, then the same bit-mask
+    window plan as :func:`proximity_match_counts`."""
+    from pyspark.sql import Window
+
+    dim, uniq = _proximity_dim(spark, terms)
+    full = (1 << len(uniq)) - 1
+    toks = (
+        postings.join(F.broadcast(dim), "term")
+        .select("doc_id", "bit", F.explode("positions").alias("pos"))
+    )
+    w = (
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rangeBetween(Window.currentRow, window - 1)
+    )
+    starts = (
+        toks.select("doc_id", "pos",
+                    F.bit_or("bit").over(w).alias("mask"))
+        .where(F.col("mask") == full)
+    )
+    return (
+        starts.groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("prox_tf"))
+        .orderBy(F.desc("prox_tf"), F.asc("doc_id"))
         .limit(k)
     )

@@ -61,8 +61,10 @@ _NEWEST_RE = re.compile(
     r"|segðu mér fréttir(?: dagsins)?|fréttir dagsins)"
     r"\s*(.*)$",
     re.I)
-# a fully double-quoted query is an exact-phrase search
+# a fully double-quoted query is an exact-phrase search; with a
+# Lucene-style ~N suffix it is a proximity (NEAR/N) search
 _PHRASE_RE = re.compile(r'^"(.+)"$')
+_NEAR_RE = re.compile(r'^"(.+)"\s*~\s*(\d+)$')
 _SIMILAR_RE = re.compile(
     r"^(?:svipaðar greinar og|similar articles to)\s+(.+)$", re.I
 )
@@ -694,6 +696,11 @@ class Router:
                 and self.entity_definitions is not None:
             return Answer("Entity", self.whatis(m.group(1), k),
                           [m.group(1)])
+        if m := _NEAR_RE.match(q):
+            words = [t for t in re.split(PY_TOKEN_SPLIT_RE,
+                                         m.group(1).lower()) if t]
+            return Answer("ProximitySearch",
+                          self.near(words, int(m.group(2)), k), words)
         if m := _PHRASE_RE.match(q):
             words = [t for t in re.split(PY_TOKEN_SPLIT_RE, m.group(1).lower())
                      if t]
@@ -803,6 +810,32 @@ class Router:
             .orderBy(F.desc("phrase_tf"), F.asc("doc_id"))
             .limit(k)
             .select("doc_id", "url", "phrase_tf")
+        )
+
+    def near(self, words: List[str], window: int,
+             k: int = 10) -> DataFrame:
+        """Proximity (NEAR/``window``) top-k: all distinct query words
+        within a ``window``-token span, ranked by cover count — the
+        Lucene-style ``"..." ~N`` form.  Served corpus-side from the
+        stored text (the same basis as the phrase fallback; the
+        index-side ``proximity_topk_positional`` operator is the
+        positional-postings form)."""
+        k = min(k, _MAXLEN_ANSWER)
+        if not words:
+            return self._empty_frame(
+                "doc_id long, url string, prox_tf long")
+        window = max(int(window), len(set(words)))
+        from ..operators.phrase import proximity_topk
+
+        hits = proximity_topk(
+            self.spark, self.doc_map.select("doc_id", "text"),
+            words, window=window, k=k,
+        )
+        return (
+            hits.join(self.doc_map.select("doc_id", "url"), "doc_id")
+            .orderBy(F.desc("prox_tf"), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id", "url", "prox_tf")
         )
 
     def related(self, word: str, limit: int = 21) -> DataFrame:

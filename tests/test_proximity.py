@@ -1,0 +1,124 @@
+"""Proximity (NEAR/window) search: operator semantics vs a brute
+force, corpus-side == positional-postings-side, plan audit, and the
+Router's ``"..." ~N`` dispatch."""
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F
+
+from greynirserver_spark.corpus import generate_pages_pdf
+from greynirserver_spark.operators.phrase import (
+    positional_postings,
+    proximity_match_counts,
+    proximity_topk,
+    proximity_topk_positional,
+)
+from greynirserver_spark.plans.lineage import build_index_checkpointed
+from greynirserver_spark.query.router import Router
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _brute(text, terms, w):
+    toks = [t for t in text.lower().split() if t]
+    uniq = set(t.lower() for t in terms)
+    return sum(
+        1 for p in range(len(toks))
+        if toks[p] in uniq and uniq <= set(toks[p:p + w])
+    )
+
+
+FIXTURE = [
+    (1, "a x b y c z a b c"),
+    (2, "a b c a b c"),
+    (3, "a x x x x x b x x c"),   # spread wider than the window
+    (4, "b c a"),
+    (5, "a a a b b b"),           # no c at all
+    (6, "c b a c b a c"),         # order must not matter
+]
+
+
+def test_proximity_semantics_vs_brute_force(spark):
+    docs = _docs(spark, FIXTURE)
+    got = {
+        r["doc_id"]: r["prox_tf"]
+        for r in proximity_match_counts(
+            spark, docs, ["a", "b", "c"], window=6).collect()
+    }
+    for doc_id, text in FIXTURE:
+        expect = _brute(text, ["a", "b", "c"], 6)
+        assert got.get(doc_id, 0) == expect, (doc_id, text)
+    # duplicate query words collapse to distinct terms
+    dup = {
+        r["doc_id"]: r["prox_tf"]
+        for r in proximity_match_counts(
+            spark, docs, ["a", "b", "c", "a"], window=6).collect()
+    }
+    assert dup == got
+
+
+def test_proximity_positional_agrees_and_prunes(spark):
+    docs = _docs(spark, FIXTURE)
+    pp = positional_postings(docs)
+    a = proximity_topk(spark, docs, ["a", "c"], window=4,
+                       k=10).collect()
+    b = proximity_topk_positional(pp, spark, ["a", "c"], window=4,
+                                  k=10).collect()
+    assert [(r["doc_id"], r["prox_tf"]) for r in a] == \
+        [(r["doc_id"], r["prox_tf"]) for r in b]
+    # the term filter must reach the scan side of the postings plan
+    plan = proximity_topk_positional(
+        pp, spark, ["a", "c"], window=4, k=10
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_window_edge_cases(spark):
+    docs = _docs(spark, [(1, "a b"), (2, "a x b"), (3, "b a")])
+    # window 2: only strictly adjacent pairs (either order)
+    got = {
+        r["doc_id"]: r["prox_tf"]
+        for r in proximity_match_counts(
+            spark, docs, ["a", "b"], window=2).collect()
+    }
+    assert got == {1: 1, 3: 1}
+    # a single-term "proximity" degenerates to term occurrences
+    one = {
+        r["doc_id"]: r["prox_tf"]
+        for r in proximity_match_counts(
+            spark, docs, ["a"], window=1).collect()
+    }
+    assert one == {1: 1, 2: 1, 3: 1}
+    with pytest.raises(ValueError):
+        proximity_match_counts(spark, docs, [], window=3)
+
+
+def test_router_near_dispatch(spark, tmp_path):
+    pages = spark.createDataFrame(generate_pages_pdf(80))
+    store = build_index_checkpointed(
+        spark, pages, str(tmp_path / "near"), n_shards=2,
+        block_size=32
+    )
+    r = Router(spark, store)
+    # 'vera' and 'spevætt' co-occur within 6 tokens in most synthetic
+    # pages (measured over generate_pages_pdf output)
+    a = r.execute('"vera spevætt" ~6')
+    assert a.qtype == "ProximitySearch"
+    rows = a.df.collect()
+    assert 0 < len(rows) <= 10
+    assert rows[0]["prox_tf"] >= rows[-1]["prox_tf"]
+    assert rows[0]["url"].startswith("https://")
+    # exact phrase still routes separately
+    b = r.execute('"vera spevætt"')
+    assert b.qtype == "PhraseSearch"
+    # NEAR is at least as permissive as the exact phrase
+    phrase_docs = {x["doc_id"] for x in b.df.collect()}
+    near_docs = {x["doc_id"] for x in rows}
+    assert phrase_docs <= near_docs or len(near_docs) == 10
