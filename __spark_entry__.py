@@ -1016,6 +1016,53 @@ FROM s ORDER BY cosine DESC, vec_id ASC LIMIT 10
 """
 
 
+def _semdedup_oracle_sql(
+    which: str, k_cells: int = 8, tau: float = 0.35, dim: int = 64
+) -> str:
+    """ann.semantic_dedup_* mirrors: cell = the seeded-IVF argmax over
+    rounded centroid dots (identical to _ivf_oracle_sql's cell rule),
+    pairs = within-cell join with cosine rounded to 4, survivors = rows
+    with no lower-id >=tau neighbor in their cell, summary = per-cell
+    vec/pruned counts."""
+    from greynirserver_spark.operators.ann import seeded_ivf_centroids
+
+    cents = seeded_ivf_centroids(dim, k_cells)
+    row_dots = ", ".join(
+        f"round({_dot_sql(list(c), 'embedding')}, 6)" for c in cents
+    )
+    base = f"""
+WITH a AS (
+  SELECT vec_id, embedding,
+         (list_position(rl, list_aggregate(rl, 'max')) - 1)::INT AS cell,
+         sqrt(list_aggregate(list_transform(embedding,
+              x -> x::DOUBLE * x::DOUBLE), 'sum')) AS nrm
+  FROM (SELECT vec_id, embedding, [{row_dots}] AS rl FROM embeddings) t
+), p AS (
+  SELECT x.cell AS cell, x.vec_id AS vec_a, y.vec_id AS vec_b,
+         round(
+           list_aggregate(list_transform(range(1, len(x.embedding) + 1),
+               i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE), 'sum')
+           / (x.nrm * y.nrm), 4) AS cosine
+  FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+), pf AS (
+  SELECT * FROM p WHERE cosine >= {tau}
+)"""
+    if which == "pairs":
+        return base + "\nSELECT cell, vec_a, vec_b, cosine FROM pf"
+    if which == "survivors":
+        return base + """
+SELECT vec_id, cell FROM a
+WHERE vec_id NOT IN (SELECT vec_b FROM pf)"""
+    return base + """
+SELECT a.cell AS cell, count(*)::BIGINT AS n_vecs,
+       coalesce(pr.n_pruned, 0)::BIGINT AS n_pruned
+FROM a LEFT JOIN (
+  SELECT cell, count(DISTINCT vec_b)::BIGINT AS n_pruned
+  FROM pf GROUP BY cell
+) pr ON a.cell = pr.cell
+GROUP BY a.cell, pr.n_pruned"""
+
+
 def _ann_lsh_oracle_sql() -> str:
     """lsh_bucket_topk: candidate rows must match the query's sign-LSH
     bucket in table 1 or table 2 (per-plane sign equality against the
@@ -1510,6 +1557,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_pairs_lsh": lambda s, d: N.cosine_near_pairs_lsh(
             _emb(s, d), threshold=0.35, n_planes=4
         ),
+        # SemDeDup (k-means cells -> within-cell cosine prune): pairs,
+        # the deduped corpus, and the per-cell pressure report — the
+        # seeded quantizer makes cell walls exact SQL literals
+        "semdedup_pairs": lambda s, d: N.semantic_dedup_pairs(
+            _emb(s, d), k_cells=8, threshold=0.35
+        ),
+        "semdedup_survivors": lambda s, d: N.semantic_dedup_survivors(
+            _emb(s, d), k_cells=8, threshold=0.35
+        ),
+        "semdedup_summary": lambda s, d: N.semantic_dedup_summary(
+            _emb(s, d), k_cells=8, threshold=0.35
+        ),
         # streaming window agg run in batch mode (same plan both modes)
         "windowed_event_counts": lambda s, d: S.windowed_event_counts(
             s.read.parquet(f"{d}/events.parquet")
@@ -1567,6 +1626,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_token_budget": lambda s, d: __import__(
             "greynirserver_spark.operators.packing", fromlist=["packing"]
         ).pack_token_budget(_docs(s, d), budget=2000),
+        # deterministic global training shuffle: md5(seed:id) key ->
+        # shard from its leading 32 bits, rank within shard — partition-
+        # count-independent, epoch = seed
+        "training_shuffle_shards": lambda s, d: __import__(
+            "greynirserver_spark.operators.shuffling",
+            fromlist=["shuffling"],
+        ).training_shards(_docs(s, d), seed=1, n_shards=4),
         "bigram_pmi": lambda s, d: A.bigram_pmi(_docs(s, d), min_freq=5),
         "tfidf_keywords": lambda s, d: A.tfidf_keywords(
             _docs(s, d), per_doc=3, min_df=3
@@ -1953,6 +2019,9 @@ WHERE a.doc_id < b.doc_id
         "ann_ivf_topk": _ivf_oracle_sql(),
         "ann_lsh_topk": _ann_lsh_oracle_sql(),
         "embedding_near_pairs_lsh": _near_pairs_lsh_oracle_sql(),
+        "semdedup_pairs": _semdedup_oracle_sql("pairs"),
+        "semdedup_survivors": _semdedup_oracle_sql("survivors"),
+        "semdedup_summary": _semdedup_oracle_sql("summary"),
         "corpus_clean_with_neardup": _neardup_summary_oracle_sql(),
         "ann_cosine_topk": f"""
 WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = {_ANN_QUERY_ID}),
@@ -2201,6 +2270,22 @@ SELECT doc_id, n_tokens,
        ((sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens) // 2000)::BIGINT
          AS shard_id
 FROM tc
+""",
+        "training_shuffle_shards": """
+WITH k AS (
+  SELECT doc_id,
+         md5('1:' || doc_id::VARCHAR) AS shuffle_key
+  FROM documents
+), s AS (
+  SELECT doc_id, shuffle_key,
+         (('0x' || substr(shuffle_key, 1, 8))::BIGINT % 4)::INT AS shard
+  FROM k
+)
+SELECT doc_id, shard,
+       row_number() OVER (
+         PARTITION BY shard ORDER BY shuffle_key, doc_id
+       )::BIGINT AS pos
+FROM s
 """,
         "bigram_pmi": f"""
 WITH tokarr AS (

@@ -37,6 +37,9 @@ __all__ = [
     "cosine_near_pairs_exact",
     "cosine_near_pairs_lsh",
     "incremental_cosine_near_pairs",
+    "semantic_dedup_pairs",
+    "semantic_dedup_survivors",
+    "semantic_dedup_summary",
 ]
 
 
@@ -362,3 +365,121 @@ def incremental_cosine_near_pairs(
     append_run(spark, store_root, new_rows, run_id=run_id)
     new_rows.unpersist()
     return pairs
+
+
+# --------------------------------------------------------- SemDeDup
+
+def _semdedup_assigned(
+    emb: DataFrame, k_cells: int, centroids: Optional[np.ndarray]
+) -> DataFrame:
+    """(vec_id, embedding, nrm, cell): the SemDeDup partitioning step —
+    every vector lands in exactly one k-means cell. Cell assignment is
+    the IVF argmax (rounded dots, first-max) so it is bit-reproducible
+    across engines; norms ride along so the within-cell verify below
+    stays a pure dot product."""
+    if centroids is None:
+        dim = int(emb.select(F.size("embedding")).first()[0])
+        centroids = seeded_ivf_centroids(dim, k_cells)
+    return (
+        ivf_assign(
+            emb.select(
+                "vec_id", "embedding",
+                _norm(F.col("embedding")).alias("nrm"),
+            ),
+            centroids,
+        )
+        .withColumnRenamed("bucket", "cell")
+    )
+
+
+def semantic_dedup_pairs(
+    emb: DataFrame,
+    k_cells: int = 8,
+    threshold: float = 0.35,
+    centroids: Optional[np.ndarray] = None,
+) -> DataFrame:
+    """(cell, vec_a, vec_b, cosine): semantic near-duplicate pairs, the
+    SemDeDup shape (Abbas et al. 2023, arXiv:2303.09540): k-means the
+    embedding space, then compare pairs ONLY within a cell — the
+    pairwise cost drops from O(n^2) to sum over cells of O(|cell|^2),
+    and the cell id is the shuffle/partition key, so each cell's
+    comparison runs co-located with no cross-cell traffic.
+
+    At 10^12 docs: train centroids with k ~ corpus/cell_budget
+    (:func:`train_ivf_centroids` — driver O(sample x dim), broadcast
+    out), recursively sub-split any cell over budget, and the within-
+    cell self-join is the whole algorithm; nothing else scans the
+    corpus. Here k is small and the quantizer seeded so an external
+    SQL oracle reproduces the exact cell walls.
+
+    Cosine rounded to 4 (summation-order independence across engines);
+    ``vec_a < vec_b`` canonical order.
+    """
+    assigned = _semdedup_assigned(emb, k_cells, centroids)
+    return (
+        assigned.alias("a")
+        .join(assigned.alias("b"), "cell")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            "cell",
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(
+                _dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                4,
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def semantic_dedup_survivors(
+    emb: DataFrame,
+    k_cells: int = 8,
+    threshold: float = 0.35,
+    centroids: Optional[np.ndarray] = None,
+) -> DataFrame:
+    """(vec_id, cell): the corpus after semantic dedup — drop every
+    vector that has a LOWER-id neighbor at cosine >= threshold in its
+    cell (greedy min-id representative, SemDeDup's keep-one-per-
+    epsilon-ball rule with the same deterministic survivor choice as
+    ``exact_dup_groups``). One anti-join against the pruned-id set;
+    for transitive-closure clustering over these pairs reuse
+    ``dedup.near_dup_clusters``'s label propagation — the pair relation
+    here is the same shape."""
+    pairs = semantic_dedup_pairs(emb, k_cells, threshold, centroids)
+    pruned = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
+    return (
+        _semdedup_assigned(emb, k_cells, centroids)
+        .join(pruned, "vec_id", "left_anti")
+        .select("vec_id", "cell")
+    )
+
+
+def semantic_dedup_summary(
+    emb: DataFrame,
+    k_cells: int = 8,
+    threshold: float = 0.35,
+    centroids: Optional[np.ndarray] = None,
+) -> DataFrame:
+    """(cell, n_vecs, n_pruned): per-cell dedup pressure — the
+    monitoring table a pipeline run reports (how semantically redundant
+    is each region of the embedding space)."""
+    assigned = _semdedup_assigned(emb, k_cells, centroids)
+    pairs = semantic_dedup_pairs(emb, k_cells, threshold, centroids)
+    pruned = (
+        pairs.select("cell", F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .groupBy("cell")
+        .agg(F.count("*").cast("long").alias("n_pruned"))
+    )
+    return (
+        assigned.groupBy("cell")
+        .agg(F.count("*").cast("long").alias("n_vecs"))
+        .join(pruned, "cell", "left")
+        .select(
+            "cell", "n_vecs",
+            F.coalesce("n_pruned", F.lit(0)).cast("long").alias("n_pruned"),
+        )
+    )
