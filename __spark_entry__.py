@@ -1633,6 +1633,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "greynirserver_spark.operators.shuffling",
             fromlist=["shuffling"],
         ).training_shards(_docs(s, d), seed=1, n_shards=4),
+        # sliding context-window chunking (split-before-pack); shuffle-
+        # free sequence/explode plan
+        "doc_chunks": lambda s, d: T.chunk_documents(
+            _docs(s, d), max_tokens=32, stride=24
+        ),
+        # CCNet-style perplexity terciles; the ordered pass runs over
+        # DISTINCT rounded scores, never per-row
+        "perplexity_buckets": lambda s, d: T.perplexity_buckets(
+            _docs(s, d), n_buckets=3
+        ),
         "bigram_pmi": lambda s, d: A.bigram_pmi(_docs(s, d), min_freq=5),
         "tfidf_keywords": lambda s, d: A.tfidf_keywords(
             _docs(s, d), per_doc=3, min_df=3
@@ -1783,6 +1793,41 @@ SELECT t.doc_id,
        round(exp(-avg(ln(f.tf_corpus / tot.total))), 4) AS ppl
 FROM tokf t JOIN freq f USING (term) CROSS JOIN tot
 GROUP BY t.doc_id
+""",
+        "doc_chunks": f"""
+WITH tokarr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_TOKEN_RE}'),
+                     x -> length(x) BETWEEN 1 AND 64) AS toks
+  FROM documents
+), nz AS (SELECT * FROM tokarr WHERE len(toks) > 0),
+st AS (
+  SELECT doc_id, toks,
+         unnest(range(1, len(toks) + 1, 24)) AS start
+  FROM nz
+)
+SELECT doc_id,
+       ((start - 1) // 24)::BIGINT AS chunk_id,
+       len(toks[start:start + 31])::BIGINT AS n_tokens,
+       array_to_string(toks[start:start + 31], ' ') AS chunk_text
+FROM st
+""",
+        "perplexity_buckets": _TOK_CTE + """,
+freq AS (SELECT term, count(*)::BIGINT AS tf_corpus FROM tokf GROUP BY 1),
+tot AS (SELECT sum(tf_corpus)::DOUBLE AS total FROM freq),
+u AS (
+  SELECT t.doc_id,
+         round(exp(-avg(ln(f.tf_corpus / tot.total))), 4) AS ppl
+  FROM tokf t JOIN freq f USING (term) CROSS JOIN tot
+  GROUP BY t.doc_id
+), nn AS (SELECT count(*)::BIGINT AS n FROM u),
+v AS (SELECT ppl, count(*) AS c FROM u GROUP BY ppl),
+cum AS (
+  SELECT ppl, sum(c) OVER (ORDER BY ppl) - c AS c_start FROM v
+)
+SELECT u.doc_id, u.ppl,
+       floor(cum.c_start * 3 / nn.n)::INT AS bucket
+FROM u JOIN cum USING (ppl) CROSS JOIN nn
 """,
         "pii_redaction": _pii_oracle_sql(),
         "gopher_rules": _gopher_oracle_sql(),

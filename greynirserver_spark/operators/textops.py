@@ -31,6 +31,8 @@ __all__ = [
     "bm25_boolean_topk",
     "quality_scores",
     "document_fingerprints",
+    "chunk_documents",
+    "perplexity_buckets",
     "TOKEN_SPLIT_RE",
 ]
 
@@ -510,4 +512,99 @@ def gopher_rules(
             & (F.col("ellipsis_ratio") <= 0.3)
             & (F.col("symbol_ratio") <= 0.1)
         ).cast("long"),
+    )
+
+
+def _token_array(text_col="text"):
+    """Filtered token array (lower -> regex split -> 1..64 chars) as
+    one JVM expression — the array form of :func:`document_tokens`."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE),
+        lambda x: (F.length(x) >= 1) & (F.length(x) <= MAX_WORD_LEN),
+    )
+
+
+def chunk_documents(
+    docs: DataFrame, max_tokens: int = 128, stride: int = 96
+) -> DataFrame:
+    """(doc_id, chunk_id, n_tokens, chunk_text): sliding context-window
+    chunks — the split step before sequence packing
+    (:func:`packing.pack_token_budget` consumes pieces like these when
+    documents exceed the training context).
+
+    Window ``i`` starts at token ``1 + i*stride`` and holds up to
+    *max_tokens* tokens; windows are emitted while the start is inside
+    the document, so with ``stride < max_tokens`` consecutive chunks
+    overlap by ``max_tokens - stride`` tokens (the boundary-context
+    convention) and the final chunk may be short. Zero-token documents
+    emit no chunks.
+
+    Plan shape: one ``sequence``/``explode`` over per-row arithmetic —
+    embarrassingly parallel, no shuffle, no UDF; each task chunks its
+    own partition's documents. Expressed 1:1 in DuckDB by the oracle
+    (range / list_slice / array_to_string).
+    """
+    if max_tokens < 1 or stride < 1:
+        raise ValueError("max_tokens and stride must be >= 1")
+    toks = docs.select("doc_id", _token_array().alias("toks")).where(
+        F.size("toks") > 0
+    )
+    starts = F.sequence(
+        F.lit(1), F.size("toks"), F.lit(int(stride))
+    )
+    chunked = toks.select(
+        "doc_id", "toks", F.explode(starts).alias("start")
+    ).select(
+        "doc_id",
+        ((F.col("start") - 1) / int(stride)).cast("long").alias("chunk_id"),
+        F.slice("toks", F.col("start"), int(max_tokens)).alias("ctoks"),
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_id",
+        F.size("ctoks").cast("long").alias("n_tokens"),
+        F.array_join("ctoks", " ").alias("chunk_text"),
+    )
+
+
+def perplexity_buckets(
+    docs: DataFrame, n_buckets: int = 3, broadcast_max: int = 2_000_000
+) -> DataFrame:
+    """(doc_id, ppl, bucket): CCNet-style perplexity binning — bucket 0
+    is the lowest-perplexity (most fluent / most boilerplate) slice,
+    bucket ``n_buckets - 1`` the highest. Downstream recipes keep or
+    re-weight slices ("head/middle/tail").
+
+    Equal scores land in the same bucket (value-level assignment:
+    bucket = floor(n_buckets * |{ppl' < ppl}| / n)), so the result is a
+    pure function of the score distribution — no arbitrary tie split.
+
+    Scale shape: the only ordered pass runs over DISTINCT rounded
+    scores (tiny vs the corpus — the window is per-value, not per-row;
+    a per-row global NTILE would serialize the corpus through one
+    task). Boundaries then assign via an equi-join on the score value.
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    scored = unigram_logprob_scores(docs, broadcast_max).select(
+        "doc_id", "ppl"
+    )
+    n = scored.count()
+    if n == 0:
+        return scored.select(
+            "doc_id", "ppl", F.lit(0).cast("int").alias("bucket")
+        )
+    vals = scored.groupBy("ppl").agg(F.count("*").alias("c"))
+    w = Window.orderBy("ppl").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = vals.select(
+        "ppl", (F.sum("c").over(w) - F.col("c")).alias("c_start")
+    )
+    return scored.join(cum, "ppl").select(
+        "doc_id",
+        "ppl",
+        F.floor(F.col("c_start") * int(n_buckets) / F.lit(int(n)))
+        .cast("int")
+        .alias("bucket"),
     )
