@@ -1406,6 +1406,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             s, _PHRASE, k=20,
         ),
+        # NEAR over the compressed positional segments (serving path)
+        "proximity_topk_segments": lambda s, d: __import__(
+            "greynirserver_spark.operators.posindex", fromlist=["x"]
+        ).proximity_topk_segments(
+            __import__(
+                "greynirserver_spark.operators.posindex", fromlist=["x"]
+            ).build_positional_segments(
+                P.positional_postings(_docs(s, d)), n_shards=8,
+                block_size=64,
+            ),
+            s, _PROX_TERMS, window=_PROX_WINDOW, k=20,
+        ),
         # keyword-in-context snippet around the first hit per doc
         "kwic_snippets": lambda s, d: P.kwic_snippets(
             _docs(s, d), "spark", window=4, k=20
@@ -1743,6 +1755,7 @@ ORDER BY score DESC, doc_id ASC LIMIT 20
         "phrase_topk": _PHRASE_SQL,
         "proximity_topk": _proximity_oracle_sql(),
         "proximity_topk_positional": _proximity_oracle_sql(),
+        "proximity_topk_segments": _proximity_oracle_sql(),
         "phrase_topk_positional": _PHRASE_SQL,
         "phrase_topk_segments": _PHRASE_SQL,
         "kwic_snippets": f"""

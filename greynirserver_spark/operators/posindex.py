@@ -43,6 +43,8 @@ __all__ = [
     "decode_positional_block",
     "phrase_counts_pandas",
     "phrase_topk_positional_segments",
+    "proximity_counts_pandas",
+    "proximity_topk_segments",
     "update_positional_block_counts",
     "compact_positional_block_counts",
     "load_positional_block_counts",
@@ -419,6 +421,194 @@ def phrase_counts_pandas(
         {"doc_id": udocs.astype(np.int64),
          "phrase_tf": cnts.astype(np.int64)}
     )
+
+
+def proximity_counts_pandas(
+    pdf: pd.DataFrame, terms: Sequence[str], window: int
+) -> pd.DataFrame:
+    """(doc_id, prox_tf) from matched positional block rows — the
+    NEAR/``window`` counterpart of :func:`phrase_counts_pandas` (same
+    semantics as ``operators.phrase.proximity_match_counts``: a
+    query-term occurrence at ``p`` is a cover start when every distinct
+    query term occurs in ``[p, p + window - 1]``).
+
+    Vectorized: per term, occurrences become sorted ``doc*2^32 + pos``
+    keys (docs compacted to dense ranks first, so the composite never
+    overflows int64 whatever the raw ids); a cover start is an
+    occurrence where every term's ``searchsorted`` successor key lands
+    within ``window - 1`` — window < 2^32, so "within the bound" also
+    implies "same doc" with no extra check.
+    """
+    uniq: list = []
+    for t in terms:
+        tl = t.lower()
+        if tl not in uniq:
+            uniq.append(tl)
+    empty = pd.DataFrame({"doc_id": [], "prox_tf": []}).astype(
+        {"doc_id": "int64", "prox_tf": "int64"}
+    )
+    if len(pdf) == 0 or len(set(pdf["term"])) < len(uniq):
+        return empty
+    per_term: dict = {}
+    for term, g in pdf.groupby("term", sort=False):
+        d_all, p_all = [], []
+        for r in g.itertuples(index=False):
+            doc, lens, flat = decode_positional_block(
+                r.docs, r.poslens, r.positions
+            )
+            d_all.append(np.repeat(doc, lens))
+            p_all.append(flat)
+        per_term[term] = (
+            np.concatenate(d_all), np.concatenate(p_all)
+        )
+    BIG = np.int64(1) << 32
+    D = np.concatenate([per_term[t][0] for t in uniq])
+    P = np.concatenate([per_term[t][1] for t in uniq])
+    udocs, inv = np.unique(D, return_inverse=True)
+    key = inv.astype(np.int64) * BIG + P
+    covered = np.ones(D.size, dtype=bool)
+    sentinel = np.iinfo(np.int64).max
+    for t in uniq:
+        d_t, p_t = per_term[t]
+        di = np.searchsorted(udocs, d_t).astype(np.int64)
+        key_t = np.sort(di * BIG + p_t)
+        idx = np.searchsorted(key_t, key)
+        nxt = np.where(
+            idx < key_t.size,
+            key_t[np.minimum(idx, key_t.size - 1)],
+            sentinel,
+        )
+        covered &= nxt <= key + np.int64(window - 1)
+    hit_docs = D[covered]
+    if hit_docs.size == 0:
+        return empty
+    out_docs, cnts = np.unique(hit_docs, return_counts=True)
+    return pd.DataFrame(
+        {"doc_id": out_docs.astype(np.int64),
+         "prox_tf": cnts.astype(np.int64)}
+    )
+
+
+def _proximity_topk_window_shuffle(
+    matched: DataFrame, uniq: Sequence[str], window: int, k: int,
+    exclude_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Bounded-memory proximity plan for heavy terms: stream-decode
+    blocks into (doc_id, pos, bit) rows (bounded per Arrow batch), then
+    the same bit_or-over-RANGE-frame window plan as
+    ``operators.phrase.proximity_match_counts`` — ONE shuffle on
+    doc_id, never a whole shard in one task."""
+    from pyspark.sql.window import Window as W
+
+    bit_of = {t: 1 << i for i, t in enumerate(uniq)}
+    full = (1 << len(uniq)) - 1
+
+    def rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out_d, out_p, out_b = [], [], []
+            for r in b.itertuples(index=False):
+                bit = bit_of.get(r.term)
+                if bit is None:
+                    continue
+                doc, lens, flat = decode_positional_block(
+                    r.docs, r.poslens, r.positions
+                )
+                out_d.append(np.repeat(doc, lens))
+                out_p.append(flat)
+                out_b.append(np.full(flat.size, bit, dtype=np.int64))
+            if out_d:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(out_d),
+                        "pos": np.concatenate(out_p),
+                        "bit": np.concatenate(out_b),
+                    }
+                )
+
+    toks = matched.select("term", "docs", "poslens", "positions").mapInPandas(
+        rows, "doc_id long, pos long, bit long"
+    )
+    w = (
+        W.partitionBy("doc_id").orderBy("pos")
+        .rangeBetween(W.currentRow, window - 1)
+    )
+    counts = (
+        toks.select(
+            "doc_id", "pos", F.bit_or("bit").over(w).alias("mask")
+        )
+        .where(F.col("mask") == full)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("prox_tf"))
+    )
+    if exclude_docs is not None:
+        counts = counts.join(
+            exclude_docs.select("doc_id"), "doc_id", "left_anti"
+        )
+    return counts.orderBy(F.desc("prox_tf"), F.asc("doc_id")).limit(k)
+
+
+def proximity_topk_segments(
+    segments: DataFrame,
+    spark: SparkSession,
+    terms: Sequence[str],
+    window: int = 8,
+    k: int = 20,
+    max_blocks_per_shard: int | None = 500_000,
+    block_counts: dict | None = None,
+    exclude_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Proximity (NEAR/``window``) top-k over COMPRESSED positional
+    blocks — rank-identical to ``operators.phrase.proximity_topk`` over
+    the raw corpus. Same plan skeleton and guard rails as
+    :func:`phrase_topk_positional_segments`: term-pruned scan (blocks
+    term-sorted per file), per-shard whole-batch decode under the FREE
+    ``block_counts`` memory guard (shards hold disjoint doc ranges, so
+    per-shard counts are final), streamed window-shuffle fallback above
+    the guard, distributed *exclude_docs* anti-join before the top-k
+    cut."""
+    uniq_l: list = []
+    for t in terms:
+        tl = t.lower()
+        if tl not in uniq_l:
+            uniq_l.append(tl)
+    if not uniq_l:
+        raise ValueError("empty term list")
+    if len(uniq_l) > 30:
+        raise ValueError("proximity supports at most 30 distinct terms")
+    window = max(int(window), 1)
+    matched = segments.where(F.col("term").isin(sorted(uniq_l)))
+
+    if max_blocks_per_shard is not None:
+        exceeds: bool | None = None
+        if (
+            block_counts is not None
+            and block_counts.get("floor", 1 << 62) <= max_blocks_per_shard
+        ):
+            terms_map = block_counts.get("terms", {})
+            exceeds = any(
+                terms_map.get(w, 0) > max_blocks_per_shard
+                for w in uniq_l
+            )
+        if exceeds is None:
+            worst = (
+                matched.groupBy("shard").agg(F.count("*").alias("c"))
+                .agg(F.max("c")).first()[0]
+            )
+            exceeds = worst is not None and worst > max_blocks_per_shard
+        if exceeds:
+            return _proximity_topk_window_shuffle(
+                matched, uniq_l, window, k, exclude_docs=exclude_docs
+            )
+
+    hits = matched.groupBy("shard").applyInPandas(
+        lambda pdf: proximity_counts_pandas(pdf, uniq_l, window),
+        "doc_id long, prox_tf long",
+    )
+    if exclude_docs is not None:
+        hits = hits.join(
+            exclude_docs.select("doc_id"), "doc_id", "left_anti"
+        )
+    return hits.orderBy(F.desc("prox_tf"), F.asc("doc_id")).limit(k)
 
 
 def compact_positional_segments(

@@ -816,21 +816,35 @@ class Router:
              k: int = 10) -> DataFrame:
         """Proximity (NEAR/``window``) top-k: all distinct query words
         within a ``window``-token span, ranked by cover count — the
-        Lucene-style ``"..." ~N`` form.  Served corpus-side from the
-        stored text (the same basis as the phrase fallback; the
-        index-side ``proximity_topk_positional`` operator is the
-        positional-postings form)."""
+        Lucene-style ``"..." ~N`` form. Serves from the store's
+        COMPRESSED positional segments when the build persisted them
+        (same pruning + tombstone anti-join as :meth:`phrase`);
+        otherwise computes ad hoc from the stored text."""
         k = min(k, _MAXLEN_ANSWER)
         if not words:
             return self._empty_frame(
                 "doc_id long, url string, prox_tf long")
         window = max(int(window), len(set(words)))
         from ..operators.phrase import proximity_topk
-
-        hits = proximity_topk(
-            self.spark, self.doc_map.select("doc_id", "text"),
-            words, window=window, k=k,
+        from ..operators.posindex import (
+            load_positional_block_counts,
+            proximity_topk_segments,
         )
+
+        if not self.store.has("positions"):
+            hits = proximity_topk(
+                self.spark, self.doc_map.select("doc_id", "text"),
+                words, window=window, k=k,
+            )
+        else:
+            hits = proximity_topk_segments(
+                self.store.load(self.spark, "positions"), self.spark,
+                words, window=window, k=k,
+                block_counts=load_positional_block_counts(
+                    self.store.root
+                ),
+                exclude_docs=self._tomb,
+            )
         return (
             hits.join(self.doc_map.select("doc_id", "url"), "doc_id")
             .orderBy(F.desc("prox_tf"), F.asc("doc_id"))

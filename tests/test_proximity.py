@@ -122,3 +122,68 @@ def test_router_near_dispatch(spark, tmp_path):
     phrase_docs = {x["doc_id"] for x in b.df.collect()}
     near_docs = {x["doc_id"] for x in rows}
     assert phrase_docs <= near_docs or len(near_docs) == 10
+
+def test_proximity_segments_agrees_with_corpus_side(spark):
+    """Compressed-block NEAR == raw corpus NEAR, through both the
+    applyInPandas path and the forced window-shuffle fallback."""
+    from greynirserver_spark.operators.posindex import (
+        build_positional_segments,
+        proximity_topk_segments,
+    )
+
+    docs = _docs(spark, FIXTURE)
+    segs = build_positional_segments(
+        positional_postings(docs), n_shards=4, block_size=4
+    )
+    want = [
+        (r["doc_id"], r["prox_tf"])
+        for r in proximity_topk(
+            spark, docs, ["a", "b", "c"], window=6, k=10
+        ).collect()
+    ]
+    got = [
+        (r["doc_id"], r["prox_tf"])
+        for r in proximity_topk_segments(
+            segs, spark, ["a", "b", "c"], window=6, k=10
+        ).collect()
+    ]
+    assert got == want
+    # force the bounded-memory fallback (guard threshold of 1 block)
+    low = [
+        (r["doc_id"], r["prox_tf"])
+        for r in proximity_topk_segments(
+            segs, spark, ["a", "b", "c"], window=6, k=10,
+            max_blocks_per_shard=1,
+        ).collect()
+    ]
+    assert low == want
+
+
+def test_searcher_near_serves_from_store(spark, tmp_path):
+    from greynirserver_spark.query.searcher import Searcher
+    from greynirserver_spark.operators.phrase import proximity_topk
+
+    pages = spark.createDataFrame(generate_pages_pdf(120))
+    store = build_index_checkpointed(
+        spark, pages, str(tmp_path / "near_store"), n_shards=2,
+        block_size=32, with_positions=True,
+    )
+    s = Searcher(spark, store)
+    got = s.near(["vera", "spevætt"], window=6, k=10)
+    assert got and all(
+        got[i][1] >= got[i + 1][1] for i in range(len(got) - 1)
+    )
+    # parity with the corpus-side operator over the same doc_map text
+    dm = store.load(spark, "doc_map").select("doc_id", "text")
+    want = [
+        (r["doc_id"], r["prox_tf"])
+        for r in proximity_topk(
+            spark, dm, ["vera", "spevætt"], window=6, k=10
+        ).collect()
+    ]
+    assert got == want
+    # distributed path (fetch cap forced to 0 blocks) agrees too
+    s_low = Searcher(spark, store, max_fetch_blocks=0)
+    assert s_low.near(["vera", "spevætt"], window=6, k=10) == want
+    # cache hit returns the same list
+    assert s.near(["vera", "spevætt"], window=6, k=10) == got
