@@ -1645,6 +1645,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "greynirserver_spark.operators.shuffling",
             fromlist=["shuffling"],
         ).training_shards(_docs(s, d), seed=1, n_shards=4),
+        # held-out split: membership is a pure function of (seed, id) —
+        # adding data or changing the cluster never migrates a document
+        "train_val_test_split": lambda s, d: __import__(
+            "greynirserver_spark.operators.shuffling",
+            fromlist=["shuffling"],
+        ).train_val_test_split(
+            _docs(s, d).select("doc_id"), fracs=(0.8, 0.1, 0.1), seed=1
+        ),
         # sliding context-window chunking (split-before-pack); shuffle-
         # free sequence/explode plan
         "doc_chunks": lambda s, d: T.chunk_documents(
@@ -1806,6 +1814,19 @@ SELECT t.doc_id,
        round(exp(-avg(ln(f.tf_corpus / tot.total))), 4) AS ppl
 FROM tokf t JOIN freq f USING (term) CROSS JOIN tot
 GROUP BY t.doc_id
+""",
+        "train_val_test_split": """
+WITH u AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('split-1:' || doc_id::VARCHAR), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN u < 0.8::DOUBLE THEN 'train'
+            WHEN u < 0.9::DOUBLE THEN 'val'
+            ELSE 'test' END AS split
+FROM u
 """,
         "doc_chunks": f"""
 WITH tokarr AS (

@@ -34,6 +34,7 @@ __all__ = [
     "shuffle_key",
     "training_shuffle",
     "training_shards",
+    "train_val_test_split",
 ]
 
 # leading hex chars of the md5 key used for shard assignment;
@@ -91,4 +92,55 @@ def training_shards(
         id_col,
         "shard",
         F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+def train_val_test_split(
+    docs: DataFrame,
+    fracs: tuple = (0.98, 0.01, 0.01),
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Input rows plus ``split`` in {'train','val','test'} — the
+    held-out partition of a training corpus, decided per document by
+    ``md5('split-<seed>:<id>')``'s leading 32 bits mapped to [0, 1).
+
+    Same guarantees as the shuffle key (deterministic, partition- and
+    arrival-order-invariant, pure column expression, no shuffle at
+    all), plus the property an eval set actually needs: membership is a
+    function of the document id alone, so re-running ingestion, adding
+    data, or changing the cluster NEVER migrates a document across the
+    split boundary — only changing *seed* does. The hash is salted
+    ('split-' prefix) so split membership is independent of the same
+    seed's shuffle order.
+
+    *fracs* are (train, val, test) and must sum to 1 (within 1e-9).
+    """
+    if len(fracs) != 3 or any(f < 0 for f in fracs):
+        raise ValueError("fracs must be three non-negative fractions")
+    if abs(sum(fracs) - 1.0) > 1e-9:
+        raise ValueError("fracs must sum to 1")
+    f_train, f_val, _ = fracs
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"split-{int(seed)}:"),
+                        F.col(id_col).cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 32))
+    )
+    return docs.withColumn(
+        "split",
+        F.when(u < f_train, F.lit("train"))
+        .when(u < f_train + f_val, F.lit("val"))
+        .otherwise(F.lit("test")),
     )

@@ -99,3 +99,61 @@ def test_training_shuffle_key_stability(spark):
 def test_bad_n_shards_rejected(spark):
     with pytest.raises(ValueError):
         training_shards(_docs(spark), seed=0, n_shards=0)
+
+
+def test_split_disjoint_exhaustive_and_stable(spark):
+    from greynirserver_spark.operators.shuffling import (
+        train_val_test_split,
+    )
+
+    docs = _docs(spark)
+    n = docs.count()
+    out = train_val_test_split(docs, (0.8, 0.1, 0.1), seed=5)
+    rows = out.collect()
+    assert len(rows) == n
+    sizes = {}
+    for r in rows:
+        sizes[r["split"]] = sizes.get(r["split"], 0) + 1
+    assert set(sizes) <= {"train", "val", "test"}
+    # roughly proportional at n=500
+    assert sizes["train"] > 0.7 * n
+    assert 0 < sizes.get("val", 0) < 0.2 * n
+    assert 0 < sizes.get("test", 0) < 0.2 * n
+    # partition-invariant: identical assignment at other parallelism
+    again = {
+        r["doc_id"]: r["split"]
+        for r in train_val_test_split(
+            docs.repartition(13), (0.8, 0.1, 0.1), seed=5
+        ).collect()
+    }
+    assert again == {r["doc_id"]: r["split"] for r in rows}
+    # superset stability: membership of shared ids is unchanged when
+    # the corpus grows (the property samplesplit-by-rank lacks)
+    half = {
+        r["doc_id"]: r["split"]
+        for r in train_val_test_split(
+            docs.where(F.col("doc_id") < 250), (0.8, 0.1, 0.1), seed=5
+        ).collect()
+    }
+    full = {r["doc_id"]: r["split"] for r in rows}
+    assert all(full[d] == s for d, s in half.items())
+    # a different seed reassigns
+    other = {
+        r["doc_id"]: r["split"]
+        for r in train_val_test_split(
+            docs, (0.8, 0.1, 0.1), seed=6
+        ).collect()
+    }
+    assert other != full
+
+
+def test_split_validates_fracs(spark):
+    from greynirserver_spark.operators.shuffling import (
+        train_val_test_split,
+    )
+
+    docs = _docs(spark)
+    with pytest.raises(ValueError):
+        train_val_test_split(docs, (0.5, 0.1, 0.1))
+    with pytest.raises(ValueError):
+        train_val_test_split(docs, (1.2, -0.1, -0.1))
