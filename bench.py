@@ -376,6 +376,44 @@ def main() -> None:
     timed("q11_lsa_assign",
           lambda: L.assign_topics_lsa(docs, lsa_model).count())
 
+    # --- q13: NEAR/6 over the compressed positional segments (the
+    #     serving-side proximity path; reuses q10's segment store)
+    from greynirserver_spark.operators.posindex import (
+        proximity_topk_segments,
+    )
+
+    timed("q13_proximity_segments",
+          lambda: proximity_topk_segments(
+              seg_t, spark, words, window=6, k=20,
+              block_counts={"floor": DEFAULT_HEAVY_FLOOR, "terms": {}},
+          ).count())
+
+    # --- q14: SemDeDup over the embeddings table (k-means cells ->
+    #     within-cell cosine prune)
+    from greynirserver_spark.operators import ann as AN
+
+    emb = AN.load_embeddings(spark, sf_dir)
+    timed("q14_semdedup_survivors",
+          lambda: AN.semantic_dedup_survivors(
+              emb, k_cells=8, threshold=0.35
+          ).count())
+
+    # --- q15: training-prep trio — shuffle shards, context chunks,
+    #     held-out split (all shuffle-light column plans)
+    from greynirserver_spark.operators.shuffling import (
+        train_val_test_split,
+        training_shards,
+    )
+
+    timed("q15_training_shuffle",
+          lambda: training_shards(docs, seed=1, n_shards=8).count())
+    timed("q15_doc_chunks", lambda: T.chunk_documents(
+        docs, max_tokens=32, stride=24
+    ).count())
+    timed("q15_split", lambda: train_val_test_split(
+        docs.select("doc_id"), (0.98, 0.01, 0.01), seed=1
+    ).count())
+
     extras = {
         # matched-row payload a phrase query fetches from each format
         "pos_raw_query_bytes": int(
