@@ -91,6 +91,56 @@ ORDER BY prox_tf DESC, doc_id
 LIMIT 20
 """
 
+def _ordered_prox_oracle_sql(terms, window: int) -> str:
+    """ordered_proximity_topk mirror: same greedy successor-chain plan
+    (conditional-min window per chain term, then equi-join hops)."""
+    seq = [t.lower() for t in terms]
+    hops = sorted(set(seq[1:]))
+    quoted = ", ".join(f"'{t}'" for t in sorted(set(seq)))
+    nxt_cols = ", ".join(
+        f"min(CASE WHEN term = '{t}' THEN pos END) OVER "
+        f"(PARTITION BY doc_id ORDER BY pos "
+        f"ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nxt_{i}"
+        for i, t in enumerate(hops)
+    )
+    hop_idx = {t: i for i, t in enumerate(hops)}
+    ctes = [
+        f"""c0 AS (
+  SELECT doc_id, pos AS p1, pos AS cur FROM aug WHERE term = '{seq[0]}'
+)"""
+    ]
+    for j, t in enumerate(seq[1:], start=1):
+        ctes.append(
+            f"""c{j} AS (
+  SELECT c.doc_id, c.p1, a.nxt_{hop_idx[t]} AS cur
+  FROM c{j - 1} c JOIN aug a ON a.doc_id = c.doc_id AND a.pos = c.cur
+  WHERE a.nxt_{hop_idx[t]} IS NOT NULL
+)"""
+        )
+    last = f"c{len(seq) - 1}"
+    return f"""
+WITH tokarr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_TOKEN_RE}'),
+                     x -> length(x) BETWEEN 1 AND 64) AS toks
+  FROM documents
+), tokidx AS (
+  SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, toks
+  FROM tokarr
+), base AS (
+  SELECT doc_id, pos, toks[pos] AS term FROM tokidx
+  WHERE toks[pos] IN ({quoted})
+), aug AS (
+  SELECT doc_id, pos, term, {nxt_cols} FROM base
+), {", ".join(ctes)}
+SELECT doc_id, count(*)::BIGINT AS oprox_tf
+FROM {last} WHERE cur - p1 <= {window - 1}
+GROUP BY doc_id
+ORDER BY oprox_tf DESC, doc_id
+LIMIT 20
+"""
+
+
 _PHRASE_SQL = f"""
 WITH tokarr AS (
   SELECT doc_id,
@@ -1388,6 +1438,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 P.positional_postings(_docs(s, d)), s, _PROX_TERMS,
                 window=_PROX_WINDOW, k=20
             ),
+        # ordered NEAR (phrase-with-window): greedy successor chain
+        "ordered_proximity_topk": lambda s, d: P.ordered_proximity_topk(
+            s, _docs(s, d), _PROX_TERMS, window=_PROX_WINDOW, k=20
+        ),
+        "ordered_proximity_topk_positional": lambda s, d:
+            P.ordered_proximity_topk_positional(
+                P.positional_postings(_docs(s, d)), s, _PROX_TERMS,
+                window=_PROX_WINDOW, k=20
+            ),
         # same result through a materialized positional-postings table
         # (the serving path: term-pruned scan, positions re-exploded)
         "phrase_topk_positional": lambda s, d: P.phrase_topk_positional(
@@ -1764,6 +1823,12 @@ ORDER BY score DESC, doc_id ASC LIMIT 20
         "proximity_topk": _proximity_oracle_sql(),
         "proximity_topk_positional": _proximity_oracle_sql(),
         "proximity_topk_segments": _proximity_oracle_sql(),
+        "ordered_proximity_topk": _ordered_prox_oracle_sql(
+            _PROX_TERMS, _PROX_WINDOW
+        ),
+        "ordered_proximity_topk_positional": _ordered_prox_oracle_sql(
+            _PROX_TERMS, _PROX_WINDOW
+        ),
         "phrase_topk_positional": _PHRASE_SQL,
         "phrase_topk_segments": _PHRASE_SQL,
         "kwic_snippets": f"""

@@ -48,6 +48,8 @@ __all__ = [
     "proximity_match_counts",
     "proximity_topk",
     "proximity_topk_positional",
+    "ordered_proximity_topk",
+    "ordered_proximity_topk_positional",
 ]
 
 
@@ -295,3 +297,106 @@ def proximity_topk_positional(
         .orderBy(F.desc("prox_tf"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+# ---------------------------------------------------- ordered proximity
+
+def _ordered_proximity_from_tokens(
+    toks: DataFrame, terms: Sequence[str], window: int,
+) -> DataFrame:
+    """(doc_id, oprox_tf) from a (doc_id, pos, term) relation: count
+    positions ``p1`` of ``terms[0]`` from which the GREEDY successor
+    chain — the nearest following occurrence of ``terms[1]``, then of
+    ``terms[2]`` after that, ... — ends within ``p1 + window - 1``.
+
+    Greedy-minimal is exact: if ANY in-order chain fits the window, the
+    one that always takes the nearest next occurrence fits too, so no
+    search is needed. Each hop is precomputed for EVERY query-term
+    occurrence in one pass (a conditional ``min`` over the following
+    row frame per chain term), and chaining is then k-2 EQUI-joins back
+    onto those rows (the successor is itself a row) — no inequality
+    join anywhere, everything partitions by doc_id.
+    """
+    from pyspark.sql import Window
+
+    seq = [t.lower() for t in terms]
+    if not seq:
+        raise ValueError("empty term list")
+    hops = sorted(set(seq[1:]))
+    base = toks.where(F.col("term").isin(sorted(set(seq))))
+    w = (
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    aug = base.select(
+        "doc_id", "pos", "term",
+        *[
+            F.min(
+                F.when(F.col("term") == t, F.col("pos"))
+            ).over(w).alias(f"nxt_{i}")
+            for i, t in enumerate(hops)
+        ],
+    )
+    hop_col = {t: f"nxt_{i}" for i, t in enumerate(hops)}
+    chain = (
+        aug.where(F.col("term") == seq[0])
+        .select("doc_id", F.col("pos").alias("p1"),
+                F.col("pos").alias("cur"))
+    )
+    for t in seq[1:]:
+        nxt = aug.select(
+            "doc_id", F.col("pos").alias("cur"),
+            F.col(hop_col[t]).alias("stepped"),
+        )
+        # first hop reads the start row's own nxt column; later hops
+        # join the successor row (it IS a row of the aug relation)
+        chain = (
+            chain.join(nxt, ["doc_id", "cur"])
+            .where(F.col("stepped").isNotNull())
+            .select("doc_id", "p1", F.col("stepped").alias("cur"))
+        )
+    return (
+        chain.where(F.col("cur") - F.col("p1") <= window - 1)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("oprox_tf"))
+    )
+
+
+def ordered_proximity_topk(
+    spark: SparkSession, docs: DataFrame, terms: Sequence[str],
+    window: int = 8, k: int = 20,
+) -> DataFrame:
+    """Ordered NEAR/``window`` top-k over the corpus text: the query
+    terms must appear IN ORDER within a ``window``-token span (the
+    phrase-with-slop retrieval form between exact ``phrase_topk`` and
+    unordered ``proximity_topk``). ``oprox_tf`` counts chain starts.
+    """
+    if len(set(t.lower() for t in terms)) > 30:
+        raise ValueError("ordered proximity supports at most 30 terms")
+    window = max(int(window), len(terms))
+    hits = _ordered_proximity_from_tokens(
+        document_positional_tokens(docs), terms, window
+    )
+    return hits.orderBy(
+        F.desc("oprox_tf"), F.asc("doc_id")
+    ).limit(k)
+
+
+def ordered_proximity_topk_positional(
+    postings: DataFrame, spark: SparkSession, terms: Sequence[str],
+    window: int = 8, k: int = 20,
+) -> DataFrame:
+    """Ordered NEAR from a materialized ``positional_postings`` table
+    (term-pruned scan, positions re-exploded, then the same greedy
+    successor-chain plan)."""
+    toks = (
+        postings.where(
+            F.col("term").isin(sorted(set(t.lower() for t in terms)))
+        )
+        .select("doc_id", "term", F.explode("positions").alias("pos"))
+    )
+    window = max(int(window), len(terms))
+    hits = _ordered_proximity_from_tokens(toks, terms, window)
+    return hits.orderBy(
+        F.desc("oprox_tf"), F.asc("doc_id")
+    ).limit(k)

@@ -187,3 +187,85 @@ def test_searcher_near_serves_from_store(spark, tmp_path):
     assert s_low.near(["vera", "spevætt"], window=6, k=10) == want
     # cache hit returns the same list
     assert s.near(["vera", "spevætt"], window=6, k=10) == got
+
+
+def _brute_ordered(text, terms, w):
+    toks = text.split()
+    n = 0
+    for p1, tk in enumerate(toks):
+        if tk != terms[0]:
+            continue
+        cur, ok = p1, True
+        for t in terms[1:]:
+            nxt = next(
+                (i for i in range(cur + 1, len(toks)) if toks[i] == t),
+                None,
+            )
+            if nxt is None:
+                ok = False
+                break
+            cur = nxt
+        if ok and cur - p1 <= w - 1:
+            n += 1
+    return n
+
+
+def test_ordered_proximity_vs_brute_force(spark):
+    from greynirserver_spark.operators.phrase import (
+        ordered_proximity_topk,
+        ordered_proximity_topk_positional,
+    )
+
+    fix = FIXTURE + [
+        (7, "a a b c"),        # duplicate start position
+        (8, "a b a b c"),      # chain must step past reused terms
+        (9, "a x x x x x b c"),  # greedy chain exceeds the window
+    ]
+    docs = _docs(spark, fix)
+    for terms, w in ([["a", "b", "c"], 6], [["c", "a"], 4],
+                     [["a", "b", "a"], 5]):
+        got = {
+            r["doc_id"]: r["oprox_tf"]
+            for r in ordered_proximity_topk(
+                spark, docs, terms, window=w, k=20
+            ).collect()
+        }
+        want = {
+            d: _brute_ordered(t, terms, w) for d, t in fix
+        }
+        want = {d: v for d, v in want.items() if v > 0}
+        assert got == want, (terms, w)
+        pos = {
+            r["doc_id"]: r["oprox_tf"]
+            for r in ordered_proximity_topk_positional(
+                positional_postings(docs), spark, terms, window=w, k=20
+            ).collect()
+        }
+        assert pos == want, (terms, w)
+
+
+def test_ordered_is_stricter_than_unordered(spark):
+    """Every ordered cover is an unordered cover; doc 6 ('c b a ...')
+    has unordered covers for [a, b, c] but order matters here."""
+    from greynirserver_spark.operators.phrase import (
+        ordered_proximity_topk,
+    )
+
+    docs = _docs(spark, FIXTURE)
+    unord = {
+        r["doc_id"]: r["prox_tf"]
+        for r in proximity_topk(
+            spark, docs, ["a", "b", "c"], window=6, k=20
+        ).collect()
+    }
+    ordd = {
+        r["doc_id"]: r["oprox_tf"]
+        for r in ordered_proximity_topk(
+            spark, docs, ["a", "b", "c"], window=6, k=20
+        ).collect()
+    }
+    assert set(ordd) <= set(unord)
+    # cover COUNTS are not comparable start-by-start (different start
+    # definitions), but a doc with in-order text keeps its hits
+    assert ordd.get(2, 0) >= 1   # "a b c a b c"
+    assert 6 in unord            # "c b a c b a c" matches unordered
