@@ -1486,6 +1486,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), must=["spark", "join"],
             should=["window", "stream"], must_not=["dup"], k=20,
         ),
+        # same boolean query served from the COMPRESSED segment store
+        # (wand.boolean_topk: block-granular conjunction leapfrog; all
+        # query terms are indexed at df>=3, so the raw-postings oracle
+        # gate and the indexed gate coincide — shared oracle SQL)
+        "bm25_boolean_segments": lambda s, d: T.bm25_boolean_segments_topk(
+            _docs(s, d), must=["spark", "join"],
+            should=["window", "stream"], must_not=["dup"], k=20,
+        ),
+        # trailing-wildcard 's*': dictionary expansion capped at the 4
+        # highest-df terms (small/scan/slow/stream at sf0.01 — sort and
+        # spark are cut by the cap), then block-max WAND
+        "prefix_topk_segments": lambda s, d: T.prefix_documents_topk(
+            _docs(s, d), "s", k=20, max_expand=4,
+        ),
         "doc_quality": lambda s, d: T.quality_scores(_docs(s, d)),
         # entities-processor parity: copular definition extraction
         "entity_definitions": lambda s, d: __import__(
@@ -2662,6 +2676,38 @@ ORDER BY n_name
     }
     # the WAND-served query must match the same relational semantics
     out["bm25_wand_topk"] = out["bm25_topk"]
+    # segment-served boolean: identical semantics on this query (every
+    # term indexed at df>=3, so raw-postings gate == indexed gate)
+    out["bm25_boolean_segments"] = out["bm25_boolean_topk"]
+    # prefix expansion 's*': the 4 highest-df indexed terms (df desc,
+    # term asc — the Spark side ranks by sum(n_docs) over segment
+    # blocks, which is exactly the indexed df), then the BM25 sum
+    out["prefix_topk_segments"] = _TOK_CTE + """,
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS doclen FROM post GROUP BY 1),
+corp AS (SELECT count(*)::BIGINT AS n_docs,
+                sum(doclen)::DOUBLE / count(*) AS avgdl FROM dl),
+ts AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY 1
+       HAVING count(*) >= 3),
+tsi AS (SELECT term,
+               ln((corp.n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+        FROM ts, corp),
+exp AS (SELECT term FROM ts WHERE term LIKE 's%'
+        ORDER BY df DESC, term ASC LIMIT 4),
+sc AS (
+  SELECT p.doc_id,
+         round(sum(tsi.idf * (p.tf * (1.2 + 1.0))
+               / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doclen / corp.avgdl))), 4)
+           AS score
+  FROM post p
+  JOIN tsi USING (term)
+  JOIN dl ON dl.doc_id = p.doc_id, corp
+  WHERE p.term IN (SELECT term FROM exp)
+  GROUP BY p.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+       doc_id, score
+FROM sc ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
     # batched WAND: per-qid ranked top-20, same scoring CTEs
     batch_parts = []
     for qid in sorted(_BM25_BATCH):

@@ -608,3 +608,64 @@ def perplexity_buckets(
         .cast("int")
         .alias("bucket"),
     )
+
+
+def bm25_boolean_segments_topk(
+    docs: DataFrame, must: Sequence[str], should: Sequence[str] = (),
+    must_not: Sequence[str] = (), k: int = 20,
+    min_df: int = 3, n_shards: int = 8,
+) -> DataFrame:
+    """Boolean (MUST/SHOULD/MUST_NOT) top-k served from the COMPRESSED
+    segment store (wand.boolean_topk) — the serving-side counterpart of
+    :func:`bm25_boolean_topk`, gated on the indexed (df >= min_df)
+    vocabulary like any pruned index. Round-then-re-rank canonical-
+    ization and eager release as in :func:`bm25_wand_documents_topk`.
+    """
+    from .segments import release_cached_deps
+    from .wand import boolean_topk
+    from pyspark.sql.window import Window as W
+
+    segments, corpus = _documents_segment_index(docs, min_df, n_shards)
+    raw = boolean_topk(
+        segments, must, corpus, should=should, must_not=must_not,
+        k=k + 50,
+    )
+    w = W.orderBy(F.desc("score_r"), F.asc("doc_id"))
+    out = (
+        raw.withColumn("score_r", F.round("score", 4))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("rank", "doc_id", F.col("score_r").alias("score"))
+    )
+    rows = out.collect()
+    release_cached_deps(segments)
+    return docs.sparkSession.createDataFrame(rows, out.schema)
+
+
+def prefix_documents_topk(
+    docs: DataFrame, prefix: str, k: int = 10, max_expand: int = 32,
+    min_df: int = 3, n_shards: int = 8,
+) -> DataFrame:
+    """Trailing-wildcard ``prefix*`` top-k served from the compressed
+    segment store (wand.prefix_topk: dictionary expansion capped at
+    *max_expand* by df desc, then block-max WAND over the expansion).
+    Round-then-re-rank canonicalization and eager release as in
+    :func:`bm25_wand_documents_topk`."""
+    from .segments import release_cached_deps
+    from .wand import prefix_topk
+    from pyspark.sql.window import Window as W
+
+    segments, corpus = _documents_segment_index(docs, min_df, n_shards)
+    raw = prefix_topk(
+        segments, prefix, corpus, k=k + 50, max_expand=max_expand
+    )
+    w = W.orderBy(F.desc("score_r"), F.asc("doc_id"))
+    out = (
+        raw.withColumn("score_r", F.round("score", 4))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("rank", "doc_id", F.col("score_r").alias("score"))
+    )
+    rows = out.collect()
+    release_cached_deps(segments)
+    return docs.sparkSession.createDataFrame(rows, out.schema)

@@ -48,7 +48,14 @@ from pyspark.sql.window import Window
 
 from .segments import bm25_partial
 
-__all__ = ["wand_topk", "wand_topk_batch", "shard_topk_pandas"]
+__all__ = [
+    "wand_topk",
+    "wand_topk_batch",
+    "shard_topk_pandas",
+    "boolean_topk",
+    "shard_boolean_pandas",
+    "prefix_topk",
+]
 
 
 class _TermBlocks:
@@ -430,3 +437,225 @@ def wand_topk_batch(
         .orderBy("qid", "rank")
         .select("qid", "rank", "doc_id", "score")
     )
+
+
+def shard_boolean_pandas(
+    pdf: pd.DataFrame,
+    must: Sequence[str],
+    should: Sequence[str],
+    k: int,
+    avgdl: float,
+    must_not: Sequence[str] = (),
+    term_idf: Dict[str, float] | None = None,
+) -> pd.DataFrame:
+    """Boolean-gated exact top-k over ONE shard's blocks:
+    a doc qualifies iff it carries EVERY ``must`` term and NO
+    ``must_not`` term (within the indexed vocabulary), scored by the
+    sum of BM25 partials over its matched ``must`` + ``should`` terms.
+
+    Block-granular conjunction driving (Lucene's leapfrog, lifted to
+    blocks): must terms are visited smallest-df first; the first is
+    decoded fully, every later term decodes ONLY the blocks whose doc
+    range overlaps the surviving candidate span, and exclusion /
+    ``should`` scoring likewise decode only candidate-covering blocks.
+    A rare must term therefore bounds the decode volume of its head-
+    term conjuncts — the boolean analog of WAND's θ gate (pruning by
+    upper bound is unsound under a NOT/AND gate, since a low-partial
+    doc can still win once high-scoring docs are gated away).
+
+    Doc-range sharding makes the gate shard-local: every posting of a
+    given doc lives in this shard, so presence/absence is decided here
+    and per-shard top-k union contains the global top-k.
+    """
+    empty = pd.DataFrame({"doc_id": [], "score": []})
+    here = set(pdf["term"].unique())
+    if any(t not in here for t in must):
+        return empty  # strict AND: a missing conjunct empties the shard
+    score_terms = sorted(set(must) | (set(should) & here))
+    if not score_terms:
+        return empty
+    tb: Dict[str, _TermBlocks] = {
+        t: _TermBlocks(g.sort_values("first_doc").reset_index(drop=True))
+        for t, g in pdf.groupby("term")
+    }
+
+    def _idf_now(t: str):
+        return term_idf.get(t) if term_idf is not None else None
+
+    def postings_in(t: str, lo=None, hi=None):
+        """(docs, parts) for *t* restricted to blocks overlapping
+        [lo, hi] (all blocks when lo is None); decodes lazily."""
+        m = tb[t]
+        if lo is None:
+            need = list(range(len(m.first)))
+        else:
+            need = [
+                i
+                for i in range(len(m.first))
+                if m.last[i] >= lo and m.first[i] <= hi
+            ]
+        miss = [b for b in need if b not in m.cache]
+        if miss:
+            m.decode(miss, avgdl, idf_now=_idf_now(t))
+        if not need:
+            return (
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.float64),
+            )
+        return (
+            np.concatenate([m.cache[b][0] for b in need]),
+            np.concatenate([m.cache[b][1] for b in need]),
+        )
+
+    posted: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+    if must:
+        by_df = sorted(must, key=lambda t: int(tb[t].nd.sum()))
+        docs0, parts0 = postings_in(by_df[0])
+        posted[by_df[0]] = (docs0, parts0)
+        cand = docs0
+        for t in by_df[1:]:
+            if not cand.size:
+                return empty
+            docs, parts = postings_in(t, int(cand[0]), int(cand[-1]))
+            posted[t] = (docs, parts)
+            cand = cand[np.isin(cand, docs, assume_unique=True)]
+        if not cand.size:
+            return empty
+    else:
+        unions = []
+        for t in score_terms:
+            docs, parts = postings_in(t)
+            posted[t] = (docs, parts)
+            unions.append(docs)
+        cand = np.unique(np.concatenate(unions))
+    for t in sorted(set(must_not) & here):
+        if not cand.size:
+            return empty
+        ex_docs, _ = postings_in(t, int(cand[0]), int(cand[-1]))
+        cand = cand[~np.isin(cand, ex_docs, assume_unique=True)]
+    if not cand.size:
+        return empty
+
+    acc = np.zeros(cand.size, dtype=np.float64)
+    lo, hi = int(cand[0]), int(cand[-1])
+    for t in score_terms:  # term-sorted sums — deterministic, see WAND
+        docs, parts = posted[t] if t in posted else postings_in(t, lo, hi)
+        pos = np.searchsorted(cand, docs)
+        pos_c = np.minimum(pos, cand.size - 1)
+        mask = cand[pos_c] == docs
+        acc[pos_c[mask]] += parts[mask]  # docs unique within a term
+    sel = np.lexsort((cand, -acc))[:k]
+    return pd.DataFrame({"doc_id": cand[sel], "score": acc[sel]})
+
+
+def boolean_topk(
+    segments: DataFrame,
+    must: Sequence[str],
+    corpus: DataFrame,
+    should: Sequence[str] = (),
+    must_not: Sequence[str] = (),
+    k: int = 20,
+    term_idf: Dict[str, float] | None = None,
+) -> DataFrame:
+    """Boolean (MUST / SHOULD / MUST_NOT) top-k over the compressed
+    segment store: (rank, doc_id, score) — the serving-side counterpart
+    of textops.bm25_boolean_topk (reference search.py exposes only
+    plain OR; this is the Lucene BooleanQuery surface the index tier
+    needs).
+
+    Gate semantics run over the INDEXED vocabulary (df >= min_df at
+    build time): a ``must`` term that was df-pruned empties the result,
+    a df-pruned ``must_not`` term excludes nothing — exactly what a
+    from-scratch build of the pruned index would answer. Same plan
+    shape as :func:`wand_topk`: term-pruned scan, one shuffle to
+    doc-range shards, per-shard gated scorer in one Arrow round-trip
+    per task, global TakeOrdered over the tiny per-shard unions.
+
+    *term_idf* is the exact-stats serving path (appended store, see
+    wand_topk): terms absent from the map are globally pruned.
+    """
+    must = sorted(set(must))
+    should = sorted(set(should) - set(must))
+    must_not = sorted(set(must_not))
+    spark = segments.sparkSession
+    schema = "rank long, doc_id long, score double"
+    if term_idf is not None:
+        if any(t not in term_idf for t in must):
+            return spark.createDataFrame([], schema)
+        should = [t for t in should if t in term_idf]
+        must_not = [t for t in must_not if t in term_idf]
+    if not (must or should):
+        return spark.createDataFrame([], schema)
+    scan_terms = sorted(set(must) | set(should) | set(must_not))
+    crow = corpus.collect()[0]
+    avgdl = float(crow["avgdl"])
+
+    matched = segments.where(F.col("term").isin(scan_terms))
+
+    def per_partition(batches):
+        chunks = [b for b in batches if len(b)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        for _, g in pdf.groupby("shard", sort=False):
+            yield shard_boolean_pandas(
+                g.reset_index(drop=True), must, should, k, avgdl,
+                must_not=must_not, term_idf=term_idf,
+            )
+
+    n_tasks = max(1, spark.sparkContext.defaultParallelism // 4)
+    shard_tops = matched.repartition(n_tasks, "shard").mapInPandas(
+        per_partition, "doc_id long, score double"
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        shard_tops.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("rank", "doc_id", "score")
+    )
+
+
+def prefix_topk(
+    segments: DataFrame,
+    prefix: str,
+    corpus: DataFrame,
+    k: int = 10,
+    max_expand: int = 32,
+    term_idf: Dict[str, float] | None = None,
+) -> DataFrame:
+    """Trailing-wildcard query ``prefix*`` over the compressed segment
+    store: (rank, doc_id, score).
+
+    Two-step plan (Lucene MultiTermQuery rewrite): (1) expand the
+    prefix against the segment TERM DICTIONARY — df per term is the
+    exact ``sum(n_docs)`` over its blocks, since blocks partition the
+    posting list — keeping the ``max_expand`` highest-df terms
+    (df desc, term asc; the rewrite cap that stops a one-letter prefix
+    from turning into a full-vocabulary disjunction), then (2) score
+    the expansion through :func:`wand_topk` (block-max pruned, one
+    shuffle). The expansion is a tiny driver list (<= max_expand
+    strings), never posting data; the dictionary aggregation is one
+    column-pruned scan with the ``startswith`` predicate pushed to
+    parquet. Icelandic analog of the reference's autocomplete surface
+    served from the index itself instead of a corpus pass.
+    """
+    expansion = [
+        r["term"]
+        for r in (
+            segments.where(F.col("term").startswith(prefix))
+            .groupBy("term")
+            .agg(F.sum("n_docs").cast("long").alias("df"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(int(max_expand))
+            .collect()
+        )
+    ]
+    if term_idf is not None:
+        expansion = [t for t in expansion if t in term_idf]
+    spark = segments.sparkSession
+    if not expansion:
+        return spark.createDataFrame(
+            [], "rank long, doc_id long, score double"
+        )
+    return wand_topk(segments, expansion, corpus, k, term_idf=term_idf)
