@@ -330,6 +330,274 @@ class Searcher:
             self._cache.popitem(last=False)
         return result
 
+    def _boolean_exact_excluding(
+        self,
+        must: List[str],
+        should: List[str],
+        must_not: List[str],
+        k: int,
+    ) -> List[Tuple[int, float]]:
+        """Terminal plan for boolean queries under an above-cap delete
+        backlog: gate + score the anti-joined postings exactly, fully
+        distributed (the boolean analog of _search_exact_excluding).
+        Gate over the indexed vocabulary (term_stats is the df>=min_df
+        derived view): an unindexed must term can never reach
+        count == len(must), so the strict-AND-over-index semantics of
+        wand.boolean_topk fall out of the join itself."""
+        from ..operators.bm25 import bm25_score_exact
+
+        ts = self.store.load(self.spark, "term_stats")
+        postings = self.store.load(self.spark, "postings").join(
+            self._tomb_df, "doc_id", "left_anti"
+        )
+        score_terms = sorted(set(must) | set(should))
+        scored = bm25_score_exact(
+            postings, ts, self.store.load(self.spark, "doc_stats"),
+            self._corpus_df, score_terms,
+        )
+        if must:
+            gate = (
+                postings.where(F.col("term").isin(must))
+                .join(F.broadcast(ts.where(F.col("term").isin(must))
+                                  .select("term")), "term")
+                .groupBy("doc_id")
+                .agg(F.countDistinct("term").alias("nm"))
+                .where(F.col("nm") == len(must))
+                .select("doc_id")
+            )
+            scored = scored.join(gate, "doc_id")
+        if must_not:
+            ex = (
+                postings.where(F.col("term").isin(must_not))
+                .join(F.broadcast(ts.where(F.col("term").isin(must_not))
+                                  .select("term")), "term")
+                .select("doc_id")
+                .distinct()
+            )
+            scored = scored.join(ex, "doc_id", "left_anti")
+        rows = (
+            scored.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .collect()
+        )
+        return [(int(r["doc_id"]), float(r["score"])) for r in rows]
+
+    def boolean(
+        self,
+        must: Sequence[str],
+        should: Sequence[str] = (),
+        must_not: Sequence[str] = (),
+        k: int = 10,
+    ) -> List[Tuple[int, float]]:
+        """Boolean (MUST/SHOULD/MUST_NOT) top-k: [(doc_id, score)],
+        deterministic (score desc, doc_id asc). Same guard rails as
+        :meth:`search` — capped in-process fetch with the per-shard
+        gated scorer (wand.shard_boolean_pandas), distributed
+        wand.boolean_topk above the cap, tombstone overfetch rungs,
+        exact distributed terminal for an above-cap delete backlog,
+        TTL cache. Gate semantics over the indexed (df >= min_df)
+        vocabulary, like any pruned index."""
+        from ..operators.wand import boolean_topk, shard_boolean_pandas
+
+        self._check_snapshot()
+        must = sorted({t.lower() for t in must})
+        should = sorted({t.lower() for t in should} - set(must))
+        must_not = sorted({t.lower() for t in must_not})
+        if not (must or should):
+            return []
+        key = ("bool", tuple(must), tuple(should), tuple(must_not), k)
+        now = time.monotonic()
+        hit = self._cache.get(key)
+        if hit is not None:
+            inserted, result = hit
+            if now - inserted <= self._cache_ttl_s:
+                self._cache.move_to_end(key)
+                return result
+            del self._cache[key]
+        scan_terms = sorted(set(must) | set(should) | set(must_not))
+        term_idf = self._term_idf(scan_terms)
+        if term_idf is not None:
+            # exact-stats serving: a globally pruned must term means the
+            # scratch index holds no postings for it — strict AND: empty
+            if any(t not in term_idf for t in must):
+                return []
+            should = [t for t in should if t in term_idf]
+            must_not = [t for t in must_not if t in term_idf]
+            scan_terms = sorted(set(must) | set(should) | set(must_not))
+        index_dry = False
+        for kk in self._tombstone_plan(k):
+            matched = self._segments.where(F.col("term").isin(scan_terms))
+            pdf = matched.limit(self._max_fetch_blocks + 1).toPandas()
+            if len(pdf) > self._max_fetch_blocks:
+                rows = boolean_topk(
+                    self._segments, must, self._corpus_df,
+                    should=should, must_not=must_not, k=kk,
+                    term_idf=term_idf,
+                ).collect()
+                result = [
+                    (int(r["doc_id"]), float(r["score"])) for r in rows
+                ]
+            elif len(pdf) == 0:
+                result = []
+            else:
+                tops = [
+                    shard_boolean_pandas(
+                        g.reset_index(drop=True), must, should, kk,
+                        self.avgdl, must_not=must_not, term_idf=term_idf,
+                    )
+                    for _, g in pdf.groupby("shard", sort=False)
+                ]
+                allhits = pd.concat(tops, ignore_index=True)
+                allhits = allhits.sort_values(
+                    ["score", "doc_id"], ascending=[False, True],
+                    kind="mergesort",
+                ).head(kk)
+                result = list(
+                    zip(
+                        allhits["doc_id"].astype(int),
+                        allhits["score"].astype(float),
+                    )
+                )
+            n_found = len(result)
+            result = self._filter_tombstones(result)
+            index_dry = n_found < kk
+            if len(result) >= k or index_dry:
+                break
+        if self._tomb_df is not None and len(result) < k and not index_dry:
+            result = self._boolean_exact_excluding(
+                must, should, must_not, k
+            )
+        result = result[:k]
+        self._cache[key] = (now, result)
+        if len(self._cache) > self._cache_size:
+            self._cache.popitem(last=False)
+        return result
+
+    def prefix(
+        self, prefix: str, k: int = 10, max_expand: int = 32
+    ) -> List[Tuple[int, float]]:
+        """Trailing-wildcard ``prefix*`` top-k: [(doc_id, score)].
+        In-process path pays ZERO extra jobs for the expansion: the
+        capped fetch pulls every block whose term starts with the
+        prefix, df per term is summed from block ``n_docs`` in pandas,
+        the cap keeps the max_expand highest-df terms (df desc, term
+        asc — wand.prefix_topk's exact rewrite rule), and the SAME
+        fetched frame restricted to the expansion feeds the interval-
+        sweep scorer. Above the fetch cap: distributed
+        wand.prefix_topk. Same tombstone rungs/terminal as search."""
+        self._check_snapshot()
+        prefix = prefix.lower()
+        if not prefix:
+            return []
+        key = ("prefix", prefix, k, max_expand)
+        now = time.monotonic()
+        hit = self._cache.get(key)
+        if hit is not None:
+            inserted, result = hit
+            if now - inserted <= self._cache_ttl_s:
+                self._cache.move_to_end(key)
+                return result
+            del self._cache[key]
+        index_dry = False
+        expansion: List[str] = []
+        for kk in self._tombstone_plan(k):
+            matched = self._segments.where(
+                F.col("term").startswith(prefix)
+            )
+            pdf = matched.limit(self._max_fetch_blocks + 1).toPandas()
+            if len(pdf) > self._max_fetch_blocks:
+                # distributed: expand against the dictionary (one tiny
+                # LIKE-pruned agg), then WAND with exact-stats idf for
+                # the expansion when the store has un-rebuilt appends
+                erows = (
+                    self._segments.where(F.col("term").startswith(prefix))
+                    .groupBy("term")
+                    .agg(F.sum("n_docs").cast("long").alias("df"))
+                    .orderBy(F.desc("df"), F.asc("term"))
+                    .limit(int(max_expand))
+                    .collect()
+                )
+                expansion = [r["term"] for r in erows]
+                term_idf = self._term_idf(expansion)
+                if term_idf is not None:
+                    expansion = sorted(term_idf)
+                if not expansion:
+                    result = []
+                else:
+                    rows = wand_topk(
+                        self._segments, expansion, self._corpus_df, kk,
+                        term_idf=term_idf,
+                    ).collect()
+                    result = [
+                        (int(r["doc_id"]), float(r["score"]))
+                        for r in rows
+                    ]
+                expansion = sorted(expansion)
+            elif len(pdf) == 0:
+                result = []
+            else:
+                dfs = (
+                    pdf.groupby("term")["n_docs"].sum().reset_index()
+                )
+                dfs = dfs.sort_values(
+                    ["n_docs", "term"], ascending=[False, True],
+                    kind="mergesort",
+                ).head(int(max_expand))
+                expansion = sorted(dfs["term"].tolist())
+                sub = pdf[pdf["term"].isin(expansion)]
+                term_idf = self._term_idf(expansion)
+                if term_idf is not None:
+                    expansion = sorted(term_idf)
+                    sub = sub[sub["term"].isin(expansion)]
+                if not len(sub):
+                    result = []
+                else:
+                    tops = [
+                        shard_topk_pandas(
+                            g.reset_index(drop=True), kk, self.avgdl,
+                            term_idf=term_idf,
+                        )
+                        for _, g in sub.groupby("shard", sort=False)
+                    ]
+                    allhits = pd.concat(tops, ignore_index=True)
+                    allhits = allhits.sort_values(
+                        ["score", "doc_id"], ascending=[False, True],
+                        kind="mergesort",
+                    ).head(kk)
+                    result = list(
+                        zip(
+                            allhits["doc_id"].astype(int),
+                            allhits["score"].astype(float),
+                        )
+                    )
+            n_found = len(result)
+            result = self._filter_tombstones(result)
+            index_dry = n_found < kk
+            if len(result) >= k or index_dry:
+                break
+        if self._tomb_df is not None and len(result) < k and not index_dry:
+            if not expansion:
+                # recompute the expansion from the derived term stats
+                # (one tiny distributed agg: LIKE-pruned, LIMITed)
+                ts = self.store.load(self.spark, "term_stats")
+                erows = (
+                    ts.where(F.col("term").startswith(prefix))
+                    .orderBy(F.desc("df"), F.asc("term"))
+                    .limit(int(max_expand))
+                    .select("term")
+                    .collect()
+                )
+                expansion = sorted(r["term"] for r in erows)
+            result = (
+                self._search_exact_excluding(expansion, k)
+                if expansion else []
+            )
+        result = result[:k]
+        self._cache[key] = (now, result)
+        if len(self._cache) > self._cache_size:
+            self._cache.popitem(last=False)
+        return result
+
     def near(
         self, words: Sequence[str], window: int = 8, k: int = 10
     ) -> List[Tuple[int, int]]:

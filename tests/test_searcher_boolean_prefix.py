@@ -1,0 +1,147 @@
+"""Searcher.boolean / Searcher.prefix — the interactive serving paths
+for the boolean (MUST/SHOULD/MUST_NOT) and trailing-wildcard query
+surfaces added in operators/wand.py, incl. tombstone exclusion and the
+distributed terminal plans.
+"""
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from greynirserver_spark.corpus import generate_pages_pdf, indexable_stems_by_rank
+from greynirserver_spark.operators.wand import boolean_topk, prefix_topk, wand_topk
+from greynirserver_spark.plans.lineage import build_index_checkpointed, delete_urls
+from greynirserver_spark.plans.pipeline import query_to_terms
+from greynirserver_spark.query.searcher import Searcher
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    pages = spark.createDataFrame(generate_pages_pdf(250))
+    root = str(tmp_path_factory.mktemp("sbp") / "store")
+    return build_index_checkpointed(spark, pages, root, n_shards=6,
+                                    block_size=16)
+
+
+def _terms(n, start=0):
+    return query_to_terms(" ".join(indexable_stems_by_rank(n, start_rank=start)))
+
+
+def test_boolean_matches_distributed(spark, store):
+    searcher = Searcher(spark, store)
+    segments = store.load_segments(spark)
+    corpus = store.load(spark, "corpus")
+    must = _terms(1)
+    should = _terms(1, start=40)
+    must_not = _terms(1, start=200)
+    local = searcher.boolean(must, should=should, must_not=must_not, k=12)
+    dist = [
+        (r.doc_id, r.score)
+        for r in boolean_topk(
+            segments, must, corpus, should=should, must_not=must_not,
+            k=12,
+        ).collect()
+    ]
+    assert local == dist
+    assert len(local) > 0
+
+
+def test_boolean_must_gate_and_not_gate(spark, store):
+    searcher = Searcher(spark, store)
+    must = _terms(2)
+    hits = searcher.boolean(must, k=15)
+    assert hits
+    # every hit contains both must terms: intersect with single-term
+    # searches over the full doc space
+    for t in must:
+        one = {d for d, _ in searcher.boolean([t], k=10_000)}
+        assert {d for d, _ in hits} <= one
+    # excluding one of the must terms empties the result
+    assert searcher.boolean(must, must_not=[must[0]], k=15) == []
+
+
+def test_boolean_should_only_matches_search(spark, store):
+    searcher = Searcher(spark, store)
+    terms = _terms(2, start=80)
+    assert searcher.boolean([], should=terms, k=10) == \
+        searcher.search(terms, k=10)
+
+
+def test_prefix_matches_distributed_and_cap(spark, store):
+    searcher = Searcher(spark, store)
+    segments = store.load_segments(spark)
+    corpus = store.load(spark, "corpus")
+    stem = indexable_stems_by_rank(1)[0]
+    pre = query_to_terms(stem)[0][:3]
+    for cap in (2, 32):
+        local = searcher.prefix(pre, k=12, max_expand=cap)
+        dist = [
+            (r.doc_id, r.score)
+            for r in prefix_topk(segments, pre, corpus, k=12,
+                                 max_expand=cap).collect()
+        ]
+        assert local == dist
+    assert searcher.prefix(pre, k=12, max_expand=32)
+    assert searcher.prefix("zzzzqq", k=5) == []
+
+
+def test_boolean_and_prefix_exclude_tombstones(spark, tmp_path_factory):
+    pages = spark.createDataFrame(generate_pages_pdf(220))
+    root = str(tmp_path_factory.mktemp("sbp_del") / "store")
+    store = build_index_checkpointed(spark, pages, root, n_shards=4,
+                                     block_size=16)
+    searcher = Searcher(spark, store)
+    must = _terms(1)
+    pre = must[0][:3]
+    before_b = searcher.boolean(must, k=10)
+    before_p = searcher.prefix(pre, k=10)
+    assert before_b and before_p
+    victims = {before_b[0][0], before_p[0][0]}
+    doc_map = store.load(spark, "doc_map")
+    urls = [
+        r["url"]
+        for r in doc_map.where(
+            doc_map.doc_id.isin([int(v) for v in victims])
+        ).collect()
+    ]
+    delete_urls(spark, store, urls)
+    searcher2 = Searcher(spark, store)
+    after_b = searcher2.boolean(must, k=10)
+    after_p = searcher2.prefix(pre, k=10)
+    assert not victims & {d for d, _ in after_b}
+    assert not victims & {d for d, _ in after_p}
+    # survivors keep their relative order
+    kept_b = [r for r in before_b if r[0] not in victims]
+    assert after_b[: len(kept_b)] == kept_b or len(after_b) == 10
+
+
+def test_boolean_above_cap_terminal_plan(spark, tmp_path_factory):
+    """Force the above-cap backlog shape (tombstone_driver_cap=1) so
+    boolean/prefix run the distributed anti-join filter + exact
+    terminal plans."""
+    pages = spark.createDataFrame(generate_pages_pdf(200))
+    root = str(tmp_path_factory.mktemp("sbp_cap") / "store")
+    store = build_index_checkpointed(spark, pages, root, n_shards=4,
+                                     block_size=16)
+    searcher0 = Searcher(spark, store)
+    must = _terms(1)
+    pre = must[0][:3]
+    base_b = searcher0.boolean(must, k=8)
+    base_p = searcher0.prefix(pre, k=8)
+    victims = sorted({d for d, _ in base_b[:3]} | {d for d, _ in base_p[:3]})
+    doc_map = store.load(spark, "doc_map")
+    urls = [
+        r["url"]
+        for r in doc_map.where(doc_map.doc_id.isin(victims)).collect()
+    ]
+    delete_urls(spark, store, urls)
+    searcher = Searcher(spark, store, tombstone_driver_cap=1)
+    assert searcher._tomb_df is not None  # above-cap: executor-side set
+    after_b = searcher.boolean(must, k=8)
+    after_p = searcher.prefix(pre, k=8)
+    assert not set(victims) & {d for d, _ in after_b}
+    assert not set(victims) & {d for d, _ in after_p}
+    assert after_b and after_p
