@@ -73,6 +73,15 @@ _TOPICS_RE = re.compile(
 )
 _WHOIS_RE = re.compile(r"^(?:hver er|hver var|who is)\s+(.+)$", re.I)
 _WHATIS_RE = re.compile(r"^(?:hvað er|hvað var|what is)\s+(.+)$", re.I)
+# Lucene-style structured search syntax in a free-text query:
+# +word (MUST), -word (MUST_NOT), word* (trailing wildcard). Only
+# consulted after every other qtype pattern failed, so "5+3" stays
+# arithmetic and hyphenated prose stays plain search ('-' must start a
+# whitespace-delimited token).
+_STRUCT_Q_RE = re.compile(r"(?:^|\s)[+-][^\s+*-]|[^\s*]\*(?:\s|$)")
+# the Search answer-frame shape (search/boolean/prefix share it)
+_SEARCH_DDL = ("rank long, doc_id long, url string, "
+               "warc_ts timestamp, score double")
 _DISTANCE_RE = re.compile(
     r"^(?:hvað er langt|hversu langt er)\s+"
     r"(?:á milli\s+(.+?)\s+og\s+(.+?)|frá\s+(.+?)\s+til\s+(.+?))\??$",
@@ -705,10 +714,155 @@ class Router:
             words = [t for t in re.split(PY_TOKEN_SPLIT_RE, m.group(1).lower())
                      if t]
             return Answer("PhraseSearch", self.phrase(words, k), words)
+        if _STRUCT_Q_RE.search(q):
+            ans = self._structured_search(q, k)
+            if ans is not None:
+                return ans
         terms = query_to_terms(q)
         return Answer("Search", self.search(terms, k), terms)
 
     # ---------------------------------------------------------- handlers
+
+    def _structured_search(self, q: str, k: int) -> "Answer | None":
+        """Parse +must / -not / wild* tokens out of a free-text query.
+        Prefix tokens expand against the segment term dictionary (the
+        wand.prefix_topk rewrite: max_expand highest-df terms) and join
+        the SHOULD set; a pure single-wildcard query keeps the
+        dedicated PrefixSearch qtype. Falls back to plain Search when
+        the parse yields no structure (e.g. '-' glued inside a word)."""
+        must: List[str] = []
+        should: List[str] = []
+        must_not: List[str] = []
+        prefixes: List[str] = []
+        for tok in q.split():
+            if tok.startswith("+") and len(tok) > 1:
+                must.extend(query_to_terms(tok[1:]))
+            elif tok.startswith("-") and len(tok) > 1:
+                must_not.extend(query_to_terms(tok[1:]))
+            elif tok.endswith("*") and len(tok) > 1:
+                prefixes.append(tok[:-1].lower())
+            else:
+                should.extend(query_to_terms(tok))
+        if not (must or must_not or prefixes):
+            return None
+        if len(prefixes) == 1 and not (must or should or must_not):
+            p = prefixes[0]
+            return Answer("PrefixSearch", self.prefix_search(p, k),
+                          [p + "*"])
+        for p in prefixes:
+            should.extend(self._expand_prefix(p))
+        if not (must or should):
+            return Answer("BooleanSearch",
+                          self._empty_frame(_SEARCH_DDL), [])
+        label = (must + [t + "*" for t in prefixes] + should
+                 + ["-" + t for t in must_not])
+        return Answer(
+            "BooleanSearch",
+            self.boolean(must, should=should, must_not=must_not, k=k),
+            label,
+        )
+
+    def _expand_prefix(self, prefix: str, max_expand: int = 32) -> List[str]:
+        """max_expand highest-df dictionary terms starting with *prefix*
+        (df desc, term asc — exact df from block n_docs sums); one tiny
+        LIKE-pruned agg on the segment scan."""
+        rows = (
+            self.segments.where(F.col("term").startswith(prefix))
+            .groupBy("term")
+            .agg(F.sum("n_docs").cast("long").alias("df"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(int(max_expand))
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
+    def prefix_search(self, prefix: str, k: int = 10,
+                      max_expand: int = 32) -> DataFrame:
+        """Trailing-wildcard search joined to urls: expansion against
+        the dictionary, then exactly :meth:`search`'s serving path over
+        the expansion (WAND + capped tombstone overfetch + exact
+        terminal — all inherited)."""
+        expansion = self._expand_prefix(prefix, max_expand)
+        if not expansion:
+            return self._empty_frame(_SEARCH_DDL)
+        return self.search(expansion, k)
+
+    def boolean(self, must: List[str], should: List[str] = (),
+                must_not: List[str] = (), k: int = 10) -> DataFrame:
+        """Boolean-gated BM25 top-k joined to urls — wand.boolean_topk
+        over the segment store (gate on the indexed vocabulary), with
+        :meth:`search`'s tombstone discipline: capped overfetch +
+        doc_map anti-join, exact distributed terminal plan when a mass
+        backlog swallows the capped pass."""
+        from pyspark.sql.window import Window
+
+        from ..operators.wand import boolean_topk
+
+        must = sorted({t for t in must})
+        should = sorted(set(should) - set(must))
+        must_not = sorted(set(must_not))
+        if not (must or should):
+            return self._empty_frame(_SEARCH_DDL)
+        k = min(k, _MAXLEN_ANSWER)
+        scan = sorted(set(must) | set(should) | set(must_not))
+        term_idf = self._term_idf(scan)
+        if term_idf is not None and any(t not in term_idf for t in must):
+            return self._empty_frame(_SEARCH_DDL)
+        kk = k + min(self._n_tombstones, 3 * k)
+        hits = boolean_topk(self.segments, must, self.corpus,
+                            should=should, must_not=must_not, k=kk,
+                            term_idf=term_idf)
+        w = Window.orderBy("rank")
+        out = (
+            hits.join(
+                self.doc_map.select("doc_id", "url", "warc_ts"),
+                "doc_id",
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .orderBy("rank")
+            .select("rank", "doc_id", "url", "warc_ts", "score")
+        )
+        if self._n_tombstones == 0 or out.count() >= k:
+            return out
+        # terminal: gate + score the anti-joined postings exactly (the
+        # Searcher._boolean_exact_excluding shape; term_stats is the
+        # always-current df>=min_df derived view, so an unindexed must
+        # term can never satisfy the count gate)
+        from ..operators.bm25 import bm25_score_exact
+
+        ts = self.store.load(self.spark, "term_stats")
+        scored = bm25_score_exact(
+            self.postings, ts,
+            self.spark.read.parquet(self.store.doc_stats),
+            self.corpus, sorted(set(must) | set(should)),
+        )
+        if must:
+            gate = (
+                self.postings.where(F.col("term").isin(must))
+                .join(F.broadcast(ts.where(F.col("term").isin(must))
+                                  .select("term")), "term")
+                .groupBy("doc_id")
+                .agg(F.countDistinct("term").alias("nm"))
+                .where(F.col("nm") == len(must))
+                .select("doc_id")
+            )
+            scored = scored.join(gate, "doc_id")
+        if must_not:
+            ex = (
+                self.postings.where(F.col("term").isin(must_not))
+                .select("doc_id").distinct()
+            )
+            scored = scored.join(ex, "doc_id", "left_anti")
+        w2 = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+            .withColumn("rank", F.row_number().over(w2).cast("long"))
+            .join(self.doc_map.select("doc_id", "url", "warc_ts"),
+                  "doc_id")
+            .orderBy("rank")
+            .select("rank", "doc_id", "url", "warc_ts", "score")
+        )
 
     def search(
         self, terms: List[str], k: int = 10, autocorrect: bool = False

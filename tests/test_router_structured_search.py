@@ -1,0 +1,98 @@
+"""Lucene-style structured search syntax through the Router:
++word (MUST), -word (MUST_NOT), word* (trailing wildcard)."""
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from greynirserver_spark.corpus import generate_pages_pdf, indexable_stems_by_rank
+from greynirserver_spark.plans.lineage import build_index_checkpointed
+from greynirserver_spark.plans.pipeline import query_to_terms
+from greynirserver_spark.query.router import Router, _STRUCT_Q_RE
+
+
+@pytest.fixture(scope="module")
+def router(spark, tmp_path_factory):
+    pages = spark.createDataFrame(generate_pages_pdf(200))
+    root = str(tmp_path_factory.mktemp("rstruct") / "store")
+    store = build_index_checkpointed(spark, pages, root, n_shards=4,
+                                     block_size=32)
+    return Router(spark, store)
+
+
+def _stems(n, start=0):
+    return indexable_stems_by_rank(n, start_rank=start)
+
+
+def test_boolean_dispatch_and_gates(router):
+    a, b = _stems(2)
+    c = _stems(1, start=150)[0]
+    ans = router.execute(f"+{a} {b} -{c}", k=10)
+    assert ans.qtype == "BooleanSearch"
+    rows = ans.df.collect()
+    assert rows and rows[0].rank == 1
+    got = {r.doc_id for r in rows}
+    # MUST: every hit also appears in a plain single-term search for a
+    must_hits = {r.doc_id
+                 for r in router.search(query_to_terms(a), k=20).collect()}
+    assert got <= must_hits or len(must_hits) == 20
+    # MUST_NOT: excluding one of the must terms empties the result
+    empty = router.execute(f"+{a} -{a}", k=10)
+    assert empty.qtype == "BooleanSearch"
+    assert empty.df.count() == 0
+
+
+def test_prefix_dispatch(router):
+    stem = _stems(1)[0]
+    pre = stem[:3]
+    ans = router.execute(f"{pre}*", k=10)
+    assert ans.qtype == "PrefixSearch"
+    rows = ans.df.collect()
+    assert rows and rows[0].rank == 1 and rows[0].url.startswith("https://")
+    # the expansion is a superset query: a plain search on the full
+    # stem can never beat the wildcard's recall
+    plain = router.search(query_to_terms(stem), k=10).collect()
+    assert len(rows) >= min(len(plain), 10) or len(rows) == 10
+
+
+def test_wildcard_inside_boolean(router):
+    a = _stems(1)[0]
+    pre = _stems(1, start=60)[0][:3]
+    ans = router.execute(f"+{a} {pre}*", k=10)
+    assert ans.qtype == "BooleanSearch"
+    rows = ans.df.collect()
+    assert rows
+    must_hits = {r.doc_id
+                 for r in router.search(query_to_terms(a), k=20).collect()}
+    assert {r.doc_id for r in rows} <= must_hits or len(must_hits) == 20
+
+
+def test_plain_queries_do_not_trigger_struct(router):
+    # arithmetic keeps its qtype ('5+3' has '+' mid-token, no space)
+    ans = router.execute("hvað er 5+3")
+    assert ans.qtype == "Arithmetic"
+    # hyphenated prose: '-' not at token start with a word after it
+    a, b = _stems(2, start=10)
+    ans2 = router.execute(f"{a} {b}")
+    assert ans2.qtype == "Search"
+    # regex unit checks
+    assert not _STRUCT_Q_RE.search("plain words here")
+    assert not _STRUCT_Q_RE.search("5+3")
+    assert _STRUCT_Q_RE.search("+spark join")
+    assert _STRUCT_Q_RE.search("spark -slow")
+    assert _STRUCT_Q_RE.search("hest* ")
+    assert _STRUCT_Q_RE.search("hest*")
+
+
+def test_struct_answers_are_cacheable(router):
+    a = _stems(1)[0]
+    q = f"+{a} {_stems(1, start=60)[0]}"
+    first = router.execute(q, k=5).df.collect()
+    import time
+    t0 = time.monotonic()
+    second = router.execute(q, k=5).df.collect()
+    assert time.monotonic() - t0 < 0.5  # replayed from the TTL cache
+    assert [tuple(r) for r in first] == [tuple(r) for r in second]
