@@ -143,7 +143,7 @@ def main() -> None:
     segments = store.load_segments(spark).cache()
     segments.count()
     corpus = store.load(spark, "corpus").cache()
-    stems = indexable_stems_by_rank(24)
+    stems = indexable_stems_by_rank(64)
     # 6 distinct queries, each best-of-reps (per-query pinning); the
     # p50/p99 are over the 6 pinned values, the spread is in rep_log
     per_q = []
@@ -211,6 +211,37 @@ def main() -> None:
     t0 = time.perf_counter()
     searcher.search(warm_terms, 10)
     timings["q2b_searcher_cached"] = round(time.perf_counter() - t0, 4)
+
+    # --- q2e/q2f: boolean (+must -not) and prefix-wildcard serving
+    #     through the same Searcher (cache cleared per rep)
+    per_q2e, q2e_spread = [], []
+    for i in range(3):
+        must = query_to_terms(" ".join(stems[2 * i: 2 * i + 2]))
+        should = query_to_terms(stems[20 + i])
+        mnot = query_to_terms(stems[60 + i])
+        vals = []
+        for _ in range(reps_n):
+            searcher._cache.clear()
+            t0 = time.perf_counter()
+            searcher.boolean(must, should=should, must_not=mnot, k=10)
+            vals.append(round(time.perf_counter() - t0, 3))
+        per_q2e.append(min(vals))
+        q2e_spread.append(vals)
+    timings["q2e_boolean_p50"] = round(statistics.median(per_q2e), 3)
+    rep_log["q2e_boolean_per_query"] = q2e_spread
+    per_q2f, q2f_spread = [], []
+    for i in range(3):
+        pre = query_to_terms(stems[i])[0][:3]
+        vals = []
+        for _ in range(reps_n):
+            searcher._cache.clear()
+            t0 = time.perf_counter()
+            searcher.prefix(pre, k=10, max_expand=16)
+            vals.append(round(time.perf_counter() - t0, 3))
+        per_q2f.append(min(vals))
+        q2f_spread.append(vals)
+    timings["q2f_prefix_p50"] = round(statistics.median(per_q2f), 3)
+    rep_log["q2f_prefix_per_query"] = q2f_spread
 
     # --- q2d: Router offline-qtype dispatch (arithmetic / sun /
     #     counting / currency) — the reference pays an Earley grammar
