@@ -72,6 +72,74 @@ def _segments_version(store: IndexStore) -> float:
     return latest
 
 
+def _token_index_keys(text: str):
+    """(original_tokens, index_keys) for *text* under the exact
+    normalization the indexer applies (plans/pipeline.query_to_terms):
+    lowercase token → vocabulary category → index filter → normalized
+    ``stem/cat`` key; filtered tokens key to None but KEEP their
+    display form, so snippet windows show the real prose."""
+    import re as _re
+
+    from ..corpus import vocabulary
+    from ..tokenization import (
+        CATEGORIES_TO_INDEX,
+        MAX_WORD_LEN,
+        NOINDEX_PAIRS,
+        PY_TOKEN_SPLIT_RE,
+    )
+
+    vocab = vocabulary()
+    cat_map = dict(zip(vocab["stem"], vocab["cat"]))
+    noindex = {(s.lower(), c) for s, c in NOINDEX_PAIRS}
+    toks: List[str] = []
+    keys: List[Optional[str]] = []
+    for tok in _re.split(PY_TOKEN_SPLIT_RE, text):
+        if not tok:
+            continue
+        toks.append(tok)
+        low = tok.lower()
+        if len(low) > MAX_WORD_LEN:
+            keys.append(None)
+            continue
+        cat = cat_map.get(low, "entity")
+        if cat not in CATEGORIES_TO_INDEX or (low, cat) in noindex:
+            keys.append(None)
+        else:
+            keys.append(
+                low.replace("-", "").replace(" ", "_") + "/" + cat
+            )
+    return toks, keys
+
+
+def _kwic_window(text: str, qset: set, width: int) -> str:
+    """The ``2*width+1``-token window centered on a query-term match
+    covering the most distinct query terms (ties → earliest); matched
+    tokens wrapped in ``**``. Head of the document when nothing
+    matches (a tombstone-filtered or stats-drifted edge)."""
+    toks, keys = _token_index_keys(text)
+    if not toks:
+        return ""
+    centers = [i for i, t in enumerate(keys) if t in qset]
+    if not centers:
+        lo, hi = 0, min(len(toks), 2 * width + 1)
+    else:
+        best_i, best_n = centers[0], -1
+        for i in centers:
+            n = len(
+                {t for t in keys[max(0, i - width): i + width + 1]
+                 if t in qset}
+            )
+            if n > best_n:
+                best_i, best_n = i, n
+        lo = max(0, best_i - width)
+        hi = min(len(toks), best_i + width + 1)
+    out = [
+        f"**{toks[j]}**" if keys[j] in qset else toks[j]
+        for j in range(lo, hi)
+    ]
+    return " ".join(out)
+
+
 class Searcher:
     """Interactive top-k search over a persisted :class:`IndexStore`."""
 
@@ -597,6 +665,40 @@ class Searcher:
         if len(self._cache) > self._cache_size:
             self._cache.popitem(last=False)
         return result
+
+    def snippets(
+        self, terms: Sequence[str], k: int = 10, width: int = 12
+    ) -> List[Tuple[int, float, str]]:
+        """[(doc_id, score, snippet)] — :meth:`search`'s top-k with a
+        keyword-in-context snippet per hit (the Lucene stored-fields +
+        highlighter surface; the reference renders article excerpts the
+        same way in its web UI).
+
+        Stored fields come for free: ``doc_map`` retains the extracted
+        text, so only the ≤k WINNING documents are fetched — a
+        doc_id-pruned parquet point read, never a corpus scan. Snippet
+        selection runs driver-side over those k texts: each text token
+        is normalized to its index key (the exact query_to_terms
+        pipeline, so stemming/category rules match the index), and the
+        chosen window of ``2*width+1`` tokens is the one centered on a
+        matching token that covers the MOST DISTINCT query terms (ties
+        → earliest). Matched tokens are wrapped in ``**``."""
+        hits = self.search(terms, k)
+        if not hits:
+            return []
+        qset = set(terms)
+        ids = [int(d) for d, _ in hits]
+        texts = {
+            int(r["doc_id"]): r["text"]
+            for r in self.store.load(self.spark, "doc_map")
+            .where(F.col("doc_id").isin(ids))
+            .select("doc_id", "text")
+            .collect()
+        }
+        return [
+            (d, s, _kwic_window(texts.get(d, ""), qset, width))
+            for d, s in hits
+        ]
 
     def near(
         self, words: Sequence[str], window: int = 8, k: int = 10

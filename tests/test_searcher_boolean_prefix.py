@@ -145,3 +145,28 @@ def test_boolean_above_cap_terminal_plan(spark, tmp_path_factory):
     assert not set(victims) & {d for d, _ in after_b}
     assert not set(victims) & {d for d, _ in after_p}
     assert after_b and after_p
+
+
+def test_snippets_highlight_and_bound(spark, store):
+    from greynirserver_spark.query.searcher import _kwic_window
+
+    searcher = Searcher(spark, store)
+    terms = _terms(2)
+    hits = searcher.search(terms, 6)
+    snips = searcher.snippets(terms, 6, width=8)
+    # ranking identical to search; snippet non-empty and highlighted
+    assert [(d, s) for d, s, _ in snips] == hits
+    for _, _, sn in snips:
+        assert sn
+        assert len(sn.split()) <= 17  # 2*width+1 tokens
+    assert any("**" in sn for _, _, sn in snips)
+    # unit: tie-break earliest, head fallback when nothing matches
+    assert _kwic_window("alpha beta gamma", {"zzz/entity"}, 2) \
+        == "alpha beta gamma"
+    # the window centered on the 2-distinct-term region wins over the
+    # earlier 1-term match
+    text = "foo " * 5 + "alpha " + "bar " * 30 + "alpha beta " + "baz " * 5
+    from greynirserver_spark.plans.pipeline import query_to_terms
+    q = set(query_to_terms("alpha beta"))
+    win = _kwic_window(text.strip(), q, 3)
+    assert "**alpha** **beta**" in win
