@@ -1500,6 +1500,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_topk_segments": lambda s, d: T.prefix_documents_topk(
             _docs(s, d), "s", k=20, max_expand=4,
         ),
+        # totalHits from the compressed store: distinct matched docs,
+        # per-shard bulk decode, NO cross-shard dedup (disjoint ranges)
+        "hit_count": lambda s, d: T.hit_count_documents(
+            _docs(s, d), _BM25_TERMS,
+        ),
+        # faceted search: matched docs joined to the source facet
+        "facet_counts": lambda s, d: T.facet_counts_documents(
+            _docs(s, d), _BM25_TERMS, facet="source",
+        ),
         "doc_quality": lambda s, d: T.quality_scores(_docs(s, d)),
         # entities-processor parity: copular definition extraction
         "entity_definitions": lambda s, d: __import__(
@@ -2707,6 +2716,25 @@ sc AS (
 SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
        doc_id, score
 FROM sc ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+    # totalHits / facets: distinct matched docs over the indexed
+    # (df >= 3) vocabulary — same gate as the segment store
+    out["hit_count"] = _TOK_CTE + f""",
+ts AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY 1
+       HAVING count(*) >= 3)
+SELECT count(DISTINCT p.doc_id)::BIGINT AS n_hits
+FROM post p JOIN ts USING (term)
+WHERE p.term IN ({terms_in})
+"""
+    out["facet_counts"] = _TOK_CTE + f""",
+ts AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY 1
+       HAVING count(*) >= 3),
+md AS (SELECT DISTINCT p.doc_id FROM post p JOIN ts USING (term)
+       WHERE p.term IN ({terms_in}))
+SELECT d.source AS facet_value, count(*)::BIGINT AS n_hits
+FROM md JOIN documents d USING (doc_id)
+GROUP BY d.source
+ORDER BY n_hits DESC, facet_value ASC
 """
     # batched WAND: per-qid ranked top-20, same scoring CTEs
     batch_parts = []

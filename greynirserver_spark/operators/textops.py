@@ -669,3 +669,51 @@ def prefix_documents_topk(
     rows = out.collect()
     release_cached_deps(segments)
     return docs.sparkSession.createDataFrame(rows, out.schema)
+
+
+def hit_count_documents(
+    docs: DataFrame, query_terms: Sequence[str],
+    min_df: int = 3, n_shards: int = 8,
+) -> DataFrame:
+    """ONE row (n_hits) — the engine's totalHits: how many documents
+    match ANY query term, counted from the COMPRESSED segment store
+    (wand.matched_docs: pruned scan + per-shard bulk decode; doc-range
+    shards make the global distinct a concat, not a dedup shuffle).
+    Counts over the indexed (df >= min_df) vocabulary like the other
+    segment-served paths."""
+    from .segments import release_cached_deps
+    from .wand import matched_docs
+
+    segments, _corpus = _documents_segment_index(docs, min_df, n_shards)
+    out = matched_docs(segments, sorted(set(query_terms))).agg(
+        F.count("*").cast("long").alias("n_hits")
+    )
+    rows = out.collect()
+    release_cached_deps(segments)
+    return docs.sparkSession.createDataFrame(rows, out.schema)
+
+
+def facet_counts_documents(
+    docs: DataFrame, query_terms: Sequence[str], facet: str = "source",
+    min_df: int = 3, n_shards: int = 8,
+) -> DataFrame:
+    """(facet_value, n_hits) per *facet* column value over the matched
+    documents (count desc, value asc) — faceted search served from the
+    segment store: the matched-doc relation is tiny relative to the
+    corpus, so the facet join is a semi-join-shaped probe of the
+    documents table followed by one partial-agg groupBy."""
+    from .segments import release_cached_deps
+    from .wand import matched_docs
+
+    segments, _corpus = _documents_segment_index(docs, min_df, n_shards)
+    out = (
+        matched_docs(segments, sorted(set(query_terms)))
+        .join(docs.select("doc_id", F.col(facet).alias("facet_value")),
+              "doc_id")
+        .groupBy("facet_value")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+        .orderBy(F.desc("n_hits"), F.asc("facet_value"))
+    )
+    rows = out.collect()
+    release_cached_deps(segments)
+    return docs.sparkSession.createDataFrame(rows, out.schema)

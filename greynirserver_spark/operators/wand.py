@@ -55,6 +55,7 @@ __all__ = [
     "boolean_topk",
     "shard_boolean_pandas",
     "prefix_topk",
+    "matched_docs",
 ]
 
 
@@ -659,3 +660,41 @@ def prefix_topk(
             [], "rank long, doc_id long, score double"
         )
     return wand_topk(segments, expansion, corpus, k, term_idf=term_idf)
+
+
+def matched_docs(
+    segments: DataFrame, terms: Sequence[str]
+) -> DataFrame:
+    """DISTINCT (doc_id) matching ANY of *terms* — the totalHits /
+    facet-base relation. Term-pruned scan, one shuffle to doc-range
+    shards, whole-shard bulk varint decode + np.unique per task; shard
+    doc ranges are disjoint, so the per-shard uniques concatenate into
+    the global distinct set with NO cross-shard dedup shuffle."""
+    terms = sorted(set(terms))
+    spark = segments.sparkSession
+    if not terms:
+        return spark.createDataFrame([], "doc_id long")
+    matched = segments.where(F.col("term").isin(terms))
+
+    def per_partition(batches):
+        chunks = [b for b in batches if len(b)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        for _, g in pdf.groupby("shard", sort=False):
+            docs = []
+            for _, tg in g.groupby("term", sort=False):
+                m = _TermBlocks(
+                    tg.sort_values("first_doc").reset_index(drop=True)
+                )
+                m.decode(list(range(len(m.first))), 1.0)
+                docs.extend(m.cache[b][0] for b in range(len(m.first)))
+            if docs:
+                yield pd.DataFrame(
+                    {"doc_id": np.unique(np.concatenate(docs))}
+                )
+
+    n_tasks = max(1, spark.sparkContext.defaultParallelism // 4)
+    return matched.repartition(n_tasks, "shard").mapInPandas(
+        per_partition, "doc_id long"
+    )

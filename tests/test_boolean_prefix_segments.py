@@ -197,3 +197,35 @@ def test_no_cartesian_in_boolean_plan(docs):
     assert "CartesianProduct" not in plan
     from greynirserver_spark.operators.segments import release_cached_deps
     release_cached_deps(segments)
+
+
+def test_matched_docs_and_hit_count(docs, spark):
+    from greynirserver_spark.operators.wand import matched_docs
+    from greynirserver_spark.operators.textops import (
+        hit_count_documents, facet_counts_documents,
+    )
+    from collections import Counter
+
+    toks = {d: t.split() for d, t, *_ in DOCS}
+    df_ = Counter()
+    for ts in toks.values():
+        df_.update(set(ts))
+    indexed = {t for t, c in df_.items() if c >= 2}
+    q = ["spark", "slow", "zeta"]  # zeta is df-pruned at min_df=2
+    expect = {d for d, ts in toks.items()
+              if set(ts) & (set(q) & indexed)}
+    segments, _ = _documents_segment_index(docs, 2, 4)
+    got = {r["doc_id"] for r in matched_docs(segments, q).collect()}
+    assert got == expect
+    # distinctness: no doc twice even when it carries several terms
+    assert matched_docs(segments, q).count() == len(expect)
+    from greynirserver_spark.operators.segments import release_cached_deps
+    release_cached_deps(segments)
+    hc = hit_count_documents(docs, q, min_df=2).collect()
+    assert [(r["n_hits"]) for r in hc] == [len(expect)]
+    # facets over the one-source fixture: a single row, full count
+    fc = facet_counts_documents(docs, q, facet="source", min_df=2).collect()
+    assert [(r["facet_value"], r["n_hits"]) for r in fc] == [("w", len(expect))]
+    # empty query
+    assert matched_docs(segments2 := _documents_segment_index(docs, 2, 4)[0], []).count() == 0
+    release_cached_deps(segments2)
