@@ -48,6 +48,12 @@ _BM25_BATCH = {
     "q1": ["hash", "table", "scan", "filter"],
     "q2": ["stream", "batch"],
 }
+# batched boolean serving: qid -> (must, should, must_not)
+_BOOL_BATCH = {
+    "b0": (["spark", "join"], ["window", "stream"], ["dup"]),
+    "b1": (["filter"], ["scan"], []),
+    "b2": ([], ["batch", "merge"], ["slow"]),
+}
 _PHRASE = ["slow", "hash", "batch"]
 # proximity (NEAR/6): unordered, all three terms within a 6-token span
 _PROX_TERMS = ["spark", "window", "stream"]
@@ -1500,6 +1506,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_topk_segments": lambda s, d: T.prefix_documents_topk(
             _docs(s, d), "s", k=20, max_expand=4,
         ),
+        # batched boolean: 3 MUST/SHOULD/MUST_NOT queries in ONE job
+        "bm25_boolean_batch": lambda s, d:
+            T.bm25_boolean_segments_topk_batch(
+                _docs(s, d), _BOOL_BATCH, k=20,
+            ),
         # totalHits from the compressed store: distinct matched docs,
         # per-shard bulk decode, NO cross-shard dedup (disjoint ranges)
         "hit_count": lambda s, d: T.hit_count_documents(
@@ -2736,6 +2747,55 @@ FROM md JOIN documents d USING (doc_id)
 GROUP BY d.source
 ORDER BY n_hits DESC, facet_value ASC
 """
+    # batched boolean: per-qid ranked top-20, gate + score per query
+    bool_parts = []
+    for qid in sorted(_BOOL_BATCH):
+        must, should, must_not = _BOOL_BATCH[qid]
+        must = sorted(set(must))
+        score_in = ", ".join(
+            f"'{t}'" for t in sorted(set(must) | set(should))
+        )
+        gate = ""
+        if must:
+            min_ = ", ".join(f"'{t}'" for t in must)
+            gate = f"""JOIN (SELECT p2.doc_id FROM post p2 JOIN ts USING (term)
+        WHERE p2.term IN ({min_})
+        GROUP BY p2.doc_id
+        HAVING count(DISTINCT p2.term) = {len(must)}) g USING (doc_id)"""
+        notf = ""
+        if must_not:
+            nin = ", ".join(f"'{t}'" for t in sorted(set(must_not)))
+            notf = (f"WHERE doc_id NOT IN (SELECT p3.doc_id FROM post p3 "
+                    f"JOIN ts USING (term) WHERE p3.term IN ({nin}))")
+        bool_parts.append(f"""(
+  SELECT '{qid}' AS qid,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+         doc_id, score
+  FROM (
+    SELECT p.doc_id,
+           round(sum(tsi.idf * (p.tf * (1.2 + 1.0))
+                 / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doclen / corp.avgdl))), 4)
+             AS score
+    FROM post p
+    JOIN tsi USING (term)
+    JOIN dl ON dl.doc_id = p.doc_id, corp
+    WHERE p.term IN ({score_in})
+    GROUP BY p.doc_id
+  ) sc
+  {gate}
+  {notf}
+  ORDER BY score DESC, doc_id ASC LIMIT 20
+)""")
+    out["bm25_boolean_batch"] = _TOK_CTE + """,
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS doclen FROM post GROUP BY 1),
+corp AS (SELECT count(*)::BIGINT AS n_docs,
+                sum(doclen)::DOUBLE / count(*) AS avgdl FROM dl),
+ts AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY 1
+       HAVING count(*) >= 3),
+tsi AS (SELECT term,
+               ln((corp.n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+        FROM ts, corp)
+""" + "\nUNION ALL\n".join(bool_parts) + "\nORDER BY qid, rank"
     # batched WAND: per-qid ranked top-20, same scoring CTEs
     batch_parts = []
     for qid in sorted(_BM25_BATCH):

@@ -717,3 +717,31 @@ def facet_counts_documents(
     rows = out.collect()
     release_cached_deps(segments)
     return docs.sparkSession.createDataFrame(rows, out.schema)
+
+
+def bm25_boolean_segments_topk_batch(
+    docs: DataFrame, queries, k: int = 20,
+    min_df: int = 3, n_shards: int = 8,
+) -> DataFrame:
+    """Batched boolean serving: (qid, rank, doc_id, score) for a
+    mapping qid -> (must, should, must_not), through ONE
+    wand.boolean_topk_batch job — per-query results identical to
+    :func:`bm25_boolean_segments_topk` (same round-then-re-rank
+    canonicalization per qid)."""
+    from .segments import release_cached_deps
+    from .wand import boolean_topk_batch
+    from pyspark.sql.window import Window as W
+
+    segments, corpus = _documents_segment_index(docs, min_df, n_shards)
+    raw = boolean_topk_batch(segments, queries, corpus, k=k + 50)
+    w = W.partitionBy("qid").orderBy(F.desc("score_r"), F.asc("doc_id"))
+    out = (
+        raw.withColumn("score_r", F.round("score", 4))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .orderBy("qid", "rank")
+        .select("qid", "rank", "doc_id", F.col("score_r").alias("score"))
+    )
+    rows = out.collect()
+    release_cached_deps(segments)
+    return docs.sparkSession.createDataFrame(rows, out.schema)

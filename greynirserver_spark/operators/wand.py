@@ -56,6 +56,7 @@ __all__ = [
     "shard_boolean_pandas",
     "prefix_topk",
     "matched_docs",
+    "boolean_topk_batch",
 ]
 
 
@@ -697,4 +698,91 @@ def matched_docs(
     n_tasks = max(1, spark.sparkContext.defaultParallelism // 4)
     return matched.repartition(n_tasks, "shard").mapInPandas(
         per_partition, "doc_id long"
+    )
+
+
+def boolean_topk_batch(
+    segments: DataFrame,
+    queries,
+    corpus: DataFrame,
+    k: int = 20,
+    term_idf: Dict[str, float] | None = None,
+) -> DataFrame:
+    """Top-k for a BATCH of boolean queries in ONE job: (qid, rank,
+    doc_id, score), per-query rank-identical to :func:`boolean_topk`.
+
+    *queries* maps qid -> (must, should, must_not) triples (sequences).
+    Same batching discipline as :func:`wand_topk_batch`: the segment
+    scan is pruned to the union of every query's scan terms (one
+    parquet open, one shuffle), a term→qids inverted index skips
+    (query, shard) pairs sharing no terms, and shared terms are fetched
+    once while each query's gate/scoring state stays independent."""
+    norm = {}
+    for qid, spec in dict(queries).items():
+        must, should, must_not = (list(spec[0]), list(spec[1]),
+                                  list(spec[2]))
+        must = sorted(set(must))
+        should = sorted(set(should) - set(must))
+        must_not = sorted(set(must_not))
+        if term_idf is not None:
+            if any(t not in term_idf for t in must):
+                continue  # globally pruned conjunct: empty by contract
+            should = [t for t in should if t in term_idf]
+            must_not = [t for t in must_not if t in term_idf]
+        if must or should:
+            norm[str(qid)] = (must, should, must_not)
+    spark = segments.sparkSession
+    schema = "qid string, rank long, doc_id long, score double"
+    if not norm:
+        return spark.createDataFrame([], schema)
+    all_terms = sorted(
+        {t for m, s, n in norm.values() for t in (*m, *s, *n)}
+    )
+    crow = corpus.collect()[0]
+    avgdl = float(crow["avgdl"])
+    matched = segments.where(F.col("term").isin(all_terms))
+
+    term_to_qids: Dict[str, List[str]] = {}
+    for qid, (m, s, n) in sorted(norm.items()):
+        for t in {*m, *s, *n}:
+            term_to_qids.setdefault(t, []).append(qid)
+
+    def per_partition(batches):
+        chunks = [b for b in batches if len(b)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        for _, g in pdf.groupby("shard", sort=False):
+            by_term = {t: tg for t, tg in g.groupby("term", sort=False)}
+            qids_here: set = set()
+            for t in by_term:
+                qids_here.update(term_to_qids.get(t, ()))
+            for qid in sorted(qids_here):
+                m, s, n = norm[qid]
+                frames = [
+                    by_term[t]
+                    for t in {*m, *s, *n}
+                    if t in by_term
+                ]
+                sub = frames[0] if len(frames) == 1 else pd.concat(
+                    frames, ignore_index=True
+                )
+                out = shard_boolean_pandas(
+                    sub.reset_index(drop=True), m, s, k, avgdl,
+                    must_not=n, term_idf=term_idf,
+                )
+                if len(out):
+                    out.insert(0, "qid", qid)
+                    yield out
+
+    n_tasks = max(1, spark.sparkContext.defaultParallelism // 4)
+    shard_tops = matched.repartition(n_tasks, "shard").mapInPandas(
+        per_partition, "qid string, doc_id long, score double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        shard_tops.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .orderBy("qid", "rank")
+        .select("qid", "rank", "doc_id", "score")
     )

@@ -229,3 +229,30 @@ def test_matched_docs_and_hit_count(docs, spark):
     # empty query
     assert matched_docs(segments2 := _documents_segment_index(docs, 2, 4)[0], []).count() == 0
     release_cached_deps(segments2)
+
+
+def test_boolean_batch_matches_per_query(docs):
+    """Each qid's rows in ONE batched job == the per-query operator."""
+    from greynirserver_spark.operators.textops import (
+        bm25_boolean_segments_topk_batch,
+    )
+
+    queries = {
+        "a": (["spark", "join"], ["stream"], ["slow"]),
+        "b": (["window"], [], []),
+        "c": ([], ["fast", "stream"], ["spark"]),
+        "d": (["spark", "zeta"], [], []),  # pruned conjunct -> empty
+    }
+    batch = bm25_boolean_segments_topk_batch(docs, queries, k=10,
+                                             min_df=2)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["qid"], []).append(
+            (r["rank"], r["doc_id"], r["score"])
+        )
+    for qid, (m, s, n) in queries.items():
+        single = _rows(bm25_boolean_segments_topk(
+            docs, must=m, should=s, must_not=n, k=10, min_df=2
+        ))
+        assert got.get(qid, []) == single, qid
+    assert "d" not in got  # strict AND with an unindexed conjunct
