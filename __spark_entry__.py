@@ -1483,6 +1483,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             s, _PROX_TERMS, window=_PROX_WINDOW, k=20,
         ),
+        # ordered NEAR served from the same compressed positional
+        # blocks (vectorized greedy successor-chain walk per shard)
+        "ordered_proximity_topk_segments": lambda s, d: __import__(
+            "greynirserver_spark.operators.posindex", fromlist=["x"]
+        ).ordered_proximity_topk_segments(
+            __import__(
+                "greynirserver_spark.operators.posindex", fromlist=["x"]
+            ).build_positional_segments(
+                P.positional_postings(_docs(s, d)), n_shards=8,
+                block_size=64,
+            ),
+            s, _PROX_TERMS, window=_PROX_WINDOW, k=20,
+        ),
         # keyword-in-context snippet around the first hit per doc
         "kwic_snippets": lambda s, d: P.kwic_snippets(
             _docs(s, d), "spark", window=4, k=20
@@ -1858,6 +1871,9 @@ ORDER BY score DESC, doc_id ASC LIMIT 20
         "proximity_topk_positional": _proximity_oracle_sql(),
         "proximity_topk_segments": _proximity_oracle_sql(),
         "ordered_proximity_topk": _ordered_prox_oracle_sql(
+            _PROX_TERMS, _PROX_WINDOW
+        ),
+        "ordered_proximity_topk_segments": _ordered_prox_oracle_sql(
             _PROX_TERMS, _PROX_WINDOW
         ),
         "ordered_proximity_topk_positional": _ordered_prox_oracle_sql(

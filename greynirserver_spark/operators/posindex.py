@@ -950,3 +950,164 @@ def load_positional_block_counts(store_root: str) -> dict | None:
         return None
     with open(hpath) as f:
         return json.load(f)
+
+
+def ordered_proximity_counts_pandas(
+    pdf: pd.DataFrame, terms: Sequence[str], window: int
+) -> pd.DataFrame:
+    """(doc_id, oprox_tf) from matched positional block rows — the
+    ORDERED NEAR counterpart of :func:`proximity_counts_pandas` (same
+    semantics as ``operators.phrase._ordered_proximity_from_tokens``:
+    a ``terms[0]`` occurrence at ``p1`` counts when the GREEDY
+    successor chain — nearest strictly-following occurrence of
+    ``terms[1]``, then of ``terms[2]`` after that, ... — ends within
+    ``p1 + window - 1``; greedy-minimal is exact).
+
+    Vectorized chain walk on composite ``dense_doc * 2^32 + pos`` keys:
+    one ``searchsorted(side='right')`` per chain hop advances EVERY
+    start simultaneously; a hop that crosses a doc boundary inflates
+    the final key difference past 2^32 > window, so the window check
+    also enforces same-doc with no extra comparison."""
+    seq = [t.lower() for t in terms]
+    uniq: list = []
+    for t in seq:
+        if t not in uniq:
+            uniq.append(t)
+    empty = pd.DataFrame({"doc_id": [], "oprox_tf": []}).astype(
+        {"doc_id": "int64", "oprox_tf": "int64"}
+    )
+    if len(pdf) == 0 or len(set(pdf["term"])) < len(uniq):
+        return empty
+    per_term: dict = {}
+    for term, g in pdf.groupby("term", sort=False):
+        d_all, p_all = [], []
+        for r in g.itertuples(index=False):
+            doc, lens, flat = decode_positional_block(
+                r.docs, r.poslens, r.positions
+            )
+            d_all.append(np.repeat(doc, lens))
+            p_all.append(flat)
+        per_term[term] = (
+            np.concatenate(d_all), np.concatenate(p_all)
+        )
+    BIG = np.int64(1) << 32
+    udocs = np.unique(np.concatenate([per_term[t][0] for t in uniq]))
+    d0, p0 = per_term[seq[0]]
+    start = np.searchsorted(udocs, d0).astype(np.int64) * BIG + p0
+    cur = start
+    sentinel = np.iinfo(np.int64).max
+    for t in seq[1:]:
+        d_t, p_t = per_term[t]
+        key_t = np.sort(
+            np.searchsorted(udocs, d_t).astype(np.int64) * BIG + p_t
+        )
+        idx = np.searchsorted(key_t, cur, side="right")
+        cur = np.where(
+            idx < key_t.size,
+            key_t[np.minimum(idx, key_t.size - 1)],
+            sentinel,
+        )
+    ok = cur - start <= np.int64(window - 1)
+    hit_docs = d0[ok]
+    if hit_docs.size == 0:
+        return empty
+    out_docs, cnts = np.unique(hit_docs, return_counts=True)
+    return pd.DataFrame(
+        {"doc_id": out_docs.astype(np.int64),
+         "oprox_tf": cnts.astype(np.int64)}
+    )
+
+
+def _positional_tokens_from_blocks(matched: DataFrame) -> DataFrame:
+    """Stream matched positional blocks back into (doc_id, term, pos)
+    rows — the memory-bounded fallback input: each task decodes only
+    its own block rows (no per-shard concat), so heavy terms never
+    concentrate in one task's memory."""
+    def explode(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            for r in b.itertuples(index=False):
+                doc, lens, flat = decode_positional_block(
+                    r.docs, r.poslens, r.positions
+                )
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.repeat(doc, lens),
+                        "term": r.term,
+                        "pos": flat.astype(np.int64),
+                    }
+                )
+
+    return matched.mapInPandas(explode, "doc_id long, term string, pos long")
+
+
+def ordered_proximity_topk_segments(
+    segments: DataFrame,
+    spark: SparkSession,
+    terms: Sequence[str],
+    window: int = 8,
+    k: int = 20,
+    max_blocks_per_shard: int | None = 500_000,
+    block_counts: dict | None = None,
+    exclude_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Ordered NEAR/``window`` top-k over COMPRESSED positional blocks
+    — rank-identical to ``operators.phrase.ordered_proximity_topk``
+    over the raw corpus. Same guard rails as
+    :func:`proximity_topk_segments`: term-pruned scan, per-shard
+    whole-batch decode under the FREE ``block_counts`` guard, and —
+    above the guard — a streamed decode back to (doc_id, term, pos)
+    rows feeding the distributed equi-join successor-chain plan
+    (operators/phrase.py), which shuffles by doc_id instead of
+    concentrating a shard. Distributed *exclude_docs* anti-join before
+    the top-k cut."""
+    seq = [t.lower() for t in terms]
+    if not seq:
+        raise ValueError("empty term list")
+    uniq = sorted(set(seq))
+    if len(uniq) > 30:
+        raise ValueError("proximity supports at most 30 distinct terms")
+    window = max(int(window), len(seq))
+    matched = segments.where(F.col("term").isin(uniq))
+
+    if max_blocks_per_shard is not None:
+        exceeds: bool | None = None
+        if (
+            block_counts is not None
+            and block_counts.get("floor", 1 << 62) <= max_blocks_per_shard
+        ):
+            terms_map = block_counts.get("terms", {})
+            exceeds = any(
+                terms_map.get(w, 0) > max_blocks_per_shard
+                for w in uniq
+            )
+        if exceeds is None:
+            worst = (
+                matched.groupBy("shard").agg(F.count("*").alias("c"))
+                .agg(F.max("c")).first()[0]
+            )
+            exceeds = worst is not None and worst > max_blocks_per_shard
+        if exceeds:
+            from .phrase import _ordered_proximity_from_tokens
+
+            hits = _ordered_proximity_from_tokens(
+                _positional_tokens_from_blocks(matched), seq, window
+            )
+            if exclude_docs is not None:
+                hits = hits.join(
+                    exclude_docs.select("doc_id"), "doc_id", "left_anti"
+                )
+            return hits.orderBy(
+                F.desc("oprox_tf"), F.asc("doc_id")
+            ).limit(k)
+
+    hits = matched.groupBy("shard").applyInPandas(
+        lambda pdf: ordered_proximity_counts_pandas(pdf, seq, window),
+        "doc_id long, oprox_tf long",
+    )
+    if exclude_docs is not None:
+        hits = hits.join(
+            exclude_docs.select("doc_id"), "doc_id", "left_anti"
+        )
+    return hits.orderBy(F.desc("oprox_tf"), F.asc("doc_id")).limit(k)

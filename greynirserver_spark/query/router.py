@@ -65,6 +65,9 @@ _NEWEST_RE = re.compile(
 # Lucene-style ~N suffix it is a proximity (NEAR/N) search
 _PHRASE_RE = re.compile(r'^"(.+)"$')
 _NEAR_RE = re.compile(r'^"(.+)"\s*~\s*(\d+)$')
+# "..." ~>N : ORDERED proximity (terms in order within an N-token span
+# — phrase-with-slop, between exact phrase and unordered NEAR)
+_ONEAR_RE = re.compile(r'^"(.+)"\s*~>\s*(\d+)$')
 _SIMILAR_RE = re.compile(
     r"^(?:svipaðar greinar og|similar articles to)\s+(.+)$", re.I
 )
@@ -705,6 +708,12 @@ class Router:
                 and self.entity_definitions is not None:
             return Answer("Entity", self.whatis(m.group(1), k),
                           [m.group(1)])
+        if m := _ONEAR_RE.match(q):
+            words = [t for t in re.split(PY_TOKEN_SPLIT_RE,
+                                         m.group(1).lower()) if t]
+            return Answer("OrderedProximitySearch",
+                          self.ordered_near(words, int(m.group(2)), k),
+                          words)
         if m := _NEAR_RE.match(q):
             words = [t for t in re.split(PY_TOKEN_SPLIT_RE,
                                          m.group(1).lower()) if t]
@@ -1004,6 +1013,45 @@ class Router:
             .orderBy(F.desc("prox_tf"), F.asc("doc_id"))
             .limit(k)
             .select("doc_id", "url", "prox_tf")
+        )
+
+    def ordered_near(self, words: List[str], window: int,
+                     k: int = 10) -> DataFrame:
+        """Ordered proximity (``"..." ~>N``) top-k: the query words IN
+        ORDER within a ``window``-token span, ranked by chain-start
+        count — phrase-with-slop. Serves from the COMPRESSED positional
+        segments when present (same guard + tombstone anti-join as
+        :meth:`near`); otherwise ad hoc from the stored text."""
+        k = min(k, _MAXLEN_ANSWER)
+        if not words:
+            return self._empty_frame(
+                "doc_id long, url string, oprox_tf long")
+        window = max(int(window), len(words))
+        from ..operators.phrase import ordered_proximity_topk
+        from ..operators.posindex import (
+            load_positional_block_counts,
+            ordered_proximity_topk_segments,
+        )
+
+        if not self.store.has("positions"):
+            hits = ordered_proximity_topk(
+                self.spark, self.doc_map.select("doc_id", "text"),
+                words, window=window, k=k,
+            )
+        else:
+            hits = ordered_proximity_topk_segments(
+                self.store.load(self.spark, "positions"), self.spark,
+                words, window=window, k=k,
+                block_counts=load_positional_block_counts(
+                    self.store.root
+                ),
+                exclude_docs=self._tomb,
+            )
+        return (
+            hits.join(self.doc_map.select("doc_id", "url"), "doc_id")
+            .orderBy(F.desc("oprox_tf"), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id", "url", "oprox_tf")
         )
 
     def related(self, word: str, limit: int = 21) -> DataFrame:

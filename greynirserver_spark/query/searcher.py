@@ -778,6 +778,87 @@ class Searcher:
             self._cache.popitem(last=False)
         return result
 
+    def ordered_near(
+        self, words: Sequence[str], window: int = 8, k: int = 10
+    ) -> List[Tuple[int, int]]:
+        """[(doc_id, oprox_tf)] — ORDERED proximity (terms in order
+        within a ``window``-token span, the phrase-with-slop form) from
+        the COMPRESSED positional segments, with :meth:`near`'s guard
+        rails: term-pruned capped fetch with the in-process vectorized
+        chain walk, distributed fallback above the cap, tombstone
+        overfetch + exact distributed terminal, TTL cache."""
+        from ..operators.posindex import (
+            ordered_proximity_counts_pandas,
+            ordered_proximity_topk_segments,
+        )
+
+        if self._positions is None:
+            raise ValueError(
+                "store has no positional segments "
+                "(build with with_positions=True)"
+            )
+        self._check_snapshot()
+        words = [w.lower() for w in words]
+        if not words:
+            return []
+        window = max(int(window), len(words))
+        key = ("onear", tuple(words), window, k)
+        now = time.monotonic()
+        hit = self._cache.get(key)
+        if hit is not None:
+            inserted, result = hit
+            if now - inserted <= self._cache_ttl_s:
+                self._cache.move_to_end(key)
+                return result
+            del self._cache[key]
+        index_dry = False
+        for kk in self._tombstone_plan(k):
+            matched = self._positions.where(
+                F.col("term").isin(sorted(set(words)))
+            )
+            pdf = matched.limit(self._max_fetch_blocks + 1).toPandas()
+            if len(pdf) > self._max_fetch_blocks:
+                rows = ordered_proximity_topk_segments(
+                    self._positions, self.spark, words,
+                    window=window, k=kk,
+                    block_counts=self._block_counts,
+                ).collect()
+                result = [
+                    (int(r["doc_id"]), int(r["oprox_tf"])) for r in rows
+                ]
+            else:
+                counts = ordered_proximity_counts_pandas(
+                    pdf, words, window
+                )
+                counts = counts.sort_values(
+                    ["oprox_tf", "doc_id"], ascending=[False, True],
+                    kind="mergesort",
+                ).head(kk)
+                result = list(
+                    zip(counts["doc_id"].astype(int),
+                        counts["oprox_tf"].astype(int))
+                )
+            n_found = len(result)
+            result = self._filter_tombstones(result)
+            index_dry = n_found < kk
+            if len(result) >= k or index_dry:
+                break
+        if self._tomb_df is not None and len(result) < k and not index_dry:
+            rows = ordered_proximity_topk_segments(
+                self._positions, self.spark, words,
+                window=window, k=k,
+                block_counts=self._block_counts,
+                exclude_docs=self._tomb_df,
+            ).collect()
+            result = [
+                (int(r["doc_id"]), int(r["oprox_tf"])) for r in rows
+            ]
+        result = result[:k]
+        self._cache[key] = (now, result)
+        if len(self._cache) > self._cache_size:
+            self._cache.popitem(last=False)
+        return result
+
     def phrase(
         self, words: Sequence[str], k: int = 10
     ) -> List[Tuple[int, int]]:

@@ -269,3 +269,85 @@ def test_ordered_is_stricter_than_unordered(spark):
     # definitions), but a doc with in-order text keeps its hits
     assert ordd.get(2, 0) >= 1   # "a b c a b c"
     assert 6 in unord            # "c b a c b a c" matches unordered
+
+
+def test_ordered_segments_agrees_with_corpus_side(spark):
+    """Compressed-block ORDERED NEAR == raw corpus ordered NEAR,
+    through both the per-shard vectorized chain walk and the forced
+    streamed-decode distributed fallback — including a duplicate-term
+    chain."""
+    from greynirserver_spark.operators.phrase import ordered_proximity_topk
+    from greynirserver_spark.operators.posindex import (
+        build_positional_segments,
+        ordered_proximity_topk_segments,
+    )
+
+    docs = _docs(spark, FIXTURE)
+    segs = build_positional_segments(
+        positional_postings(docs), n_shards=4, block_size=4
+    )
+    for seq in (["a", "b", "c"], ["c", "b", "a"], ["a", "b", "a"]):
+        want = [
+            (r["doc_id"], r["oprox_tf"])
+            for r in ordered_proximity_topk(
+                spark, docs, seq, window=6, k=10
+            ).collect()
+        ]
+        got = [
+            (r["doc_id"], r["oprox_tf"])
+            for r in ordered_proximity_topk_segments(
+                segs, spark, seq, window=6, k=10
+            ).collect()
+        ]
+        assert got == want, seq
+        low = [
+            (r["doc_id"], r["oprox_tf"])
+            for r in ordered_proximity_topk_segments(
+                segs, spark, seq, window=6, k=10,
+                max_blocks_per_shard=1,
+            ).collect()
+        ]
+        assert low == want, seq
+        # brute-force anchor per doc
+        counts = dict(want)
+        for doc_id, text in FIXTURE:
+            assert counts.get(doc_id, 0) == _brute_ordered(
+                text, seq, 6
+            ), (doc_id, seq)
+
+
+def test_searcher_and_router_ordered_near(spark, tmp_path):
+    from greynirserver_spark.operators.phrase import ordered_proximity_topk
+    from greynirserver_spark.query.searcher import Searcher
+
+    pages = spark.createDataFrame(generate_pages_pdf(120))
+    store = build_index_checkpointed(
+        spark, pages, str(tmp_path / "onear_store"), n_shards=2,
+        block_size=32, with_positions=True,
+    )
+    s = Searcher(spark, store)
+    words = ["vera", "spevætt"]
+    got = s.ordered_near(words, window=6, k=10)
+    dm = store.load(spark, "doc_map").select("doc_id", "text")
+    want = [
+        (r["doc_id"], r["oprox_tf"])
+        for r in ordered_proximity_topk(
+            spark, dm, words, window=6, k=10
+        ).collect()
+    ]
+    assert got == want and got
+    # ordered is a subset-count of unordered on the same terms
+    un = dict(s.near(words, window=6, k=100))
+    assert all(tf <= un.get(d, 0) for d, tf in got)
+    # distributed path agrees
+    s_low = Searcher(spark, store, max_fetch_blocks=0)
+    assert s_low.ordered_near(words, window=6, k=10) == want
+    # Router "..."~>N dispatch
+    r = Router(spark, store)
+    ans = r.execute(f'"{words[0]} {words[1]}" ~>6', k=10)
+    assert ans.qtype == "OrderedProximitySearch"
+    rows = [(x["doc_id"], x["oprox_tf"]) for x in ans.df.collect()]
+    assert rows == want[: len(rows)] and rows
+    # unordered syntax still routes to the plain NEAR qtype
+    assert r.execute(f'"{words[0]} {words[1]}" ~6', k=5).qtype \
+        == "ProximitySearch"
