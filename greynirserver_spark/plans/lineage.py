@@ -1073,3 +1073,46 @@ def rebuild_segments(spark: SparkSession, store: IndexStore) -> None:
              bytes_out=_dir_bytes(store.segments),
              wall_ms=int((time.time() - t0) * 1000)),
     )
+
+
+def index_health(spark: SparkSession, store: IndexStore) -> DataFrame:
+    """One-row ops report over a persisted store — the consolidated
+    health surface an on-call engineer reads before/after the 30-min
+    append loop (reference analog: the scraper's per-run status prints,
+    scraper.py, which never aggregate). All inputs are metadata-sized:
+    the 1-row corpus, directory byte walks, lineage rows, run-dir
+    listings and the tombstone count — no posting data is scanned.
+
+    Columns: n_docs, avgdl, segment_bytes, positional_bytes (0 when the
+    store has no positions), term_count_runs (current-epoch un-compacted
+    LSM runs), n_tombstones (delete backlog awaiting rebuild),
+    stats_dirty (un-rebuilt appends exist ⇒ serving uses the exact-stats
+    idf rescale), committed_shards, lineage_stages, total_wall_ms
+    (build+append work recorded in lineage), store_bytes."""
+    from ..operators.runstore import run_count
+
+    crow = spark.read.parquet(store.corpus).collect()[0]
+    lin = read_lineage(store.root)
+    n_tomb = 0
+    if store.has("tombstones"):
+        n_tomb = spark.read.parquet(store.tombstones).count()
+    row = (
+        int(crow["n_docs"]),
+        float(crow["avgdl"]),
+        int(_dir_bytes(store.segments)),
+        int(_dir_bytes(store.positions)) if store.has("positions") else 0,
+        int(run_count(store.term_counts)),
+        int(n_tomb),
+        bool(stats_need_rescale(store)),
+        int(len(store.committed_shards())),
+        int(len(lin)),
+        int(lin["wall_ms"].sum()) if not lin.empty else 0,
+        int(_dir_bytes(store.root)),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_docs long, avgdl double, segment_bytes long, "
+        "positional_bytes long, term_count_runs long, n_tombstones long, "
+        "stats_dirty boolean, committed_shards long, lineage_stages long, "
+        "total_wall_ms long, store_bytes long",
+    )

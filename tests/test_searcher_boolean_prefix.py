@@ -170,3 +170,27 @@ def test_snippets_highlight_and_bound(spark, store):
     q = set(query_to_terms("alpha beta"))
     win = _kwic_window(text.strip(), q, 3)
     assert "**alpha** **beta**" in win
+
+
+def test_index_health_report(spark, tmp_path_factory):
+    from greynirserver_spark.plans.lineage import (
+        build_index_checkpointed, delete_urls, index_health,
+    )
+
+    pages = spark.createDataFrame(generate_pages_pdf(150))
+    root = str(tmp_path_factory.mktemp("health") / "store")
+    store = build_index_checkpointed(spark, pages, root, n_shards=4,
+                                     block_size=32)
+    h = index_health(spark, store).collect()[0]
+    # n_docs counts INDEXED docs (non-Icelandic pages filtered at build)
+    assert h["n_docs"] == store.load(spark, "doc_map").count()
+    assert h["avgdl"] > 0
+    assert h["segment_bytes"] > 0 and h["store_bytes"] > h["segment_bytes"]
+    assert h["positional_bytes"] == 0  # built without positions
+    assert h["n_tombstones"] == 0 and not h["stats_dirty"]
+    assert h["committed_shards"] == 4 and h["total_wall_ms"] > 0
+    # a delete surfaces in the backlog column
+    url = store.load(spark, "doc_map").limit(1).collect()[0]["url"]
+    delete_urls(spark, store, [url])
+    h2 = index_health(spark, store).collect()[0]
+    assert h2["n_tombstones"] == 1
