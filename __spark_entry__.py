@@ -1533,6 +1533,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts": lambda s, d: T.facet_counts_documents(
             _docs(s, d), _BM25_TERMS, facet="source",
         ),
+        # metadata-only totalHits bounds: lb = max per-term df
+        # (containment), ub = df sum — zero block decode at any scale
+        "hit_count_bounds": lambda s, d: T.hit_count_bounds_documents(
+            _docs(s, d), _BM25_TERMS,
+        ),
         "doc_quality": lambda s, d: T.quality_scores(_docs(s, d)),
         # entities-processor parity: copular definition extraction
         "entity_definitions": lambda s, d: __import__(
@@ -2752,6 +2757,13 @@ ts AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY 1
 SELECT count(DISTINCT p.doc_id)::BIGINT AS n_hits
 FROM post p JOIN ts USING (term)
 WHERE p.term IN ({terms_in})
+"""
+    out["hit_count_bounds"] = _TOK_CTE + f""",
+ts AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY 1
+       HAVING count(*) >= 3)
+SELECT coalesce(max(df), 0)::BIGINT AS lb_hits,
+       coalesce(sum(df), 0)::BIGINT AS ub_hits
+FROM ts WHERE term IN ({terms_in})
 """
     out["facet_counts"] = _TOK_CTE + f""",
 ts AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY 1

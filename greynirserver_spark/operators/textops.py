@@ -745,3 +745,20 @@ def bm25_boolean_segments_topk_batch(
     rows = out.collect()
     release_cached_deps(segments)
     return docs.sparkSession.createDataFrame(rows, out.schema)
+
+
+def hit_count_bounds_documents(
+    docs: DataFrame, query_terms: Sequence[str],
+    min_df: int = 3, n_shards: int = 8,
+) -> DataFrame:
+    """ONE row (lb_hits, ub_hits) — metadata-only totalHits bounds from
+    the segment store (wand.hit_count_bounds): no block is decoded, so
+    the answer's latency is independent of posting volume."""
+    from .segments import release_cached_deps
+    from .wand import hit_count_bounds
+
+    segments, _corpus = _documents_segment_index(docs, min_df, n_shards)
+    out = hit_count_bounds(segments, sorted(set(query_terms)))
+    rows = out.collect()
+    release_cached_deps(segments)
+    return docs.sparkSession.createDataFrame(rows, out.schema)

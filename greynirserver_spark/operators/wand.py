@@ -57,6 +57,7 @@ __all__ = [
     "prefix_topk",
     "matched_docs",
     "boolean_topk_batch",
+    "hit_count_bounds",
 ]
 
 
@@ -785,4 +786,30 @@ def boolean_topk_batch(
         .where(F.col("rank") <= k)
         .orderBy("qid", "rank")
         .select("qid", "rank", "doc_id", "score")
+    )
+
+
+def hit_count_bounds(
+    segments: DataFrame, terms: Sequence[str]
+) -> DataFrame:
+    """ONE row (lb_hits, ub_hits) bounding the matched-document count
+    WITHOUT decoding a single block — the approximate-totalHits answer
+    a result page shows instantly while :func:`matched_docs` computes
+    the exact value. From block metadata only: per-term df is the exact
+    ``sum(n_docs)`` over its blocks, the union is bounded below by the
+    largest single term (containment) and above by the df sum
+    (inclusion–exclusion truncated at one term). Metadata-sized scan —
+    latency independent of posting volume at any corpus size."""
+    terms = sorted(set(terms))
+    spark = segments.sparkSession
+    if not terms:
+        return spark.createDataFrame([(0, 0)], "lb_hits long, ub_hits long")
+    per_term = (
+        segments.where(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.sum("n_docs").cast("long").alias("df"))
+    )
+    return per_term.agg(
+        F.coalesce(F.max("df"), F.lit(0)).cast("long").alias("lb_hits"),
+        F.coalesce(F.sum("df"), F.lit(0)).cast("long").alias("ub_hits"),
     )

@@ -256,3 +256,21 @@ def test_boolean_batch_matches_per_query(docs):
         ))
         assert got.get(qid, []) == single, qid
     assert "d" not in got  # strict AND with an unindexed conjunct
+
+
+def test_hit_count_bounds_sandwich(docs):
+    """Metadata bounds always sandwich the exact count; equality holds
+    for a single term (lb == exact == ub)."""
+    from greynirserver_spark.operators.textops import (
+        hit_count_bounds_documents, hit_count_documents,
+    )
+
+    for q in (["spark", "slow"], ["window"], ["spark", "join", "fast"]):
+        b = hit_count_bounds_documents(docs, q, min_df=2).collect()[0]
+        exact = hit_count_documents(docs, q, min_df=2).collect()[0]["n_hits"]
+        assert b["lb_hits"] <= exact <= b["ub_hits"], q
+        if len(q) == 1:
+            assert b["lb_hits"] == exact == b["ub_hits"]
+    # unindexed-only query: both bounds zero
+    z = hit_count_bounds_documents(docs, ["zeta"], min_df=2).collect()[0]
+    assert (z["lb_hits"], z["ub_hits"]) == (0, 0)
