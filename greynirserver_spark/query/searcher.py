@@ -190,6 +190,7 @@ class Searcher:
 
         self._exact_stats = stats_need_rescale(self.store)
         self._idf_cache: dict = {}
+        self._doc_map_df = None  # snippets' stored-fields handle, lazy
         # tombstoned docs are excluded by overfetch-and-filter until the
         # next rebuild purges them. The driver-side id set is CAPPED
         # (round-4 verdict item #1): a GDPR-scale delete backlog (10^8
@@ -666,6 +667,19 @@ class Searcher:
             self._cache.popitem(last=False)
         return result
 
+    def search_page(
+        self, terms: Sequence[str], page_size: int = 10,
+        offset: int = 0,
+    ) -> List[Tuple[int, float]]:
+        """Paged results: page at *offset* = the ``offset+page_size``
+        top-k with the head sliced off (Lucene searchAfter-by-refetch;
+        the TTL cache serves repeated walks). Deep offsets are
+        deliberately not optimized — deep paging a 10^12-doc index is
+        an anti-pattern; batch jobs are the bulk-export path."""
+        if offset < 0 or page_size <= 0:
+            raise ValueError("offset >= 0 and page_size > 0 required")
+        return self.search(terms, offset + page_size)[offset:]
+
     def snippets(
         self, terms: Sequence[str], k: int = 10, width: int = 12
     ) -> List[Tuple[int, float, str]]:
@@ -688,11 +702,17 @@ class Searcher:
             return []
         qset = set(terms)
         ids = [int(d) for d, _ in hits]
+        # one doc_map handle per snapshot (file listing amortized);
+        # doc ids are assigned in write order, so the isin() predicate
+        # prunes at the parquet row-group level
+        if getattr(self, "_doc_map_df", None) is None:
+            self._doc_map_df = self.store.load(
+                self.spark, "doc_map"
+            ).select("doc_id", "text")
         texts = {
             int(r["doc_id"]): r["text"]
-            for r in self.store.load(self.spark, "doc_map")
+            for r in self._doc_map_df
             .where(F.col("doc_id").isin(ids))
-            .select("doc_id", "text")
             .collect()
         }
         return [

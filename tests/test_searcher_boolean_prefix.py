@@ -194,3 +194,13 @@ def test_index_health_report(spark, tmp_path_factory):
     delete_urls(spark, store, [url])
     h2 = index_health(spark, store).collect()[0]
     assert h2["n_tombstones"] == 1
+
+
+def test_search_page_consistency(spark, store):
+    searcher = Searcher(spark, store)
+    terms = _terms(2)
+    full = searcher.search(terms, 9)
+    pages = [searcher.search_page(terms, 3, off) for off in (0, 3, 6)]
+    assert pages[0] + pages[1] + pages[2] == full
+    with pytest.raises(ValueError):
+        searcher.search_page(terms, 3, -1)
