@@ -657,7 +657,8 @@ def prefix_documents_topk(
 
     segments, corpus = _documents_segment_index(docs, min_df, n_shards)
     raw = prefix_topk(
-        segments, prefix, corpus, k=k + 50, max_expand=max_expand
+        segments, prefix, corpus, k=k + 50, max_expand=max_expand,
+        min_df=min_df,
     )
     w = W.orderBy(F.desc("score_r"), F.asc("doc_id"))
     out = (

@@ -626,6 +626,7 @@ def prefix_topk(
     k: int = 10,
     max_expand: int = 32,
     term_idf: Dict[str, float] | None = None,
+    min_df: int = 1,
 ) -> DataFrame:
     """Trailing-wildcard query ``prefix*`` over the compressed segment
     store: (rank, doc_id, score).
@@ -643,12 +644,18 @@ def prefix_topk(
     parquet. Icelandic analog of the reference's autocomplete surface
     served from the index itself instead of a corpus pass.
     """
+    # min_df gate on the expansion: an appended store's delta blocks
+    # also hold sub-min_df terms (deltas bake at min_df=1); those must
+    # not consume rewrite-cap slots the scratch build would never
+    # spend. Post-backfill, a served term's block sum == its true df,
+    # so the gate is exact.
     expansion = [
         r["term"]
         for r in (
             segments.where(F.col("term").startswith(prefix))
             .groupBy("term")
             .agg(F.sum("n_docs").cast("long").alias("df"))
+            .where(F.col("df") >= int(min_df))
             .orderBy(F.desc("df"), F.asc("term"))
             .limit(int(max_expand))
             .collect()

@@ -155,6 +155,16 @@ class IndexStore:
     def tombstones(self) -> str:
         return os.path.join(self.root, "tombstones")
 
+    @property
+    def segments_backfill(self) -> str:
+        # min_df boundary-crossing backfill blocks (see append_pages):
+        # laid out run=<intent>/shard=K so a crashed append's rows are
+        # removable by EXACT run-dir name (delta rollback keys on
+        # first_doc >= offset, which backfill rows — old doc ids —
+        # would survive). On Iceberg: same-table appends whose
+        # snapshot is rolled back with the intent.
+        return os.path.join(self.root, "segments_backfill")
+
     def has(self, name: str) -> bool:
         return os.path.isdir(getattr(self, name))
 
@@ -179,7 +189,14 @@ class IndexStore:
     def load_segments(self, spark: SparkSession) -> DataFrame:
         # read the store root: `shard` is a partition column recovered by
         # directory discovery (shard=K/), giving partition pruning on shard
-        return spark.read.parquet(self.segments)
+        base = spark.read.parquet(self.segments)
+        if os.path.isdir(self.segments_backfill) and any(
+            e.name.startswith("run=")
+            for e in os.scandir(self.segments_backfill)
+        ):
+            bf = spark.read.parquet(self.segments_backfill).drop("run")
+            return base.unionByName(bf.select(*base.columns))
+        return base
 
     def term_stats_df(self, spark: SparkSession) -> DataFrame:
         """(term, df, cf, idf) DERIVED lazily from the log-structured
@@ -579,6 +596,18 @@ def _reconcile_appends(
         int(fp.split("=", 1)[1])
         for fp in open_intents["input_fingerprint"]
     )
+    # crossing-backfill rows carry OLD doc ids, so the first_doc filter
+    # below cannot find them — but they live under run=<intent> dirs,
+    # removable by exact name (Iceberg: the same snapshot rollback)
+    if os.path.isdir(store.segments_backfill):
+        removed_bf = False
+        for iid in open_intents["partition_id"]:
+            rdir = os.path.join(store.segments_backfill, f"run={iid}")
+            if os.path.isdir(rdir):
+                shutil.rmtree(rdir)
+                removed_bf = True
+        if removed_bf:
+            spark.catalog.refreshByPath(store.segments_backfill)
     t0 = time.time()
     for name in ("doc_map", "postings", "doc_stats"):
         if not store.has(name):
@@ -695,8 +724,10 @@ def append_pages(
     leaves urls committed in doc_map that the anti-join would silently
     skip forever with no postings behind them.
 
-    Returns ``{"new_docs": int, "new_blocks": int}`` — new_blocks is
-    the DELTA segment block count written by this append.
+    Returns ``{"new_docs": int, "new_blocks": int, "backfill_blocks":
+    int}`` — new_blocks counts every segment block this append wrote
+    (batch deltas + min_df boundary-crossing backfill; see the inline
+    backfill section), backfill_blocks the crossing overlay alone.
     """
     meta = read_store_meta(store)
     _reconcile_appends(spark, store, meta)
@@ -877,6 +908,80 @@ def append_pages(
         release_cached_deps(delta)
         if fail_after == "segments":
             raise RuntimeError("injected append failure after segments")
+
+        # ---- min_df boundary-crossing backfill --------------------
+        # A term whose GLOBAL df crosses the store's min_df AT THIS
+        # BATCH has base postings in no block anywhere: the base
+        # build/rebuild prunes sub-min_df terms from its blocks, and
+        # every later append delta-covers only its own docs. Serving
+        # with current idf would then silently miss those base docs —
+        # the one case where "appended store ranks identical to
+        # scratch" broke. The missing set is tiny by construction
+        # (< min_df docs per crossing term), so pull exactly those
+        # postings and write them as backfill blocks. They live in a
+        # run=<intent> sibling dir because crash rollback identifies
+        # delta blocks by first_doc >= offset, which old-doc backfill
+        # rows would survive; a run dir is removable by exact name.
+        # Detection costs one column-pruned, shuffle-free scan of the
+        # counts store (vocab-sized rows, never postings) against the
+        # broadcast batch vocabulary.
+        from ..operators.postings import load_term_counts as _ltc2
+
+        min_df = int(meta["min_df"])
+        n_backfill = 0
+        if min_df > 1:
+            bvocab = (
+                build_term_counts(new_postings)
+                .select("term", F.col("df").alias("bdf"))
+            )
+            crossing = (
+                _ltc2(spark, store.term_counts)
+                .join(F.broadcast(bvocab), "term")
+                .withColumn("old_df", F.col("df") - F.col("bdf"))
+                .where(
+                    (F.col("old_df") > 0)
+                    & (F.col("old_df") < min_df)
+                    & (F.col("df") >= min_df)
+                )
+                .select("term")
+                .localCheckpoint(eager=True)
+            )
+            if crossing.limit(1).count() > 0:
+                seg_cov = (
+                    spark.read.parquet(store.segments)
+                    .join(F.broadcast(crossing), "term")
+                    .groupBy("term")
+                    .agg(F.min("first_doc").alias("covered_from"))
+                )
+                missing = (
+                    spark.read.parquet(store.postings)
+                    .join(F.broadcast(crossing), "term")
+                    .where(F.col("doc_id") < offset)
+                    .join(F.broadcast(seg_cov), "term", "left")
+                    .where(
+                        F.col("covered_from").isNull()
+                        | (F.col("doc_id") < F.col("covered_from"))
+                    )
+                    .select("doc_id", "term", "tf")
+                )
+                bf = build_segments(
+                    missing,
+                    term_stats.join(F.broadcast(crossing), "term"),
+                    doc_stats, corpus,
+                    n_shards=meta["n_shards"],
+                    block_size=meta["block_size"],
+                    shard_size=meta["shard_size"],
+                ).withColumn("run", F.lit(intent_id))
+                bf = bf.persist(_SL.DISK_ONLY)
+                n_backfill = bf.count()
+                if n_backfill:
+                    ADAPTER.append_table(
+                        bf, store.segments_backfill, ["run", "shard"]
+                    )
+                bf.unpersist()
+                release_cached_deps(bf)
+        if fail_after == "backfill":
+            raise RuntimeError("injected append failure after backfill")
         _append_lineage(
             store.root,
             dict(stage="append", partition_id=intent_id,
@@ -905,7 +1010,9 @@ def append_pages(
             if n_appends % rebuild_every == 0:
                 rebuild_segments(spark, store)
                 rebuilt = True
-        return {"new_docs": n_new, "new_blocks": n_blocks,
+        return {"new_docs": n_new,
+                "new_blocks": n_blocks + n_backfill,
+                "backfill_blocks": n_backfill,
                 "rebuilt": rebuilt}
     finally:
         texts.unpersist()
@@ -1040,6 +1147,10 @@ def rebuild_segments(spark: SparkSession, store: IndexStore) -> None:
     staging = ADAPTER.stage_partitioned(segs, store.segments, ["shard"])
     release_cached_deps(segs)
     ADAPTER.swap_in(staging, store.segments, spark)
+    # the rebuilt base covers every served term completely — the
+    # crossing-backfill overlay is folded in and stands down
+    if os.path.isdir(store.segments_backfill):
+        ADAPTER.remove(store.segments_backfill)
     if store.has("positions"):
         # positional blocks never go stale (no idf) but appends leave
         # short tail blocks; re-pack them in the same rebuild pass

@@ -775,10 +775,17 @@ class Router:
         """max_expand highest-df dictionary terms starting with *prefix*
         (df desc, term asc — exact df from block n_docs sums); one tiny
         LIKE-pruned agg on the segment scan."""
+        from ..plans.lineage import read_store_meta
+
+        try:
+            min_df = int(read_store_meta(self.store)["min_df"])
+        except (FileNotFoundError, KeyError):
+            min_df = 1
         rows = (
             self.segments.where(F.col("term").startswith(prefix))
             .groupBy("term")
             .agg(F.sum("n_docs").cast("long").alias("df"))
+            .where(F.col("df") >= min_df)
             .orderBy(F.desc("df"), F.asc("term"))
             .limit(int(max_expand))
             .collect()

@@ -62,7 +62,8 @@ def _segments_version(store: IndexStore) -> float:
     though it touches no segment file). On Iceberg this would be the
     table's current snapshot id."""
     latest = 0.0
-    for path in (store.segments, store.tombstones):
+    for path in (store.segments, store.tombstones,
+                 store.segments_backfill):
         try:
             with os.scandir(path) as it:
                 for e in it:
@@ -191,6 +192,12 @@ class Searcher:
         self._exact_stats = stats_need_rescale(self.store)
         self._idf_cache: dict = {}
         self._doc_map_df = None  # snippets' stored-fields handle, lazy
+        from ..plans.lineage import read_store_meta
+
+        try:
+            self._min_df = int(read_store_meta(self.store)["min_df"])
+        except (FileNotFoundError, KeyError):
+            self._min_df = 1  # meta-less store: expansion gate off
         # tombstoned docs are excluded by overfetch-and-filter until the
         # next rebuild purges them. The driver-side id set is CAPPED
         # (round-4 verdict item #1): a GDPR-scale delete backlog (10^8
@@ -582,6 +589,7 @@ class Searcher:
                     self._segments.where(F.col("term").startswith(prefix))
                     .groupBy("term")
                     .agg(F.sum("n_docs").cast("long").alias("df"))
+                    .where(F.col("df") >= self._min_df)
                     .orderBy(F.desc("df"), F.asc("term"))
                     .limit(int(max_expand))
                     .collect()
@@ -608,6 +616,8 @@ class Searcher:
                 dfs = (
                     pdf.groupby("term")["n_docs"].sum().reset_index()
                 )
+                # min_df expansion gate (see wand.prefix_topk)
+                dfs = dfs[dfs["n_docs"] >= self._min_df]
                 dfs = dfs.sort_values(
                     ["n_docs", "term"], ascending=[False, True],
                     kind="mergesort",
