@@ -1207,12 +1207,19 @@ def index_health(spark: SparkSession, store: IndexStore) -> DataFrame:
     n_tomb = 0
     if store.has("tombstones"):
         n_tomb = spark.read.parquet(store.tombstones).count()
+    n_bf_runs = 0
+    if os.path.isdir(store.segments_backfill):
+        n_bf_runs = sum(
+            1 for e in os.scandir(store.segments_backfill)
+            if e.name.startswith("run=")
+        )
     row = (
         int(crow["n_docs"]),
         float(crow["avgdl"]),
         int(_dir_bytes(store.segments)),
         int(_dir_bytes(store.positions)) if store.has("positions") else 0,
         int(run_count(store.term_counts)),
+        int(n_bf_runs),
         int(n_tomb),
         bool(stats_need_rescale(store)),
         int(len(store.committed_shards())),
@@ -1223,7 +1230,8 @@ def index_health(spark: SparkSession, store: IndexStore) -> DataFrame:
     return spark.createDataFrame(
         [row],
         "n_docs long, avgdl double, segment_bytes long, "
-        "positional_bytes long, term_count_runs long, n_tombstones long, "
+        "positional_bytes long, term_count_runs long, "
+        "backfill_runs long, n_tombstones long, "
         "stats_dirty boolean, committed_shards long, lineage_stages long, "
         "total_wall_ms long, store_bytes long",
     )
