@@ -150,6 +150,22 @@ class _TermBlocks:
             self.cache[b] = (docs_abs[starts[j]:ends[j]],
                              parts[starts[j]:ends[j]])
 
+    def decode_docs(self, blocks: List[int]) -> np.ndarray:
+        """Doc ids of the listed blocks, concatenated in block order —
+        ONE varint pass, no tf/dl decode, no BM25 partials. The cheap
+        path for consumers that never score: NOT-gating and exact hit
+        counting pay a third of the full decode."""
+        from .segments import varint_decode
+
+        deltas = varint_decode(
+            b"".join(self.docs_b[b] for b in blocks)
+        ).astype(np.int64)
+        nd = self.nd[blocks]
+        cs = np.cumsum(deltas)
+        starts = np.concatenate(([0], np.cumsum(nd)[:-1]))
+        corr = np.where(starts > 0, cs[np.maximum(starts - 1, 0)], 0)
+        return cs - np.repeat(corr, nd)
+
 
 def shard_topk_pandas(
     pdf: pd.DataFrame,
@@ -534,8 +550,18 @@ def shard_boolean_pandas(
     for t in sorted(set(must_not) & here):
         if not cand.size:
             return empty
-        ex_docs, _ = postings_in(t, int(cand[0]), int(cand[-1]))
-        cand = cand[~np.isin(cand, ex_docs, assume_unique=True)]
+        # NOT terms never score: docs-only decode (1 varint pass) of
+        # the candidate-overlapping blocks
+        lo, hi = int(cand[0]), int(cand[-1])
+        m = tb[t]
+        need = [
+            i
+            for i in range(len(m.first))
+            if m.last[i] >= lo and m.first[i] <= hi
+        ]
+        if need:
+            ex_docs = m.decode_docs(need)
+            cand = cand[~np.isin(cand, ex_docs, assume_unique=True)]
     if not cand.size:
         return empty
 
@@ -696,8 +722,8 @@ def matched_docs(
                 m = _TermBlocks(
                     tg.sort_values("first_doc").reset_index(drop=True)
                 )
-                m.decode(list(range(len(m.first))), 1.0)
-                docs.extend(m.cache[b][0] for b in range(len(m.first)))
+                # counting never scores: docs-only decode (1/3 the work)
+                docs.append(m.decode_docs(list(range(len(m.first)))))
             if docs:
                 yield pd.DataFrame(
                     {"doc_id": np.unique(np.concatenate(docs))}
