@@ -208,3 +208,74 @@ def test_backfill_crash_replay_no_duplicates(spark, tmp_path_factory):
     runs = [d for d in os.listdir(inc.segments_backfill)
             if d.startswith("run=")]
     assert len(runs) == 1
+
+
+def test_two_append_crossing_backfills_base_only(spark, tmp_path_factory):
+    """A term with base df=1 that gains one doc per append crosses
+    min_df at the SECOND append. Its append-1 postings already live in
+    delta-1 blocks, so the crossing backfill must pull ONLY the base
+    postings (doc_id below the existing coverage) — pulling everything
+    old would double-count append-1's docs."""
+    from greynirserver_spark.plans.lineage import append_pages
+
+    base = tmp_path_factory.mktemp("bf2x")
+    all_pages = generate_pages(spark, 900).cache()
+    # xxhash64 is SIGNED: pmod, not %, or half the corpus vanishes
+    bucket = F.pmod(F.xxhash64("url"), F.lit(3))
+    pa = all_pages.where(bucket == 0)
+    pb = all_pages.where(bucket == 1)
+    pc = all_pages.where(bucket == 2)
+    inc = build_index_checkpointed(spark, pa, str(base / "inc"),
+                                   n_shards=4)
+    append_pages(spark, inc, pb)
+    append_pages(spark, inc, pc)
+    scratch = build_index_checkpointed(spark, all_pages,
+                                       str(base / "scr"), n_shards=4)
+    all_pages.unpersist()
+
+    # find terms that crossed at append 2 WITH append-1 participation:
+    # df_A>0, df_A+df_B < 3 <= df_A+df_B+df_C, df_B>0
+    from greynirserver_spark.operators.postings import load_term_counts
+
+    # simpler: derive per-group dfs from the scratch/inc count stores
+    cur = {
+        r["term"]: r["df"]
+        for r in load_term_counts(spark, scratch.term_counts).collect()
+    }
+    import os
+    base_dir = sorted(
+        d for d in os.listdir(inc.term_counts) if d.startswith("base-")
+    )[0]
+    df_a = {
+        r["term"]: r["df"]
+        for r in spark.read.parquet(
+            os.path.join(inc.term_counts, base_dir)
+        ).collect()
+    }
+    run_dirs = sorted(
+        d for d in os.listdir(inc.term_counts) if d.startswith("run=")
+    )
+    assert len(run_dirs) == 2
+    df_b = {
+        r["term"]: r["df"]
+        for r in spark.read.parquet(
+            os.path.join(inc.term_counts, run_dirs[0])
+        ).collect()
+    }
+    two_step = sorted(
+        t for t, df in cur.items()
+        if df >= 3
+        and 0 < df_a.get(t, 0)
+        and df_b.get(t, 0) > 0
+        and df_a.get(t, 0) + df_b.get(t, 0) < 3
+    )
+    assert two_step, "fixture must produce a two-append crosser"
+
+    s_inc = Searcher(spark, inc)
+    s_scr = Searcher(spark, scratch)
+    for t in two_step[:3]:
+        got = _url_results(spark, inc, s_inc.search([t], 30))
+        want = _url_results(spark, scratch, s_scr.search([t], 30))
+        assert got == want, t
+        # doc counts equal too (no duplicate => no inflated tf either)
+        assert len(got) == len(want) == cur[t]
