@@ -1524,6 +1524,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             T.bm25_boolean_segments_topk_batch(
                 _docs(s, d), _BOOL_BATCH, k=20,
             ),
+        # boolean with an exact-PHRASE clause: shard-local cogrouped
+        # gate over the positional store + gated BM25 kernel
+        "bm25_boolean_phrase": lambda s, d: T.bm25_boolean_phrase_topk(
+            _docs(s, d), [_PHRASE], must=["spark"], should=["window"],
+            k=20,
+        ),
         # totalHits from the compressed store: distinct matched docs,
         # per-shard bulk decode, NO cross-shard dedup (disjoint ranges)
         "hit_count": lambda s, d: T.hit_count_documents(
@@ -2757,6 +2763,60 @@ ts AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY 1
 SELECT count(DISTINCT p.doc_id)::BIGINT AS n_hits
 FROM post p JOIN ts USING (term)
 WHERE p.term IN ({terms_in})
+"""
+    # boolean + exact-phrase clause: phrase-match CTE (same alignment
+    # plan as _PHRASE_SQL) gates the boolean-scored candidates
+    out["bm25_boolean_phrase"] = f"""
+WITH tokarr AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_TOKEN_RE}'),
+                     x -> length(x) BETWEEN 1 AND 64) AS toks
+  FROM documents
+), tokidx AS (
+  SELECT doc_id, unnest(range(1, len(toks) + 1)) AS i, toks FROM tokarr
+), tok AS (
+  SELECT doc_id, (i - 1)::BIGINT AS pos, toks[i] AS term FROM tokidx
+), dim(term, off) AS (VALUES {", ".join(
+    f"('{t}', {o})" for o, t in enumerate(_PHRASE))}
+), candp AS (
+  SELECT t.doc_id, t.pos - d.off AS start, d.off
+  FROM tok t JOIN dim d ON t.term = d.term
+  WHERE t.pos - d.off >= 0
+), st AS (
+  SELECT doc_id, start FROM candp GROUP BY doc_id, start
+  HAVING count(DISTINCT off) = {len(_PHRASE)}
+), pmatch AS (SELECT DISTINCT doc_id FROM st),
+post AS (
+  SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2
+),
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS doclen FROM post GROUP BY 1),
+corp AS (SELECT count(*)::BIGINT AS n_docs,
+                sum(doclen)::DOUBLE / count(*) AS avgdl FROM dl),
+ts AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY 1
+       HAVING count(*) >= 3),
+tsi AS (SELECT term,
+               ln((corp.n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+        FROM ts, corp),
+gate AS (
+  SELECT p.doc_id FROM post p JOIN ts USING (term)
+  WHERE p.term IN ('spark') GROUP BY p.doc_id
+  HAVING count(DISTINCT p.term) = 1
+),
+sc AS (
+  SELECT p.doc_id,
+         round(sum(tsi.idf * (p.tf * (1.2 + 1.0))
+               / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doclen / corp.avgdl))), 4)
+           AS score
+  FROM post p
+  JOIN tsi USING (term)
+  JOIN dl ON dl.doc_id = p.doc_id, corp
+  WHERE p.term IN ('spark', 'window')
+  GROUP BY p.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+       doc_id, score
+FROM sc JOIN pmatch USING (doc_id) JOIN gate USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 20
 """
     out["hit_count_bounds"] = _TOK_CTE + f""",
 ts AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY 1

@@ -763,3 +763,38 @@ def hit_count_bounds_documents(
     rows = out.collect()
     release_cached_deps(segments)
     return docs.sparkSession.createDataFrame(rows, out.schema)
+
+
+def bm25_boolean_phrase_topk(
+    docs: DataFrame, phrases, must: Sequence[str] = (),
+    should: Sequence[str] = (), must_not: Sequence[str] = (),
+    k: int = 20, min_df: int = 3, n_shards: int = 8,
+) -> DataFrame:
+    """Boolean retrieval with exact-phrase clauses served from the two
+    compressed stores (wand.boolean_phrase_topk: shard-local cogrouped
+    phrase gate + gated BM25 kernel). Round-then-re-rank and eager
+    release as in the other segment wrappers."""
+    from .phrase import positional_postings
+    from .posindex import build_positional_segments
+    from .segments import release_cached_deps
+    from .wand import boolean_phrase_topk
+    from pyspark.sql.window import Window as W
+
+    segments, corpus = _documents_segment_index(docs, min_df, n_shards)
+    positions = build_positional_segments(
+        positional_postings(docs), n_shards=n_shards, block_size=64
+    )
+    raw = boolean_phrase_topk(
+        segments, positions, corpus, phrases, must=must, should=should,
+        must_not=must_not, k=k + 50,
+    )
+    w = W.orderBy(F.desc("score_r"), F.asc("doc_id"))
+    out = (
+        raw.withColumn("score_r", F.round("score", 4))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("rank", "doc_id", F.col("score_r").alias("score"))
+    )
+    rows = out.collect()
+    release_cached_deps(segments)
+    return docs.sparkSession.createDataFrame(rows, out.schema)

@@ -58,6 +58,7 @@ __all__ = [
     "matched_docs",
     "boolean_topk_batch",
     "hit_count_bounds",
+    "boolean_phrase_topk",
 ]
 
 
@@ -466,6 +467,7 @@ def shard_boolean_pandas(
     avgdl: float,
     must_not: Sequence[str] = (),
     term_idf: Dict[str, float] | None = None,
+    gate_docs: "np.ndarray | None" = None,
 ) -> pd.DataFrame:
     """Boolean-gated exact top-k over ONE shard's blocks:
     a doc qualifies iff it carries EVERY ``must`` term and NO
@@ -547,6 +549,13 @@ def shard_boolean_pandas(
             posted[t] = (docs, parts)
             unions.append(docs)
         cand = np.unique(np.concatenate(unions))
+    if gate_docs is not None:
+        # external doc gate (e.g. phrase-clause matches — sorted unique
+        # ids from THIS shard's doc range): applied before NOT/scoring
+        # so gated-away docs can never occupy top-k slots
+        if not cand.size:
+            return empty
+        cand = cand[np.isin(cand, gate_docs, assume_unique=True)]
     for t in sorted(set(must_not) & here):
         if not cand.size:
             return empty
@@ -845,4 +854,93 @@ def hit_count_bounds(
     return per_term.agg(
         F.coalesce(F.max("df"), F.lit(0)).cast("long").alias("lb_hits"),
         F.coalesce(F.sum("df"), F.lit(0)).cast("long").alias("ub_hits"),
+    )
+
+
+def boolean_phrase_topk(
+    segments: DataFrame,
+    positions: DataFrame,
+    corpus: DataFrame,
+    phrases,
+    must: Sequence[str] = (),
+    should: Sequence[str] = (),
+    must_not: Sequence[str] = (),
+    k: int = 20,
+    term_idf: Dict[str, float] | None = None,
+) -> DataFrame:
+    """Boolean retrieval with exact-PHRASE clauses: (rank, doc_id,
+    score). A document qualifies iff it contains every phrase in
+    *phrases* (consecutive tokens, the positional-segment matcher),
+    every ``must`` term and no ``must_not`` term; scored by BM25 over
+    its matched ``must`` + ``should`` terms (phrase words score only if
+    the caller lists them in *should* — the Router's structured parser
+    does). The Lucene BooleanQuery-with-PhraseQuery-clause surface.
+
+    Plan shape: the BM25 segment store and the positional store share
+    the doc-range sharding (same meta shard_size — true for any
+    IndexStore, and for ad-hoc builds with equal n_shards over the same
+    docs), so the phrase gate is SHARD-LOCAL: one
+    ``cogroup().applyInPandas`` pairs each shard's term-pruned BM25
+    blocks with its phrase-word positional blocks, the in-task matcher
+    (phrase_counts_pandas) yields the gate ids, and the gated boolean
+    kernel emits that shard's top-k — one job, no cross-table shuffle
+    beyond the two pruned scans' own grouping.
+    """
+    from .posindex import phrase_counts_pandas
+
+    must = sorted(set(must))
+    should = sorted(set(should) - set(must))
+    must_not = sorted(set(must_not))
+    phrases = [list(p) for p in phrases]
+    if not phrases:
+        raise ValueError("boolean_phrase_topk requires >= 1 phrase")
+    spark = segments.sparkSession
+    schema = "rank long, doc_id long, score double"
+    if term_idf is not None:
+        if any(t not in term_idf for t in must):
+            return spark.createDataFrame([], schema)
+        should = [t for t in should if t in term_idf]
+        must_not = [t for t in must_not if t in term_idf]
+    if not (must or should):
+        return spark.createDataFrame([], schema)
+    scan_terms = sorted(set(must) | set(should) | set(must_not))
+    phrase_words = sorted({w.lower() for p in phrases for w in p})
+    crow = corpus.collect()[0]
+    avgdl = float(crow["avgdl"])
+
+    seg_m = segments.where(F.col("term").isin(scan_terms))
+    pos_m = positions.where(F.col("term").isin(phrase_words))
+
+    def per_shard(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
+            {"doc_id": "int64", "score": "float64"}
+        )
+        if not len(l) or not len(r):
+            return empty
+        gd = None
+        for p in phrases:
+            g = phrase_counts_pandas(r, [w.lower() for w in p])
+            ids = np.sort(g["doc_id"].to_numpy(np.int64))
+            gd = ids if gd is None else gd[
+                np.isin(gd, ids, assume_unique=True)
+            ]
+            if not gd.size:
+                return empty
+        out = shard_boolean_pandas(
+            l.reset_index(drop=True), must, should, k, avgdl,
+            must_not=must_not, term_idf=term_idf, gate_docs=gd,
+        )
+        return out.astype({"doc_id": "int64", "score": "float64"})
+
+    shard_tops = (
+        seg_m.groupBy("shard")
+        .cogroup(pos_m.groupBy("shard"))
+        .applyInPandas(per_shard, "doc_id long, score double")
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        shard_tops.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("rank", "doc_id", "score")
     )

@@ -723,7 +723,10 @@ class Router:
             words = [t for t in re.split(PY_TOKEN_SPLIT_RE, m.group(1).lower())
                      if t]
             return Answer("PhraseSearch", self.phrase(words, k), words)
-        if _STRUCT_Q_RE.search(q):
+        if _STRUCT_Q_RE.search(q) or '"' in q:
+            # mixed quoted-phrase + terms also lands here (a FULLY
+            # quoted query was already taken by the phrase/NEAR
+            # patterns above)
             ans = self._structured_search(q, k)
             if ans is not None:
                 return ans
@@ -743,6 +746,16 @@ class Router:
         should: List[str] = []
         must_not: List[str] = []
         prefixes: List[str] = []
+        phrases: List[List[str]] = []
+
+        def _grab_phrase(m):
+            words = [t for t in re.split(PY_TOKEN_SPLIT_RE,
+                                         m.group(1).lower()) if t]
+            if words:
+                phrases.append(words)
+            return " "
+
+        q = re.sub(r'"([^"]+)"', _grab_phrase, q)
         for tok in q.split():
             if tok.startswith("+") and len(tok) > 1:
                 must.extend(query_to_terms(tok[1:]))
@@ -752,14 +765,31 @@ class Router:
                 prefixes.append(tok[:-1].lower())
             else:
                 should.extend(query_to_terms(tok))
-        if not (must or must_not or prefixes):
+        if not (must or must_not or prefixes or phrases):
             return None
-        if len(prefixes) == 1 and not (must or should or must_not):
+        if len(prefixes) == 1 and not (must or should or must_not
+                                       or phrases):
             p = prefixes[0]
             return Answer("PrefixSearch", self.prefix_search(p, k),
                           [p + "*"])
         for p in prefixes:
             should.extend(self._expand_prefix(p))
+        if phrases:
+            # phrase-clause boolean: phrase words join the SHOULD set
+            # (they score like Lucene's PhraseQuery clause), the spans
+            # gate
+            for ph in phrases:
+                should.extend(
+                    t for w in ph for t in query_to_terms(w)
+                )
+            label = (["\"" + " ".join(p) + "\"" for p in phrases]
+                     + must + [t + "*" for t in prefixes]
+                     + ["-" + t for t in must_not])
+            return Answer(
+                "BooleanPhraseSearch",
+                self.boolean_phrase(phrases, must, should, must_not, k),
+                label,
+            )
         if not (must or should):
             return Answer("BooleanSearch",
                           self._empty_frame(_SEARCH_DDL), [])
@@ -791,6 +821,113 @@ class Router:
             .collect()
         )
         return [r["term"] for r in rows]
+
+    def _boolean_phrase_exact(self, phrases, must, should, must_not,
+                              k: int) -> DataFrame:
+        """Relational terminal / no-positions fallback: exact BM25 over
+        the (anti-joined) postings, boolean gates as in
+        :meth:`boolean`, phrase gates from the stored text (doc_map
+        retains it) — tombstone-free by construction."""
+        from pyspark.sql.window import Window
+
+        from ..operators.bm25 import bm25_score_exact
+        from ..operators.phrase import phrase_topk
+
+        ts = self.store.load(self.spark, "term_stats")
+        scored = bm25_score_exact(
+            self.postings, ts,
+            self.spark.read.parquet(self.store.doc_stats),
+            self.corpus, sorted(set(must) | set(should)),
+        )
+        if must:
+            gate = (
+                self.postings.where(F.col("term").isin(sorted(must)))
+                .join(F.broadcast(ts.where(F.col("term").isin(
+                    sorted(must))).select("term")), "term")
+                .groupBy("doc_id")
+                .agg(F.countDistinct("term").alias("nm"))
+                .where(F.col("nm") == len(set(must)))
+                .select("doc_id")
+            )
+            scored = scored.join(gate, "doc_id")
+        if must_not:
+            ex = (
+                self.postings.where(
+                    F.col("term").isin(sorted(set(must_not)))
+                ).select("doc_id").distinct()
+            )
+            scored = scored.join(ex, "doc_id", "left_anti")
+        for ph in phrases:
+            ids = phrase_topk(
+                self.spark, self.doc_map.select("doc_id", "text"),
+                ph, k=(1 << 30),
+            ).select("doc_id")
+            scored = scored.join(ids, "doc_id")
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .select("rank", "doc_id", "score")
+        )
+
+    def boolean_phrase(self, phrases, must: List[str],
+                       should: List[str] = (),
+                       must_not: List[str] = (),
+                       k: int = 10) -> DataFrame:
+        """Boolean + exact-phrase-clause top-k joined to urls — the
+        `"..." +term -term` structured form. Serves from the cogrouped
+        two-store operator (wand.boolean_phrase_topk) when positional
+        segments exist, else the relational fallback; tombstone
+        discipline as in :meth:`boolean` with the relational plan as
+        the exact terminal."""
+        from pyspark.sql.window import Window
+
+        from ..operators.wand import boolean_phrase_topk
+
+        must = sorted({t for t in must})
+        should = sorted(set(should) - set(must))
+        must_not = sorted(set(must_not))
+        if not (must or should):
+            return self._empty_frame(_SEARCH_DDL)
+        k = min(k, _MAXLEN_ANSWER)
+        scan = sorted(set(must) | set(should) | set(must_not))
+        term_idf = self._term_idf(scan)
+        if term_idf is not None and any(t not in term_idf for t in must):
+            return self._empty_frame(_SEARCH_DDL)
+        kk = k + min(self._n_tombstones, 3 * k)
+        if self.store.has("positions"):
+            hits = boolean_phrase_topk(
+                self.segments, self.store.load(self.spark, "positions"),
+                self.corpus, phrases, must=must, should=should,
+                must_not=must_not, k=kk, term_idf=term_idf,
+            )
+        else:
+            hits = self._boolean_phrase_exact(
+                phrases, must, should, must_not, kk
+            )
+        w = Window.orderBy("rank")
+        out = (
+            hits.join(
+                self.doc_map.select("doc_id", "url", "warc_ts"),
+                "doc_id",
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .orderBy("rank")
+            .select("rank", "doc_id", "url", "warc_ts", "score")
+        )
+        if self._n_tombstones == 0 or out.count() >= k:
+            return out
+        exact = self._boolean_phrase_exact(
+            phrases, must, should, must_not, k
+        )
+        return (
+            exact.join(
+                self.doc_map.select("doc_id", "url", "warc_ts"), "doc_id"
+            )
+            .orderBy("rank")
+            .select("rank", "doc_id", "url", "warc_ts", "score")
+        )
 
     def prefix_search(self, prefix: str, k: int = 10,
                       max_expand: int = 32) -> DataFrame:

@@ -274,3 +274,65 @@ def test_hit_count_bounds_sandwich(docs):
     # unindexed-only query: both bounds zero
     z = hit_count_bounds_documents(docs, ["zeta"], min_df=2).collect()[0]
     assert (z["lb_hits"], z["ub_hits"]) == (0, 0)
+
+
+def test_boolean_phrase_gate(docs, spark):
+    """Phrase-clause boolean: gate = docs containing the consecutive
+    phrase AND every must term, minus must_not; scored over must+should
+    only. Brute-forced on the fixture."""
+    from greynirserver_spark.operators.textops import (
+        bm25_boolean_phrase_topk,
+    )
+    from collections import Counter
+    import math
+
+    toks = {d: t.split() for d, t, *_ in DOCS}
+
+    def has_phrase(ts, ph):
+        return any(
+            ts[i:i + len(ph)] == ph for i in range(len(ts) - len(ph) + 1)
+        )
+
+    n_docs = len(DOCS)
+    avgdl = sum(len(v) for v in toks.values()) / n_docs
+    df_ = Counter()
+    for ts in toks.values():
+        df_.update(set(ts))
+    idf = {
+        t: math.log((n_docs - d + 0.5) / (d + 0.5) + 1.0)
+        for t, d in df_.items() if d >= 2
+    }
+
+    cases = [
+        ([["spark", "join"]], ["window"], ["stream"], []),
+        ([["spark", "join"]], [], ["fast"], ["slow"]),
+        ([["spark", "join"], ["window", "spark"]], [], ["fast"], []),
+    ]
+    for phrases, must, should, must_not in cases:
+        expected = {}
+        for d, ts in toks.items():
+            if not all(has_phrase(ts, p) for p in phrases):
+                continue
+            tf = Counter(ts)
+            if not all(t in tf for t in must if t in idf):
+                continue
+            if must and not all(t in tf for t in must):
+                continue
+            if any(t in tf for t in must_not):
+                continue
+            s = 0.0
+            for t in sorted(set(must) | set(should)):
+                if t in tf and t in idf:
+                    s += idf[t] * (tf[t] * 2.2) / (
+                        tf[t] + 1.2 * (0.25 + 0.75 * len(ts) / avgdl)
+                    )
+            if s:
+                expected[d] = round(s, 4)
+        got = _rows(bm25_boolean_phrase_topk(
+            docs, phrases, must=must, should=should, must_not=must_not,
+            k=10, min_df=2,
+        ))
+        assert {d: s for _, d, s in got} == expected, (phrases, must)
+        assert [d for _, d, _ in got] == sorted(
+            expected, key=lambda d: (-expected[d], d)
+        )

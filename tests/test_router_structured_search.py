@@ -96,3 +96,76 @@ def test_struct_answers_are_cacheable(router):
     second = router.execute(q, k=5).df.collect()
     assert time.monotonic() - t0 < 0.5  # replayed from the TTL cache
     assert [tuple(r) for r in first] == [tuple(r) for r in second]
+
+
+def test_boolean_phrase_dispatch_and_parity(spark, tmp_path_factory):
+    """`"w1 w2" +must` routes to BooleanPhraseSearch; every hit carries
+    the consecutive phrase AND the must term; the positional cogrouped
+    path and the relational no-positions fallback agree url-for-url."""
+    import re
+    from collections import Counter
+
+    from greynirserver_spark.tokenization import PY_TOKEN_SPLIT_RE
+
+    pages = spark.createDataFrame(generate_pages_pdf(150))
+    base = tmp_path_factory.mktemp("rbp")
+    store_p = build_index_checkpointed(
+        spark, pages, str(base / "p"), n_shards=4, block_size=32,
+        with_positions=True,
+    )
+    store_np = build_index_checkpointed(
+        spark, pages, str(base / "np"), n_shards=4, block_size=32,
+    )
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in store_p.load(spark, "doc_map")
+        .select("doc_id", "text").collect()
+    }
+
+    def toks(t):
+        return [w for w in re.split(PY_TOKEN_SPLIT_RE, t.lower()) if w]
+
+    big = Counter()
+    for t in texts.values():
+        tk = toks(t)
+        big.update(zip(tk, tk[1:]))
+    (w1, w2), cnt = big.most_common(1)[0]
+    assert cnt >= 2
+    # a must term from a phrase-carrying doc whose index key is also
+    # GLOBALLY indexed (df >= min_df — the segment gate's vocabulary)
+    indexed = {
+        r["term"]
+        for r in store_p.load(spark, "term_stats")
+        .select("term").collect()
+    }
+    carrier = next(
+        tk for tk in map(toks, texts.values())
+        if any(a == w1 and b == w2 for a, b in zip(tk, tk[1:]))
+    )
+    must_word = next(
+        w for w in carrier
+        if query_to_terms(w) and query_to_terms(w)[0] in indexed
+    )
+    q = f'"{w1} {w2}" +{must_word}'
+
+    r_p = Router(spark, store_p)
+    ans = r_p.execute(q, k=10)
+    assert ans.qtype == "BooleanPhraseSearch"
+    rows = ans.df.collect()
+    assert rows
+    must_key = query_to_terms(must_word)[0]
+    for row in rows:
+        tk = toks(texts[row["doc_id"]])
+        assert any(a == w1 and b == w2 for a, b in zip(tk, tk[1:])), \
+            row["doc_id"]
+    # relational fallback (no positional store) agrees
+    r_np = Router(spark, store_np)
+    ans2 = r_np.execute(q, k=10)
+    assert ans2.qtype == "BooleanPhraseSearch"
+    assert [(x["url"], round(x["score"], 6)) for x in rows] == [
+        (x["url"], round(x["score"], 6)) for x in ans2.df.collect()
+    ]
+    # phrase present but must term excluded -> empty
+    empty = r_p.execute(f'"{w1} {w2}" +{must_word} -{must_word}', k=10)
+    assert empty.qtype == "BooleanPhraseSearch"
+    assert empty.df.count() == 0
