@@ -677,6 +677,187 @@ class Searcher:
             self._cache.popitem(last=False)
         return result
 
+    def _boolean_phrase_exact_excluding(
+        self, phrases, must, should, must_not, k: int
+    ) -> List[Tuple[int, float]]:
+        """Terminal plan for phrase-clause boolean under an above-cap
+        delete backlog: boolean gates + exact scoring over anti-joined
+        postings (the _boolean_exact_excluding shape), phrase gates
+        from the positional segments with the backlog excluded
+        distributed (pre-top-k anti-join inside the positional op)."""
+        from ..operators.bm25 import bm25_score_exact
+        from ..operators.posindex import phrase_topk_positional_segments
+
+        ts = self.store.load(self.spark, "term_stats")
+        postings = self.store.load(self.spark, "postings").join(
+            self._tomb_df, "doc_id", "left_anti"
+        )
+        scored = bm25_score_exact(
+            postings, ts, self.store.load(self.spark, "doc_stats"),
+            self._corpus_df, sorted(set(must) | set(should)),
+        )
+        if must:
+            gate = (
+                postings.where(F.col("term").isin(must))
+                .join(F.broadcast(ts.where(F.col("term").isin(must))
+                                  .select("term")), "term")
+                .groupBy("doc_id")
+                .agg(F.countDistinct("term").alias("nm"))
+                .where(F.col("nm") == len(must))
+                .select("doc_id")
+            )
+            scored = scored.join(gate, "doc_id")
+        if must_not:
+            ex = (
+                postings.where(F.col("term").isin(must_not))
+                .select("doc_id").distinct()
+            )
+            scored = scored.join(ex, "doc_id", "left_anti")
+        for p in phrases:
+            ids = phrase_topk_positional_segments(
+                self._positions, self.spark, list(p), 1 << 30,
+                block_counts=self._block_counts,
+                exclude_docs=self._tomb_df,
+            ).select("doc_id")
+            scored = scored.join(ids, "doc_id")
+        rows = (
+            scored.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .collect()
+        )
+        return [(int(r["doc_id"]), float(r["score"])) for r in rows]
+
+    def boolean_phrase(
+        self,
+        phrases,
+        must: Sequence[str] = (),
+        should: Sequence[str] = (),
+        must_not: Sequence[str] = (),
+        k: int = 10,
+    ) -> List[Tuple[int, float]]:
+        """Boolean + exact-phrase-clause top-k: [(doc_id, score)].
+        In-process path: ONE capped fetch per store (scan-term BM25
+        blocks + phrase-word positional blocks), per-shard phrase gate
+        (phrase_counts_pandas) feeding the gated boolean kernel;
+        distributed wand.boolean_phrase_topk above either cap; tombstone
+        rungs with an exact distributed terminal. Requires a store
+        built ``with_positions=True``."""
+        from ..operators.posindex import phrase_counts_pandas
+        from ..operators.wand import (
+            boolean_phrase_topk,
+            shard_boolean_pandas,
+        )
+
+        if self._positions is None:
+            raise ValueError(
+                "store has no positional segments "
+                "(build with with_positions=True)"
+            )
+        self._check_snapshot()
+        phrases = [[w.lower() for w in p] for p in phrases if p]
+        must = sorted({t.lower() for t in must})
+        should = sorted({t.lower() for t in should} - set(must))
+        must_not = sorted({t.lower() for t in must_not})
+        if not (phrases and (must or should)):
+            return []
+        key = ("boolph", tuple(tuple(p) for p in phrases),
+               tuple(must), tuple(should), tuple(must_not), k)
+        now = time.monotonic()
+        hit = self._cache.get(key)
+        if hit is not None:
+            inserted, result = hit
+            if now - inserted <= self._cache_ttl_s:
+                self._cache.move_to_end(key)
+                return result
+            del self._cache[key]
+        scan_terms = sorted(set(must) | set(should) | set(must_not))
+        term_idf = self._term_idf(scan_terms)
+        if term_idf is not None:
+            if any(t not in term_idf for t in must):
+                return []
+            should = [t for t in should if t in term_idf]
+            must_not = [t for t in must_not if t in term_idf]
+        phrase_words = sorted({w for p in phrases for w in p})
+        import numpy as np
+
+        index_dry = False
+        for kk in self._tombstone_plan(k):
+            seg_pdf = (
+                self._segments.where(F.col("term").isin(scan_terms))
+                .limit(self._max_fetch_blocks + 1).toPandas()
+            )
+            pos_pdf = (
+                self._positions.where(F.col("term").isin(phrase_words))
+                .limit(self._max_fetch_blocks + 1).toPandas()
+            )
+            if (len(seg_pdf) > self._max_fetch_blocks
+                    or len(pos_pdf) > self._max_fetch_blocks):
+                rows = boolean_phrase_topk(
+                    self._segments, self._positions, self._corpus_df,
+                    phrases, must=must, should=should,
+                    must_not=must_not, k=kk, term_idf=term_idf,
+                ).collect()
+                result = [
+                    (int(r["doc_id"]), float(r["score"])) for r in rows
+                ]
+            elif len(seg_pdf) == 0 or len(pos_pdf) == 0:
+                result = []
+            else:
+                pos_by_shard = dict(tuple(pos_pdf.groupby("shard")))
+                tops = []
+                for shard, g in seg_pdf.groupby("shard", sort=False):
+                    r = pos_by_shard.get(shard)
+                    if r is None:
+                        continue
+                    gd = None
+                    for p in phrases:
+                        gm = phrase_counts_pandas(r, p)
+                        ids = np.sort(
+                            gm["doc_id"].to_numpy(np.int64)
+                        )
+                        gd = ids if gd is None else gd[
+                            np.isin(gd, ids, assume_unique=True)
+                        ]
+                        if not gd.size:
+                            break
+                    if gd is None or not gd.size:
+                        continue
+                    tops.append(
+                        shard_boolean_pandas(
+                            g.reset_index(drop=True), must, should,
+                            kk, self.avgdl, must_not=must_not,
+                            term_idf=term_idf, gate_docs=gd,
+                        )
+                    )
+                if tops:
+                    allhits = pd.concat(tops, ignore_index=True)
+                    allhits = allhits.sort_values(
+                        ["score", "doc_id"], ascending=[False, True],
+                        kind="mergesort",
+                    ).head(kk)
+                    result = list(
+                        zip(
+                            allhits["doc_id"].astype(int),
+                            allhits["score"].astype(float),
+                        )
+                    )
+                else:
+                    result = []
+            n_found = len(result)
+            result = self._filter_tombstones(result)
+            index_dry = n_found < kk
+            if len(result) >= k or index_dry:
+                break
+        if self._tomb_df is not None and len(result) < k and not index_dry:
+            result = self._boolean_phrase_exact_excluding(
+                phrases, must, should, must_not, k
+            )
+        result = result[:k]
+        self._cache[key] = (now, result)
+        if len(self._cache) > self._cache_size:
+            self._cache.popitem(last=False)
+        return result
+
     def search_page(
         self, terms: Sequence[str], page_size: int = 10,
         offset: int = 0,

@@ -204,3 +204,70 @@ def test_search_page_consistency(spark, store):
     assert pages[0] + pages[1] + pages[2] == full
     with pytest.raises(ValueError):
         searcher.search_page(terms, 3, -1)
+
+
+def test_searcher_boolean_phrase(spark, tmp_path_factory):
+    """In-process phrase-clause boolean == distributed cogrouped
+    operator; distributed fallback (fetch cap 0) agrees; tombstones
+    excluded."""
+    import re
+    from collections import Counter
+
+    from greynirserver_spark.operators.wand import boolean_phrase_topk
+    from greynirserver_spark.tokenization import PY_TOKEN_SPLIT_RE
+
+    pages = spark.createDataFrame(generate_pages_pdf(150))
+    root = str(tmp_path_factory.mktemp("sbp_ph") / "store")
+    store = build_index_checkpointed(spark, pages, root, n_shards=4,
+                                     block_size=32, with_positions=True)
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in store.load(spark, "doc_map")
+        .select("doc_id", "text").collect()
+    }
+
+    def toks(t):
+        return [w for w in re.split(PY_TOKEN_SPLIT_RE, t.lower()) if w]
+
+    big = Counter()
+    for t in texts.values():
+        tk = toks(t)
+        big.update(zip(tk, tk[1:]))
+    (w1, w2), _ = big.most_common(1)[0]
+    indexed = {
+        r["term"]
+        for r in store.load(spark, "term_stats").select("term").collect()
+    }
+    carrier = next(
+        tk for tk in map(toks, texts.values())
+        if any(a == w1 and b == w2 for a, b in zip(tk, tk[1:]))
+    )
+    must = next(
+        [query_to_terms(w)[0]] for w in carrier
+        if query_to_terms(w) and query_to_terms(w)[0] in indexed
+    )
+    phrases = [[w1, w2]]
+
+    s = Searcher(spark, store)
+    got = s.boolean_phrase(phrases, must=must, k=10)
+    assert got
+    dist = [
+        (r["doc_id"], r["score"])
+        for r in boolean_phrase_topk(
+            store.load_segments(spark),
+            store.load(spark, "positions"),
+            store.load(spark, "corpus"),
+            phrases, must=must, k=10,
+        ).collect()
+    ]
+    assert got == dist
+    s_low = Searcher(spark, store, max_fetch_blocks=0)
+    assert s_low.boolean_phrase(phrases, must=must, k=10) == dist
+    # delete the top hit; it must vanish
+    victim = got[0][0]
+    dm = store.load(spark, "doc_map")
+    url = dm.where(dm.doc_id == victim).collect()[0]["url"]
+    delete_urls(spark, store, [url])
+    s2 = Searcher(spark, store)
+    after = s2.boolean_phrase(phrases, must=must, k=10)
+    assert victim not in {d for d, _ in after}
