@@ -209,13 +209,20 @@ def events_page(
     spark: SparkSession, sf_dir: str, page_size: int = 50, page: int = 2
 ) -> DataFrame:
     """Keyset-free pagination via row_number — the reference paginates
-    with OFFSET/LIMIT (routes/news.py:98-102)."""
+    with OFFSET/LIMIT (routes/news.py:98-102).
+
+    Scale shape: a distributed TakeOrdered ``limit(hi)`` cuts the
+    table to the first ``page*page_size`` rows BEFORE the global
+    row_number window, so the single-partition window only ever sees
+    one page-prefix of rows — never the corpus (a bare unpartitioned
+    row_number would serialize every event through one task)."""
     ev = _events(spark, sf_dir)
     w = Window.orderBy(F.asc("ts"), F.asc("event_id"))
     lo, hi = (page - 1) * page_size, page * page_size
     return (
-        ev.withColumn("rn", F.row_number().over(w).cast("long"))
-        .where((F.col("rn") > lo) & (F.col("rn") <= hi))
+        ev.orderBy(F.asc("ts"), F.asc("event_id")).limit(hi)
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") > lo)
         .select("rn", "event_id", "user_id", "event_type")
     )
 
