@@ -1380,6 +1380,16 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from greynirserver_spark.operators.hybrid import hybrid_documents_topk
+
+    return hybrid_documents_topk(
+        _docs(spark, sf_dir), _emb(spark, sf_dir), _BM25_TERMS,
+        _query_vec(spark, sf_dir), k=10, fuse_depth=50,
+        exclude_vec_id=_ANN_QUERY_ID,
+    )
+
+
 def _query_vec(spark: SparkSession, sf_dir: str):
     row = (
         _emb(spark, sf_dir)
@@ -1680,6 +1690,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": lambda s, d: N.lsh_bucket_topk(
             _emb(s, d), _query_vec(s, d), k=10, exclude_vec_id=_ANN_QUERY_ID
         ),
+        # hybrid lexical+dense retrieval: reciprocal-rank fusion of the
+        # bm25_topk and ann_cosine_topk lists (rank-only fusion — no
+        # score calibration across the two engines)
+        "hybrid_rrf_topk": lambda s, d: _hybrid_rrf_topk(s, d),
         "embedding_near_pairs": lambda s, d: N.cosine_near_pairs_exact(
             _emb(s, d), threshold=0.35
         ),
@@ -2228,6 +2242,56 @@ WHERE a.doc_id < b.doc_id
         "semdedup_survivors": _semdedup_oracle_sql("survivors"),
         "semdedup_summary": _semdedup_oracle_sql("summary"),
         "corpus_clean_with_neardup": _neardup_summary_oracle_sql(),
+        "hybrid_rrf_topk": _TOK_CTE + f""",
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS doclen FROM post GROUP BY 1),
+corp AS (SELECT count(*)::BIGINT AS n_docs,
+                sum(doclen)::DOUBLE / count(*) AS avgdl FROM dl),
+ts AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY 1
+       HAVING count(*) >= 3),
+tsi AS (SELECT term,
+               ln((corp.n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+        FROM ts, corp),
+sc AS (
+  SELECT p.doc_id,
+         round(sum(tsi.idf * (p.tf * (1.2 + 1.0))
+               / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doclen / corp.avgdl))), 4)
+           AS score
+  FROM post p
+  JOIN tsi USING (term)
+  JOIN dl ON dl.doc_id = p.doc_id, corp
+  WHERE p.term IN ({terms_in})
+  GROUP BY p.doc_id
+),
+tl AS (SELECT doc_id,
+              row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+       FROM sc ORDER BY score DESC, doc_id ASC LIMIT 50),
+q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = {_ANN_QUERY_ID}),
+cs AS (
+  SELECT vec_id,
+         round(
+           list_aggregate(list_transform(range(1, len(embedding) + 1),
+               i -> embedding[i]::DOUBLE * e[i]::DOUBLE), 'sum')
+           / (sqrt(list_aggregate(list_transform(embedding,
+                  x -> x::DOUBLE * x::DOUBLE), 'sum'))
+              * sqrt(list_aggregate(list_transform(e,
+                  x -> x::DOUBLE * x::DOUBLE), 'sum'))),
+         4) AS cosine
+  FROM embeddings, q
+  WHERE vec_id <> {_ANN_QUERY_ID}
+),
+vl AS (SELECT vec_id AS doc_id,
+              row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS r
+       FROM cs ORDER BY cosine DESC, vec_id ASC LIMIT 50),
+fused AS (
+  SELECT doc_id,
+         round(coalesce(1.0 / (60 + tl.r), 0)
+               + coalesce(1.0 / (60 + vl.r), 0), 6) AS rrf
+  FROM tl FULL OUTER JOIN vl USING (doc_id)
+)
+SELECT row_number() OVER (ORDER BY rrf DESC, doc_id ASC)::BIGINT AS rank,
+       doc_id, rrf
+FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10
+""",
         "ann_cosine_topk": f"""
 WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = {_ANN_QUERY_ID}),
 s AS (

@@ -1250,3 +1250,76 @@ def test_router_whatis_route(spark, tmp_path):
         == "fjall við Reykjavík"
     # no definitions table -> falls through to Search
     assert base.execute("hvað er Alþingi", k=5).qtype == "Search"
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """RRF matches the hand formula: docs in both lists sum both
+    contributions, singletons get one, ties break doc_id asc."""
+    from greynirserver_spark.operators.hybrid import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "rank long, doc_id long")
+    dense = spark.createDataFrame(
+        [(1, 20), (2, 40), (3, 10)], "rank long, doc_id long")
+    out = rrf_fuse([lex, dense], key="doc_id", k=10, k_rrf=60).collect()
+    got = {r["doc_id"]: r["rrf"] for r in out}
+    exp = {
+        10: round(1 / 61 + 1 / 63, 6),
+        20: round(1 / 62 + 1 / 61, 6),
+        30: round(1 / 63, 6),
+        40: round(1 / 62, 6),
+    }
+    assert got == exp
+    # ordering: fused score desc, doc_id asc; ranks 1..n
+    assert [r["doc_id"] for r in out] == [20, 10, 40, 30]
+    assert [r["rank"] for r in out] == [1, 2, 3, 4]
+    # k cuts, rank stays dense
+    cut = rrf_fuse([lex, dense], key="doc_id", k=2).collect()
+    assert [(r["rank"], r["doc_id"]) for r in cut] == [(1, 20), (2, 10)]
+
+
+def test_rrf_fuse_exact_tie_breaks_on_doc_id(spark):
+    from greynirserver_spark.operators.hybrid import rrf_fuse
+
+    a = spark.createDataFrame([(1, 7), (2, 5)], "rank long, doc_id long")
+    b = spark.createDataFrame([(1, 5), (2, 7)], "rank long, doc_id long")
+    out = rrf_fuse([a, b], key="doc_id", k=5).collect()
+    # both docs score 1/61 + 1/62 — identical; doc 5 wins on id
+    assert [r["doc_id"] for r in out] == [5, 7]
+    assert out[0]["rrf"] == out[1]["rrf"]
+
+
+def test_hybrid_documents_topk_fuses_both_engines(spark):
+    """The hybrid list contains lexical-only and dense-only winners and
+    the fused scores reproduce the two component ranks exactly."""
+    import pyspark.sql.functions as F
+
+    from greynirserver_spark.operators.ann import cosine_topk_bruteforce
+    from greynirserver_spark.operators.hybrid import hybrid_documents_topk
+    from greynirserver_spark.operators.textops import bm25_documents_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [float(x) for x in emb.where("vec_id = 0")
+            .select("embedding").first()[0]]
+    terms = ["spark", "join", "window", "stream"]
+
+    lex = {r["doc_id"]: r["rank"] for r in
+           bm25_documents_topk(docs, terms, k=50).collect()}
+    den = {r["vec_id"]: r["rank"] for r in
+           cosine_topk_bruteforce(emb, qvec, k=50,
+                                  exclude_vec_id=0).collect()}
+    out = hybrid_documents_topk(
+        docs, emb, terms, qvec, k=10, fuse_depth=50, exclude_vec_id=0
+    ).collect()
+    assert len(out) == 10
+    for r in out:
+        exp = round(
+            (1.0 / (60 + lex[r["doc_id"]]) if r["doc_id"] in lex else 0.0)
+            + (1.0 / (60 + den[r["doc_id"]]) if r["doc_id"] in den else 0.0),
+            6,
+        )
+        assert r["rrf"] == exp
+    # monotone non-increasing fused score down the page
+    scores = [r["rrf"] for r in out]
+    assert scores == sorted(scores, reverse=True)
