@@ -313,6 +313,15 @@ def main() -> None:
     qvec = [float(x) for x in emb.select("embedding").first()[0]]
     timed("q7_ann_bruteforce", lambda: N.cosine_topk_bruteforce(emb, qvec, 10).count())
 
+    # --- q7b: hybrid lexical+dense (RRF fuse of BM25 + cosine lists;
+    #     reuses the materialized postings so it measures the fusion
+    #     path, not a re-tokenize) ---
+    from greynirserver_spark.operators.hybrid import hybrid_documents_topk
+
+    timed("q7b_hybrid_rrf", lambda: hybrid_documents_topk(
+        docs, emb, ["spark", "join", "window", "stream"], qvec,
+        k=10, postings=doc_postings).count())
+
     # --- q8: quality scoring ---
     timed("q8_quality_scores", lambda: T.quality_scores(docs).count())
 
