@@ -380,7 +380,10 @@ def phrase_counts_pandas(
     empty = pd.DataFrame({"doc_id": [], "phrase_tf": []}).astype(
         {"doc_id": "int64", "phrase_tf": "int64"}
     )
-    if len(pdf) == 0 or len(set(pdf["term"])) < len(set(words)):
+    # membership, not cardinality: rows holding OTHER terms must not
+    # mask a missing phrase word (kernels are public and the Searcher
+    # feeds them un-pruned block batches in tests)
+    if len(pdf) == 0 or not set(words) <= set(pdf["term"]):
         return empty
     # decode per term: docs repeated per position + absolute positions
     per_term: dict = {}
@@ -447,7 +450,7 @@ def proximity_counts_pandas(
     empty = pd.DataFrame({"doc_id": [], "prox_tf": []}).astype(
         {"doc_id": "int64", "prox_tf": "int64"}
     )
-    if len(pdf) == 0 or len(set(pdf["term"])) < len(uniq):
+    if len(pdf) == 0 or not set(uniq) <= set(pdf["term"]):
         return empty
     per_term: dict = {}
     for term, g in pdf.groupby("term", sort=False):
@@ -976,7 +979,7 @@ def ordered_proximity_counts_pandas(
     empty = pd.DataFrame({"doc_id": [], "oprox_tf": []}).astype(
         {"doc_id": "int64", "oprox_tf": "int64"}
     )
-    if len(pdf) == 0 or len(set(pdf["term"])) < len(uniq):
+    if len(pdf) == 0 or not set(uniq) <= set(pdf["term"]):
         return empty
     per_term: dict = {}
     for term, g in pdf.groupby("term", sort=False):
