@@ -262,3 +262,99 @@ def test_ordered_proximity_kernel_vs_brute(data):
     got_d = dict(zip(got["doc_id"].astype(int),
                      got["oprox_tf"].astype(int)))
     assert got_d == _brute_ordered(tokens_by_doc, seq, window)
+
+
+def _brute_phrase(tokens_by_doc, words):
+    out = {}
+    n = len(words)
+    for d, toks in tokens_by_doc.items():
+        c = sum(
+            1
+            for i in range(len(toks) - n + 1)
+            if toks[i:i + n] == list(words)
+        )
+        if c:
+            out[d] = c
+    return out
+
+
+def _brute_proximity(tokens_by_doc, terms, window):
+    out = {}
+    need = set(terms)
+    for d, toks in tokens_by_doc.items():
+        c = 0
+        for p, tk in enumerate(toks):
+            if tk not in need:
+                continue
+            if need <= set(toks[p:p + window]):
+                c += 1
+        if c:
+            out[d] = c
+    return out
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_phrase_kernel_vs_brute(data):
+    from greynirserver_spark.operators.posindex import phrase_counts_pandas
+
+    vocab = ["a", "b", "c"]
+    n_docs = data.draw(st.integers(1, 8))
+    tokens_by_doc = {
+        d: data.draw(st.lists(st.sampled_from(vocab), min_size=1,
+                              max_size=25))
+        for d in range(n_docs)
+    }
+    words = data.draw(st.lists(st.sampled_from(vocab), min_size=1,
+                               max_size=3))
+    rows = []
+    for t in vocab:
+        trows = [
+            (d, [i for i, x in enumerate(toks) if x == t])
+            for d, toks in sorted(tokens_by_doc.items())
+            if t in toks
+        ]
+        if trows:
+            rows.extend(_encode_pos_blocks(t, trows, block_size=3))
+    blocks = pd.DataFrame(rows)
+    if not len(blocks):
+        return
+    got = phrase_counts_pandas(blocks, words)
+    got_d = dict(zip(got["doc_id"].astype(int),
+                     got["phrase_tf"].astype(int)))
+    assert got_d == _brute_phrase(tokens_by_doc, words)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_proximity_kernel_vs_brute(data):
+    from greynirserver_spark.operators.posindex import (
+        proximity_counts_pandas,
+    )
+
+    vocab = ["a", "b", "c"]
+    n_docs = data.draw(st.integers(1, 8))
+    tokens_by_doc = {
+        d: data.draw(st.lists(st.sampled_from(vocab), min_size=1,
+                              max_size=25))
+        for d in range(n_docs)
+    }
+    terms = data.draw(st.lists(st.sampled_from(vocab), min_size=1,
+                               max_size=3, unique=True))
+    window = data.draw(st.integers(max(len(terms), 1), 10))
+    rows = []
+    for t in vocab:
+        trows = [
+            (d, [i for i, x in enumerate(toks) if x == t])
+            for d, toks in sorted(tokens_by_doc.items())
+            if t in toks
+        ]
+        if trows:
+            rows.extend(_encode_pos_blocks(t, trows, block_size=3))
+    blocks = pd.DataFrame(rows)
+    if not len(blocks):
+        return
+    got = proximity_counts_pandas(blocks, terms, window)
+    got_d = dict(zip(got["doc_id"].astype(int),
+                     got["prox_tf"].astype(int)))
+    assert got_d == _brute_proximity(tokens_by_doc, terms, window)
