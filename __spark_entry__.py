@@ -1386,7 +1386,7 @@ def _hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid_documents_topk(
         _docs(spark, sf_dir), _emb(spark, sf_dir), _BM25_TERMS,
         _query_vec(spark, sf_dir), k=10, fuse_depth=50,
-        exclude_vec_id=_ANN_QUERY_ID,
+        exclude_doc_id=_ANN_QUERY_ID,
     )
 
 
@@ -2264,7 +2264,8 @@ sc AS (
 ),
 tl AS (SELECT doc_id,
               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
-       FROM sc ORDER BY score DESC, doc_id ASC LIMIT 50),
+       FROM sc WHERE doc_id <> {_ANN_QUERY_ID}
+       ORDER BY score DESC, doc_id ASC LIMIT 50),
 q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = {_ANN_QUERY_ID}),
 cs AS (
   SELECT vec_id,

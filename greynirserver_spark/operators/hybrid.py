@@ -83,7 +83,7 @@ def hybrid_documents_topk(
     fuse_depth: int = DEFAULT_FUSE_DEPTH,
     k_rrf: int = DEFAULT_K_RRF,
     min_df: int = 3,
-    exclude_vec_id: int | None = None,
+    exclude_doc_id: int | None = None,
     postings: DataFrame | None = None,
 ) -> DataFrame:
     """(rank, doc_id, rrf) — BM25 + embedding-cosine hybrid top-k.
@@ -96,14 +96,33 @@ def hybrid_documents_topk(
     to skip re-tokenization on repeated queries (the serving path uses
     compressed segments instead — this operator is the oracle-safe
     pipeline form).
+
+    *exclude_doc_id* (the similar-articles guard: drop the query's own
+    document) is excluded from BOTH lists before ranking — a
+    dense-side-only exclusion would let the source document re-enter
+    the fused top-k through its own lexical rank.
     """
     from .ann import cosine_topk_bruteforce
     from .textops import bm25_documents_topk
 
+    from pyspark.sql.window import Window
+
+    overfetch = fuse_depth + (1 if exclude_doc_id is not None else 0)
     lex = bm25_documents_topk(
-        docs, query_terms, k=fuse_depth, min_df=min_df, postings=postings
+        docs, query_terms, k=overfetch, min_df=min_df, postings=postings
     ).select("doc_id", "rank")
+    if exclude_doc_id is not None:
+        # drop the excluded doc, then close the rank gap — identical to
+        # excluding before ranking (<= fuse_depth+1 rows, driver-sized)
+        lex = (
+            lex.where(F.col("doc_id") != int(exclude_doc_id))
+            .withColumn(
+                "rank",
+                F.row_number().over(Window.orderBy("rank")).cast("long"),
+            )
+            .where(F.col("rank") <= fuse_depth)
+        )
     dense = cosine_topk_bruteforce(
-        emb, list(query_vec), k=fuse_depth, exclude_vec_id=exclude_vec_id
+        emb, list(query_vec), k=fuse_depth, exclude_vec_id=exclude_doc_id
     ).select(F.col("vec_id").alias("doc_id"), "rank")
     return rrf_fuse([lex, dense], key="doc_id", k=k, k_rrf=k_rrf)

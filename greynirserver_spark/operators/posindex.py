@@ -42,6 +42,7 @@ __all__ = [
     "build_positional_segments",
     "decode_positional_block",
     "phrase_counts_pandas",
+    "phrase_match_counts_segments",
     "phrase_topk_positional_segments",
     "proximity_counts_pandas",
     "proximity_topk_segments",
@@ -219,18 +220,20 @@ def decode_positional_block(docs_b, poslens_b, positions_b):
     return doc, lens, total - rep
 
 
-def phrase_topk_positional_segments(
+def phrase_match_counts_segments(
     segments: DataFrame,
     spark: SparkSession,
     phrase: Sequence[str],
-    k: int = 20,
     max_blocks_per_shard: int | None = 500_000,
     block_counts: dict | None = None,
     exclude_docs: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact consecutive-phrase top-k over COMPRESSED positional blocks
-    — rank-identical to :func:`operators.phrase.phrase_topk_positional`
-    over the raw table.
+    """Per-doc exact-phrase counts (doc_id, phrase_tf) over COMPRESSED
+    positional blocks — :func:`phrase_topk_positional_segments` without
+    the final ordered cut. Use this relation for GATING (semi-joins in
+    the boolean-with-phrase paths): a membership gate needs no order,
+    and the top-k form's ``orderBy().limit(2^30)`` would globally sort
+    every match of a common phrase just to throw the order away.
 
     The ``term IN (phrase)`` filter prunes at the parquet scan (blocks
     written term-sorted per file; shard dirs prune on the partition
@@ -294,8 +297,8 @@ def phrase_topk_positional_segments(
             # (bounded memory per Arrow batch) and let a shuffled
             # aggregation count full-offset starts — the same volume the
             # raw-table plan shuffles, paid only when actually needed.
-            return _phrase_topk_vote_shuffle(
-                matched, words, k, exclude_docs=exclude_docs
+            return _phrase_counts_vote_shuffle(
+                matched, words, exclude_docs=exclude_docs
             )
 
     hits = matched.groupBy("shard").applyInPandas(
@@ -306,11 +309,33 @@ def phrase_topk_positional_segments(
         hits = hits.join(
             exclude_docs.select("doc_id"), "doc_id", "left_anti"
         )
-    return hits.orderBy(F.desc("phrase_tf"), F.asc("doc_id")).limit(k)
+    return hits
 
 
-def _phrase_topk_vote_shuffle(
-    matched: DataFrame, words: Sequence[str], k: int,
+def phrase_topk_positional_segments(
+    segments: DataFrame,
+    spark: SparkSession,
+    phrase: Sequence[str],
+    k: int = 20,
+    max_blocks_per_shard: int | None = 500_000,
+    block_counts: dict | None = None,
+    exclude_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Exact consecutive-phrase top-k over COMPRESSED positional blocks
+    — rank-identical to :func:`operators.phrase.phrase_topk_positional`
+    over the raw table: the ordered (phrase_tf desc, doc_id asc) cut of
+    :func:`phrase_match_counts_segments` (see there for plan shape,
+    memory guard and exclusion semantics)."""
+    counts = phrase_match_counts_segments(
+        segments, spark, phrase,
+        max_blocks_per_shard=max_blocks_per_shard,
+        block_counts=block_counts, exclude_docs=exclude_docs,
+    )
+    return counts.orderBy(F.desc("phrase_tf"), F.asc("doc_id")).limit(k)
+
+
+def _phrase_counts_vote_shuffle(
+    matched: DataFrame, words: Sequence[str],
     exclude_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Bounded-memory phrase plan: decode each block independently,
@@ -363,9 +388,7 @@ def _phrase_topk_vote_shuffle(
         counts = counts.join(
             exclude_docs.select("doc_id"), "doc_id", "left_anti"
         )
-    return counts.orderBy(
-        F.desc("phrase_tf"), F.asc("doc_id")
-    ).limit(k)
+    return counts
 
 
 def phrase_counts_pandas(

@@ -258,9 +258,12 @@ def bm25_boolean_topk(
     )
 
 
-def _documents_segment_index(docs: DataFrame, min_df: int, n_shards: int):
+def _documents_segment_index(docs: DataFrame, min_df: int, n_shards: int,
+                             shard_size: int | None = None):
     """(segments, corpus) — the compressed segment store built ad hoc
-    from the documents table (shared by the WAND driver-gate paths)."""
+    from the documents table (shared by the WAND driver-gate paths).
+    Pass *shard_size* when another store must share the doc-range
+    sharding (the two-store phrase-boolean cogroup)."""
     from .segments import build_segments
 
     postings = document_postings(docs)
@@ -287,7 +290,8 @@ def _documents_segment_index(docs: DataFrame, min_df: int, n_shards: int):
         .select("term", "df", "idf")
     )
     segments = build_segments(
-        postings, tstats, doclen, corpus, n_shards=n_shards
+        postings, tstats, doclen, corpus, n_shards=n_shards,
+        shard_size=shard_size,
     )
     return segments, corpus
 
@@ -773,16 +777,29 @@ def bm25_boolean_phrase_topk(
     """Boolean retrieval with exact-phrase clauses served from the two
     compressed stores (wand.boolean_phrase_topk: shard-local cogrouped
     phrase gate + gated BM25 kernel). Round-then-re-rank and eager
-    release as in the other segment wrappers."""
+    release as in the other segment wrappers.
+
+    ONE shard_size is computed here and pinned into BOTH builds: their
+    defaults differ (BM25 divides the posting-bearing doc COUNT, the
+    positional store divides max_doc_id+1), so sparse or filtered doc
+    ids would otherwise give the two stores different doc ranges per
+    shard and the shard-local cogroup gate would silently drop
+    matches."""
     from .phrase import positional_postings
     from .posindex import build_positional_segments
     from .segments import release_cached_deps
     from .wand import boolean_phrase_topk
     from pyspark.sql.window import Window as W
 
-    segments, corpus = _documents_segment_index(docs, min_df, n_shards)
+    max_doc = docs.agg(F.max("doc_id")).collect()[0][0]
+    n_ids = int(max_doc) + 1 if max_doc is not None else 1
+    shard_size = max(1, -(-n_ids // n_shards))  # ceil
+    segments, corpus = _documents_segment_index(
+        docs, min_df, n_shards, shard_size=shard_size
+    )
     positions = build_positional_segments(
-        positional_postings(docs), n_shards=n_shards, block_size=64
+        positional_postings(docs), n_shards=n_shards, block_size=64,
+        shard_size=shard_size,
     )
     raw = boolean_phrase_topk(
         segments, positions, corpus, phrases, must=must, should=should,
@@ -797,4 +814,5 @@ def bm25_boolean_phrase_topk(
     )
     rows = out.collect()
     release_cached_deps(segments)
+    release_cached_deps(positions)
     return docs.sparkSession.createDataFrame(rows, out.schema)

@@ -876,10 +876,13 @@ def boolean_phrase_topk(
     the caller lists them in *should* — the Router's structured parser
     does). The Lucene BooleanQuery-with-PhraseQuery-clause surface.
 
-    Plan shape: the BM25 segment store and the positional store share
-    the doc-range sharding (same meta shard_size — true for any
-    IndexStore, and for ad-hoc builds with equal n_shards over the same
-    docs), so the phrase gate is SHARD-LOCAL: one
+    Plan shape: the BM25 segment store and the positional store MUST
+    share the doc-range sharding (same shard_size — true for any
+    IndexStore, whose meta pins it; ad-hoc builds must pass one
+    explicit shard_size to both builders, as
+    ``textops.bm25_boolean_phrase_topk`` does — equal n_shards alone is
+    NOT enough, the two builders' default shard_size formulas diverge
+    on sparse doc ids), so the phrase gate is SHARD-LOCAL: one
     ``cogroup().applyInPandas`` pairs each shard's term-pruned BM25
     blocks with its phrase-word positional blocks, the in-task matcher
     (phrase_counts_pandas) yields the gate ids, and the gated boolean

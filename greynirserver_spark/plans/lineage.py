@@ -764,7 +764,8 @@ def append_pages(
         ).localCheckpoint(eager=True)
         n_new = new_docs.count()
         if n_new == 0:
-            return {"new_docs": 0, "new_blocks": 0}
+            return {"new_docs": 0, "new_blocks": 0,
+                    "backfill_blocks": 0, "rebuilt": False}
         t0 = time.time()
         intent_id = uuid.uuid4().hex[:12]
         _append_lineage(

@@ -756,24 +756,40 @@ class Router:
             return " "
 
         q = re.sub(r'"([^"]+)"', _grab_phrase, q)
+        not_prefixes: List[str] = []
         for tok in q.split():
             if tok.startswith("+") and len(tok) > 1:
-                must.extend(query_to_terms(tok[1:]))
+                if tok.endswith("*") and len(tok) > 2:
+                    # +prefix*: the tokenizer would strip the '*' and
+                    # mint a WRONG exact MUST term; a required
+                    # any-of-expansion isn't expressible in the AND-only
+                    # must gate, so the expansion joins SHOULD (ranked,
+                    # not required — documented parser limitation)
+                    prefixes.append(tok[1:-1].lower())
+                else:
+                    must.extend(query_to_terms(tok[1:]))
             elif tok.startswith("-") and len(tok) > 1:
-                must_not.extend(query_to_terms(tok[1:]))
+                if tok.endswith("*") and len(tok) > 2:
+                    # -prefix*: NOT any-of-expansion IS expressible —
+                    # every expansion term joins must_not
+                    not_prefixes.append(tok[1:-1].lower())
+                else:
+                    must_not.extend(query_to_terms(tok[1:]))
             elif tok.endswith("*") and len(tok) > 1:
                 prefixes.append(tok[:-1].lower())
             else:
                 should.extend(query_to_terms(tok))
-        if not (must or must_not or prefixes or phrases):
+        if not (must or must_not or prefixes or not_prefixes or phrases):
             return None
         if len(prefixes) == 1 and not (must or should or must_not
-                                       or phrases):
+                                       or not_prefixes or phrases):
             p = prefixes[0]
             return Answer("PrefixSearch", self.prefix_search(p, k),
                           [p + "*"])
         for p in prefixes:
             should.extend(self._expand_prefix(p))
+        for p in not_prefixes:
+            must_not.extend(self._expand_prefix(p))
         if phrases:
             # phrase-clause boolean: phrase words join the SHOULD set
             # (they score like Lucene's PhraseQuery clause), the spans
@@ -831,7 +847,7 @@ class Router:
         from pyspark.sql.window import Window
 
         from ..operators.bm25 import bm25_score_exact
-        from ..operators.phrase import phrase_topk
+        from ..operators.phrase import phrase_match_counts
 
         ts = self.store.load(self.spark, "term_stats")
         scored = bm25_score_exact(
@@ -858,9 +874,11 @@ class Router:
             )
             scored = scored.join(ex, "doc_id", "left_anti")
         for ph in phrases:
-            ids = phrase_topk(
-                self.spark, self.doc_map.select("doc_id", "text"),
-                ph, k=(1 << 30),
+            # membership gate: the unordered counts relation — a top-k
+            # form here would globally sort every match of a common
+            # phrase just to feed a semi-join
+            ids = phrase_match_counts(
+                self.spark, self.doc_map.select("doc_id", "text"), ph
             ).select("doc_id")
             scored = scored.join(ids, "doc_id")
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
@@ -888,7 +906,11 @@ class Router:
         should = sorted(set(should) - set(must))
         must_not = sorted(set(must_not))
         if not (must or should):
-            return self._empty_frame(_SEARCH_DDL)
+            # every scoring term was stoplisted/df-pruned (e.g. a pure
+            # stopword phrase plus -terms): the phrase itself is still
+            # servable — the positional store / stored text index ALL
+            # terms. Rank by total phrase_tf instead of answering empty.
+            return self._phrase_only_boolean(phrases, must_not, k)
         k = min(k, _MAXLEN_ANSWER)
         scan = sorted(set(must) | set(should) | set(must_not))
         term_idf = self._term_idf(scan)
@@ -925,6 +947,66 @@ class Router:
             exact.join(
                 self.doc_map.select("doc_id", "url", "warc_ts"), "doc_id"
             )
+            .orderBy("rank")
+            .select("rank", "doc_id", "url", "warc_ts", "score")
+        )
+
+    def _phrase_only_boolean(self, phrases, must_not, k: int) -> DataFrame:
+        """Phrase-clause boolean with NO surviving scoring terms (every
+        phrase word stoplisted/df-pruned): rank by total ``phrase_tf``
+        across the required phrases. The positional store (or the
+        stored text) indexes ALL terms, so the exact phrases stay
+        servable; ``must_not`` excludes via the unpruned postings table
+        and tombstones are excluded inside the phrase counts."""
+        from pyspark.sql.window import Window
+
+        from ..operators.phrase import phrase_match_counts
+        from ..operators.posindex import (
+            load_positional_block_counts,
+            phrase_match_counts_segments,
+        )
+
+        k = min(k, _MAXLEN_ANSWER)
+        use_pos = self.store.has("positions")
+        pos = (self.store.load(self.spark, "positions")
+               if use_pos else None)
+        bc = (load_positional_block_counts(self.store.root)
+              if use_pos else None)
+        counts = None
+        for i, ph in enumerate(phrases):
+            if use_pos:
+                c = phrase_match_counts_segments(
+                    pos, self.spark, list(ph), block_counts=bc,
+                    exclude_docs=self._tomb,
+                )
+            else:
+                c = phrase_match_counts(
+                    self.spark, self.doc_map.select("doc_id", "text"),
+                    list(ph),
+                )
+                if self._tomb is not None:
+                    c = c.join(self._tomb.select("doc_id"),
+                               "doc_id", "left_anti")
+            c = c.withColumnRenamed("phrase_tf", f"_tf{i}")
+            counts = c if counts is None else counts.join(c, "doc_id")
+        total = F.col("_tf0").cast("double")
+        for i in range(1, len(phrases)):
+            total = total + F.col(f"_tf{i}").cast("double")
+        scored = counts.select("doc_id", total.alias("score"))
+        if must_not:
+            ex = (
+                self.postings.where(
+                    F.col("term").isin(sorted(set(must_not)))
+                ).select("doc_id").distinct()
+            )
+            scored = scored.join(ex, "doc_id", "left_anti")
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+            .join(self.doc_map.select("doc_id", "url", "warc_ts"),
+                  "doc_id")
+            .withColumn("rank",
+                        F.row_number().over(w).cast("long"))
             .orderBy("rank")
             .select("rank", "doc_id", "url", "warc_ts", "score")
         )

@@ -686,7 +686,7 @@ class Searcher:
         from the positional segments with the backlog excluded
         distributed (pre-top-k anti-join inside the positional op)."""
         from ..operators.bm25 import bm25_score_exact
-        from ..operators.posindex import phrase_topk_positional_segments
+        from ..operators.posindex import phrase_match_counts_segments
 
         ts = self.store.load(self.spark, "term_stats")
         postings = self.store.load(self.spark, "postings").join(
@@ -714,8 +714,10 @@ class Searcher:
             )
             scored = scored.join(ex, "doc_id", "left_anti")
         for p in phrases:
-            ids = phrase_topk_positional_segments(
-                self._positions, self.spark, list(p), 1 << 30,
+            # membership gate: unordered counts — no global sort of a
+            # common phrase's full match set
+            ids = phrase_match_counts_segments(
+                self._positions, self.spark, list(p),
                 block_counts=self._block_counts,
                 exclude_docs=self._tomb_df,
             ).select("doc_id")
@@ -777,6 +779,10 @@ class Searcher:
                 return []
             should = [t for t in should if t in term_idf]
             must_not = [t for t in must_not if t in term_idf]
+            # recompute after the prune (as boolean() does): fetching a
+            # globally pruned head term's blocks wastes I/O and can
+            # needlessly push the capped fetch over _max_fetch_blocks
+            scan_terms = sorted(set(must) | set(should) | set(must_not))
         phrase_words = sorted({w for p in phrases for w in p})
         import numpy as np
 

@@ -1304,15 +1304,20 @@ def test_hybrid_documents_topk_fuses_both_engines(spark):
             .select("embedding").first()[0]]
     terms = ["spark", "join", "window", "stream"]
 
-    lex = {r["doc_id"]: r["rank"] for r in
-           bm25_documents_topk(docs, terms, k=50).collect()}
+    # excluded doc 0 must vanish from BOTH lists (dense-only exclusion
+    # would let the source doc re-enter through its lexical rank)
+    lex_rows = [r for r in
+                bm25_documents_topk(docs, terms, k=51).collect()
+                if r["doc_id"] != 0][:50]
+    lex = {r["doc_id"]: i + 1 for i, r in enumerate(lex_rows)}
     den = {r["vec_id"]: r["rank"] for r in
            cosine_topk_bruteforce(emb, qvec, k=50,
                                   exclude_vec_id=0).collect()}
     out = hybrid_documents_topk(
-        docs, emb, terms, qvec, k=10, fuse_depth=50, exclude_vec_id=0
+        docs, emb, terms, qvec, k=10, fuse_depth=50, exclude_doc_id=0
     ).collect()
     assert len(out) == 10
+    assert all(r["doc_id"] != 0 for r in out)
     for r in out:
         exp = round(
             (1.0 / (60 + lex[r["doc_id"]]) if r["doc_id"] in lex else 0.0)
