@@ -1,0 +1,379 @@
+"""WARC / WET ingestion and export — Common Crawl's native container.
+
+The reference acquires its corpus by live HTTP scraping
+(``/root/reference/fetcher.py:324-376`` fetches one URL at a time with
+requests + BeautifulSoup); at 10^12-document scale the corpus arrives
+instead as WARC container files (ISO 28500): Common Crawl publishes
+~64,000 ~1 GiB ``.warc.gz`` files per monthly crawl (~100 TB raw),
+plus WET siblings holding pre-extracted plain text as ``conversion``
+records. This module connects those containers to the canonical pages
+schema ``(url, warc_ts, html, text, lang)`` in both directions:
+
+* :func:`read_warc` — DataFrame over ``.warc``/``.warc.gz`` files.
+  Spark's ``binaryFile`` source yields one row per container file and
+  ``mapInPandas`` streams records out of each, so the parallelism
+  grain is the container file — the same unit Common Crawl's own
+  published Spark jobs use. 64k files keep 64k tasks busy regardless
+  of record count, task memory is bounded by ONE container (CC caps
+  them ~1 GiB; ``binaryFile`` itself enforces < 2 GiB), and no shuffle
+  happens at all: scan → parse → downstream, a map-only stage.
+* :func:`read_wet` — the same over WET extracted-text records.
+* :func:`warc_to_pages` — strip the stored HTTP envelope and
+  (optionally) run the package's own extraction + language-ID so the
+  result lands upsert-ready for :func:`..sources.pages.upsert_pages`
+  and :func:`..plans.lineage.build_index`.
+* :func:`export_warc` / :func:`export_wet` — the inverse sinks: each
+  partition writes one ``.warc.gz`` with one gzip member per record
+  (the Common Crawl layout, which lets a reader seek to any record
+  boundary), executor-side via ``foreachPartition`` — a corpus slice
+  round-trips back out without any driver materialization.
+
+Parsing is pure stdlib (``gzip`` + bytes splitting) — no external WARC
+library exists in this environment and none is needed: a WARC record
+is a CRLF header block, a ``Content-Length``-delimited body, and a
+blank-line trailer.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import gzip
+import hashlib
+import io
+import os
+import uuid
+from typing import Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+__all__ = [
+    "read_warc",
+    "read_wet",
+    "warc_to_pages",
+    "export_warc",
+    "export_wet",
+    "parse_warc_bytes",
+]
+
+# Rows per pandas batch emitted from one container file. Bounds the
+# Arrow transfer (and the parser's row buffer) regardless of how many
+# records a container holds.
+_BATCH_ROWS = 512
+
+_WARC_SCHEMA = (
+    "url string, warc_ts timestamp, record_type string, "
+    "http_status int, content_type string, html binary, "
+    "warc_file string"
+)
+_WET_SCHEMA = "url string, warc_ts timestamp, text string, warc_file string"
+
+
+# ---------------------------------------------------------------------------
+# record-level parsing (plain Python; unit-testable without Spark)
+# ---------------------------------------------------------------------------
+
+def _maybe_gunzip(raw: bytes) -> bytes:
+    """Decompress multi-member gzip (the CC member-per-record layout);
+    pass non-gzip bytes through untouched."""
+    if raw[:2] == b"\x1f\x8b":
+        # gzip.decompress handles concatenated members since 3.8
+        return gzip.decompress(raw)
+    return raw
+
+
+def _parse_warc_ts(value: str) -> Optional[dt.datetime]:
+    """WARC-Date (ISO 8601, 'Z'-suffixed, optional fraction) → naive
+    UTC datetime — the convention of the pages table (session TZ is
+    pinned to UTC in session.py)."""
+    v = value.strip()
+    if v.endswith("Z"):
+        v = v[:-1]
+    for fmt in ("%Y-%m-%dT%H:%M:%S.%f", "%Y-%m-%dT%H:%M:%S"):
+        try:
+            return dt.datetime.strptime(v, fmt)
+        except ValueError:
+            continue
+    return None
+
+
+def _fmt_warc_ts(ts: dt.datetime) -> str:
+    if ts.microsecond:
+        return ts.strftime("%Y-%m-%dT%H:%M:%S.%fZ")
+    return ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def _split_http_block(block: bytes) -> Tuple[Optional[int], Optional[str], bytes]:
+    """(status, content_type, body) from a stored HTTP response.
+
+    WARC ``response`` records store the raw HTTP message; the payload
+    starts after the first blank line. A block that does not look like
+    HTTP (no status line) is returned whole with (None, None)."""
+    sep = block.find(b"\r\n\r\n")
+    if sep < 0 or not block.startswith(b"HTTP/"):
+        return None, None, block
+    head = block[:sep].decode("latin-1", errors="replace")
+    lines = head.split("\r\n")
+    status: Optional[int] = None
+    parts = lines[0].split()
+    if len(parts) >= 2 and parts[1].isdigit():
+        status = int(parts[1])
+    ctype: Optional[str] = None
+    for line in lines[1:]:
+        k, _, v = line.partition(":")
+        if k.strip().lower() == "content-type":
+            ctype = v.strip()
+            break
+    return status, ctype, block[sep + 4:]
+
+
+def parse_warc_bytes(raw: bytes) -> Iterator[Tuple[dict, bytes]]:
+    """Yield (header-fields, body-bytes) per record from one container.
+
+    Header field names are lower-cased. The body is exactly
+    ``Content-Length`` bytes; the inter-record CRLF padding is skipped.
+    Malformed trailing garbage ends iteration rather than raising —
+    a truncated tail file loses its last record, never the whole task.
+    """
+    data = _maybe_gunzip(raw)
+    i, n = 0, len(data)
+    while i < n:
+        while data.startswith(b"\r\n", i):
+            i += 2
+        if i >= n:
+            return
+        if not data.startswith(b"WARC/", i):
+            return  # trailing garbage / truncation
+        head_end = data.find(b"\r\n\r\n", i)
+        if head_end < 0:
+            return
+        fields: dict = {}
+        for line in data[i:head_end].decode("utf-8", "replace").split("\r\n")[1:]:
+            k, _, v = line.partition(":")
+            fields[k.strip().lower()] = v.strip()
+        try:
+            length = int(fields.get("content-length", "0"))
+        except ValueError:
+            return
+        body_start = head_end + 4
+        if body_start + length > n:
+            return  # truncated final record
+        yield fields, data[body_start:body_start + length]
+        i = body_start + length
+
+
+# ---------------------------------------------------------------------------
+# DataFrame readers
+# ---------------------------------------------------------------------------
+
+def _warc_rows(path: str, content: bytes,
+               record_types: Sequence[str]) -> Iterator[List]:
+    wanted = {t.lower() for t in record_types}
+    for fields, body in parse_warc_bytes(content):
+        rtype = fields.get("warc-type", "").lower()
+        if rtype not in wanted:
+            continue
+        url = fields.get("warc-target-uri")
+        ts = _parse_warc_ts(fields.get("warc-date", ""))
+        ctype = fields.get("content-type", "")
+        if rtype == "response" and ctype.lower().startswith("application/http"):
+            status, payload_ctype, payload = _split_http_block(body)
+        else:
+            status, payload_ctype, payload = None, ctype or None, body
+        yield [url, ts, rtype, status, payload_ctype, payload, path]
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    record_types: Sequence[str] = ("response",),
+) -> DataFrame:
+    """(url, warc_ts, record_type, http_status, content_type, html,
+    warc_file) over every WARC record of the requested types under
+    *path* (a file, directory, or glob of ``.warc`` / ``.warc.gz``).
+
+    ``html`` is the record payload with the stored HTTP envelope
+    stripped (status and Content-Type are surfaced as their own
+    columns); for non-HTTP record types it is the raw block. The plan
+    is map-only — one task per container file, no shuffle — so at a
+    full-crawl 100 TB input the stage scales linearly with file count
+    and an executor never holds more than one container plus one
+    emitted Arrow batch.
+    """
+    files = spark.read.format("binaryFile").load(path)
+
+    def parse(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["url", "warc_ts", "record_type", "http_status",
+                "content_type", "html", "warc_file"]
+        for pdf in batches:
+            for p, content in zip(pdf["path"], pdf["content"]):
+                buf: List[List] = []
+                for row in _warc_rows(p, bytes(content), record_types):
+                    buf.append(row)
+                    if len(buf) >= _BATCH_ROWS:
+                        yield pd.DataFrame(buf, columns=cols)
+                        buf = []
+                if buf:
+                    yield pd.DataFrame(buf, columns=cols)
+
+    return files.select("path", "content").mapInPandas(parse, _WARC_SCHEMA)
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """(url, warc_ts, text, warc_file) over WET ``conversion`` records
+    — Common Crawl's pre-extracted plain text, decoded as UTF-8."""
+    warc = read_warc(spark, path, record_types=("conversion",))
+    return warc.select(
+        "url", "warc_ts",
+        F.col("html").cast("string").alias("text"),
+        "warc_file",
+    )
+
+
+def warc_to_pages(
+    warc: DataFrame,
+    extract: bool = True,
+    detect_lang: bool = True,
+    ok_only: bool = True,
+) -> DataFrame:
+    """Canonical pages rows (url, warc_ts, html, text, lang) from
+    :func:`read_warc` output — the full ingest chain the reference runs
+    per-URL at fetch time (fetch → extract → store,
+    fetcher.py:324-376), here as three declarative stages:
+
+    * *ok_only*: keep HTTP 2xx responses with a URL (the reference's
+      fetch-error skip);
+    * *extract*: fill ``text`` via the package's Arrow-vectorized
+      extraction UDF (byte-identical to the reference's extractor per
+      the round-1 invariant) — else '' for a later extraction pass;
+    * *detect_lang*: fill ``lang`` with the n-gram language ID
+      (functions/langid.py) over the extracted text — else ''.
+
+    Everything is row-local (no shuffle); at ingest scale this stage
+    fuses with the WARC parse into one map-only stage.
+    """
+    df = warc
+    if ok_only:
+        df = df.where(
+            F.col("url").isNotNull()
+            & F.col("http_status").isNotNull()
+            & (F.col("http_status") >= 200) & (F.col("http_status") < 300)
+        )
+    df = df.select("url", "warc_ts", "html")
+    if extract:
+        from ..extraction import extract_text_udf
+
+        df = df.withColumn(
+            "text", extract_text_udf()(F.col("html").cast("string"))
+        )
+    else:
+        df = df.withColumn("text", F.lit(""))
+    if detect_lang:
+        from ..functions.langid import detect_language
+
+        df = detect_language(df, text_col="text", out_col="lang")
+    else:
+        df = df.withColumn("lang", F.lit(""))
+    return df.select("url", "warc_ts", "html", "text", "lang")
+
+
+# ---------------------------------------------------------------------------
+# writers
+# ---------------------------------------------------------------------------
+
+def _record_id(url: str, ts: Optional[dt.datetime]) -> str:
+    """Deterministic WARC-Record-ID (uuid from md5(url, ts)) so an
+    exported corpus slice is byte-stable across runs — required by the
+    repo-wide same-input ⇒ same-bytes testing convention."""
+    digest = hashlib.md5(
+        (url + "|" + (_fmt_warc_ts(ts) if ts else "")).encode()
+    ).hexdigest()
+    return f"<urn:uuid:{uuid.UUID(digest)}>"
+
+
+def _response_record(url: str, ts: Optional[dt.datetime],
+                     html: bytes) -> bytes:
+    http = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html; charset=utf-8\r\n"
+        b"Content-Length: " + str(len(html)).encode() + b"\r\n\r\n"
+    ) + html
+    header = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {_fmt_warc_ts(ts) if ts else ''}\r\n"
+        f"WARC-Record-ID: {_record_id(url, ts)}\r\n"
+        "Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(http)}\r\n\r\n"
+    ).encode()
+    return header + http + b"\r\n\r\n"
+
+
+def _conversion_record(url: str, ts: Optional[dt.datetime],
+                       text: str) -> bytes:
+    body = text.encode("utf-8")
+    header = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {_fmt_warc_ts(ts) if ts else ''}\r\n"
+        f"WARC-Record-ID: {_record_id(url, ts)}\r\n"
+        "Content-Type: text/plain\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode()
+    return header + body + b"\r\n\r\n"
+
+
+def _export(df: DataFrame, out_dir: str, make_record, cols: List[str]) -> int:
+    """foreachPartition writer: each partition streams its rows into
+    ``out_dir/part-<pid>.warc.gz``, one gzip member per record (the CC
+    layout). Executor-side and driver-memory-free; on a cluster
+    *out_dir* would be shared storage — the task-local write pattern is
+    identical. Returns the number of partition files written."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_partition(rows) -> None:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
+        tmp = path + ".inprogress"
+        wrote = False
+        with open(tmp, "wb") as fh:
+            for row in rows:
+                rec = make_record(*[row[c] for c in cols])
+                # mtime=0 + no filename: byte-deterministic members
+                buf = io.BytesIO()
+                with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                    gz.write(rec)
+                fh.write(buf.getvalue())
+                wrote = True
+        if wrote:
+            os.replace(tmp, path)  # atomic visibility, like runstore
+        else:
+            os.remove(tmp)  # empty partition → no file
+
+    df.select(*cols).foreachPartition(write_partition)
+    return len([f for f in os.listdir(out_dir) if f.endswith(".warc.gz")])
+
+
+def export_warc(pages: DataFrame, out_dir: str) -> int:
+    """Write (url, warc_ts, html) rows as ``response`` records wrapped
+    in a minimal stored HTTP 200 envelope — re-readable by
+    :func:`read_warc` with byte-identical ``html`` per url."""
+    def rec(url, ts, html):
+        return _response_record(
+            url, ts, bytes(html) if html is not None else b""
+        )
+
+    return _export(pages, out_dir, rec, ["url", "warc_ts", "html"])
+
+
+def export_wet(docs: DataFrame, out_dir: str) -> int:
+    """Write (url, warc_ts, text) rows as WET ``conversion`` records —
+    re-readable by :func:`read_wet`."""
+    def rec(url, ts, text):
+        return _conversion_record(url, ts, text or "")
+
+    return _export(docs, out_dir, rec, ["url", "warc_ts", "text"])

@@ -1,0 +1,190 @@
+"""WARC/WET container source: record parsing, round-trip byte
+identity, ingest-chain equivalence, and the map-only plan shape."""
+import datetime as dt
+import gzip
+
+import pytest
+
+from greynirserver_spark.corpus import generate_pages
+from greynirserver_spark.sources.warc import (
+    export_warc,
+    export_wet,
+    parse_warc_bytes,
+    read_warc,
+    read_wet,
+    warc_to_pages,
+)
+
+
+def _record(rtype: str, url: str, date: str, block: bytes,
+            ctype: str = "application/http; msgtype=response") -> bytes:
+    header = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {rtype}\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {date}\r\n"
+        f"Content-Type: {ctype}\r\n"
+        f"Content-Length: {len(block)}\r\n\r\n"
+    ).encode()
+    return header + block + b"\r\n\r\n"
+
+
+HTML = "<html><body><p>halló heimur</p></body></html>".encode("utf-8")
+HTTP_BLOCK = (
+    b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+    b"Content-Length: " + str(len(HTML)).encode() + b"\r\n\r\n" + HTML
+)
+
+
+def _container() -> bytes:
+    """warcinfo + request + response + conversion, CC-style order."""
+    return (
+        _record("warcinfo", "", "2026-01-02T03:04:05Z",
+                b"software: test\r\n", ctype="application/warc-fields")
+        + _record("request", "http://x.is/a", "2026-01-02T03:04:05Z",
+                  b"GET /a HTTP/1.1\r\n\r\n",
+                  ctype="application/http; msgtype=request")
+        + _record("response", "http://x.is/a", "2026-01-02T03:04:05Z",
+                  HTTP_BLOCK)
+        + _record("conversion", "http://x.is/a", "2026-01-02T03:04:05Z",
+                  "halló heimur".encode(), ctype="text/plain")
+    )
+
+
+def test_parse_warc_bytes_plain_and_multimember_gzip():
+    raw = _container()
+    recs = list(parse_warc_bytes(raw))
+    assert [f["warc-type"] for f, _ in recs] == [
+        "warcinfo", "request", "response", "conversion"]
+    # body is exactly Content-Length bytes
+    assert recs[2][1] == HTTP_BLOCK
+
+    # member-per-record gzip (the Common Crawl layout)
+    members = b"".join(
+        gzip.compress(_record("response", f"http://x.is/{i}",
+                              "2026-01-02T03:04:05Z", HTTP_BLOCK))
+        for i in range(3)
+    )
+    recs = list(parse_warc_bytes(members))
+    assert len(recs) == 3
+    assert {f["warc-target-uri"] for f, _ in recs} == {
+        "http://x.is/0", "http://x.is/1", "http://x.is/2"}
+
+
+def test_parse_warc_bytes_truncated_tail_drops_last_record_only():
+    raw = _container()
+    recs_full = list(parse_warc_bytes(raw))
+    truncated = raw[:-10]  # cut into the final record's body
+    recs = list(parse_warc_bytes(truncated))
+    assert len(recs) == len(recs_full) - 1
+    # garbage prefix after records ends iteration without raising
+    assert list(parse_warc_bytes(raw + b"NOT A RECORD")) and True
+
+
+def test_read_warc_filters_types_and_strips_http(spark, tmp_path):
+    p = tmp_path / "one.warc.gz"
+    p.write_bytes(gzip.compress(_container()))
+    rows = read_warc(spark, str(tmp_path)).collect()
+    assert len(rows) == 1  # only the response record
+    r = rows[0]
+    assert r.url == "http://x.is/a"
+    assert r.http_status == 200
+    assert r.content_type.startswith("text/html")
+    assert bytes(r.html) == HTML
+    assert r.warc_ts == dt.datetime(2026, 1, 2, 3, 4, 5)
+
+    wet = read_wet(spark, str(tmp_path)).collect()
+    assert len(wet) == 1 and wet[0].text == "halló heimur"
+
+
+def test_read_warc_plan_is_map_only(spark, tmp_path):
+    (tmp_path / "x.warc").write_bytes(_container())
+    plan = read_warc(spark, str(tmp_path))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan  # scan → parse, no shuffle
+
+
+def test_export_read_round_trip_byte_identity(spark, tmp_path):
+    pages = generate_pages(spark, 30, num_partitions=3)
+    out = tmp_path / "export"
+    n_files = export_warc(pages, str(out))
+    assert 1 <= n_files <= 3
+
+    back = read_warc(spark, str(out) + "/*.warc.gz")
+    orig = pages.select(
+        "url", pages.warc_ts.alias("ts0"), pages.html.alias("html0"))
+    joined = back.join(orig, "url", "full").collect()
+    assert len(joined) == 30
+    for row in joined:
+        assert row.html0 is not None and row.html is not None, row.url
+        assert bytes(row.html) == bytes(row.html0), row.url
+        assert row.warc_ts == row.ts0, row.url
+
+
+def test_export_determinism(spark, tmp_path):
+    pages = generate_pages(spark, 8, num_partitions=1)
+    a, b = tmp_path / "a", tmp_path / "b"
+    export_warc(pages, str(a))
+    export_warc(pages, str(b))
+    fa = sorted(p.name for p in a.iterdir())
+    fb = sorted(p.name for p in b.iterdir())
+    assert fa == fb
+    for name in fa:
+        assert (a / name).read_bytes() == (b / name).read_bytes()
+
+
+def test_wet_round_trip(spark, tmp_path):
+    pages = generate_pages(spark, 12, num_partitions=2)
+    out = tmp_path / "wet"
+    export_wet(pages.select("url", "warc_ts", "text"), str(out))
+    back = read_wet(spark, str(out)).withColumnRenamed("text", "text1")
+    joined = back.join(pages.select("url", "text"), "url", "full").collect()
+    assert len(joined) == 12
+    for row in joined:
+        assert row.text1 == row.text, row.url
+
+
+def test_warc_to_pages_matches_direct_ingest(spark, tmp_path):
+    """WARC round trip + warc_to_pages reproduces the pages table's own
+    extracted text (the byte-identity invariant carried through the
+    container format), and language ID fills a plausible lang."""
+    pages = generate_pages(spark, 20, num_partitions=2)
+    out = tmp_path / "rt"
+    export_warc(pages, str(out))
+    ingested = warc_to_pages(read_warc(spark, str(out)))
+    joined = ingested.select("url", ingested.text.alias("text1"),
+                             "lang").join(
+        pages.select("url", "text"), "url", "full").collect()
+    assert len(joined) == 20
+    for row in joined:
+        assert row.text1 == row.text, row.url
+        assert row.lang is not None and row.lang != ""
+
+
+def test_warc_to_pages_skips_non_2xx(spark, tmp_path):
+    bad = _record(
+        "response", "http://x.is/missing", "2026-01-02T03:04:05Z",
+        b"HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\n"
+        b"<html>nope</html>")
+    (tmp_path / "m.warc").write_bytes(_container() + bad)
+    warc = read_warc(spark, str(tmp_path / "m.warc"))
+    assert warc.count() == 2
+    ok = warc_to_pages(warc, extract=False, detect_lang=False)
+    urls = [r.url for r in ok.collect()]
+    assert urls == ["http://x.is/a"]
+
+
+def test_warc_ingest_feeds_index_build(spark, tmp_path):
+    """End-to-end: export → read_warc → warc_to_pages rows carry the
+    exact (url, warc_ts, html, text, lang) shape the index build
+    consumes — schema and a build-side tokenize both succeed."""
+    from greynirserver_spark.tokenization import tokenize_plain_text
+
+    pages = generate_pages(spark, 10, num_partitions=1)
+    out = tmp_path / "e2e"
+    export_warc(pages, str(out))
+    ingested = warc_to_pages(read_warc(spark, str(out)))
+    assert [f.name for f in ingested.schema.fields] == [
+        "url", "warc_ts", "html", "text", "lang"]
+    toks = tokenize_plain_text(ingested.selectExpr("url", "text"))
+    assert toks.count() > 0
