@@ -1380,6 +1380,75 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over a deterministic synthetic link graph on documents
+    (doc d links to (d*k+1) mod N for k in 3/7/11; docs with
+    doc_id % 97 == 0 emit nothing => dangling). Top 20 by rank; the
+    oracle reproduces the same 5 power iterations as nested CTEs."""
+    from greynirserver_spark.operators.linkgraph import pagerank
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    parts = [
+        docs.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * k + 1) % n).alias("dst"),
+        )
+        for k in (3, 7, 11)
+    ]
+    e = parts[0].unionAll(parts[1]).unionAll(parts[2]).where(
+        (F.col("src") % 97 != 0) & (F.col("src") != F.col("dst"))
+    )
+    pr = pagerank(e, damping=0.85, iterations=5)
+    return (
+        pr.select(
+            F.col("node").alias("doc_id"), F.round("rank", 8).alias("pr")
+        )
+        .orderBy(F.desc("pr"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def _link_pagerank_sql() -> str:
+    """The exact 5-iteration power method, unrolled as nested CTEs."""
+    its = []
+    for i in range(1, 6):
+        p = i - 1
+        its.append(f"""
+d{i} AS (SELECT coalesce(sum(r.rank), 0.0) AS dmass
+        FROM r{p} r LEFT JOIN deg ON deg.node = r.node
+        WHERE deg.deg IS NULL),
+c{i} AS (SELECT e.dst AS node, sum(r.rank / deg.deg) AS contrib
+        FROM edges e JOIN r{p} r ON r.node = e.src
+        JOIN deg ON deg.node = e.src GROUP BY 1),
+r{i} AS (SELECT nds.node,
+               (1 - 0.85) / nn.n
+               + 0.85 * (coalesce(c.contrib, 0.0) + d{i}.dmass / nn.n)
+               AS rank
+        FROM nodes nds LEFT JOIN c{i} c ON c.node = nds.node, nn, d{i})""")
+    return f"""
+WITH cnt AS (SELECT count(*) AS n FROM documents),
+raw AS (
+  SELECT doc_id AS src, (doc_id * 3 + 1) % cnt.n AS dst
+    FROM documents, cnt
+  UNION ALL
+  SELECT doc_id, (doc_id * 7 + 1) % cnt.n FROM documents, cnt
+  UNION ALL
+  SELECT doc_id, (doc_id * 11 + 1) % cnt.n FROM documents, cnt
+),
+edges AS (SELECT DISTINCT src, dst FROM raw
+          WHERE src % 97 <> 0 AND src <> dst),
+nodes AS (SELECT src AS node FROM edges
+          UNION SELECT dst AS node FROM edges),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS deg
+        FROM edges GROUP BY 1),
+r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn),{",".join(its)}
+SELECT node AS doc_id, round(rank, 8) AS pr
+FROM r5 ORDER BY pr DESC, doc_id ASC LIMIT 20
+"""
+
+
 def _hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from greynirserver_spark.operators.hybrid import hybrid_documents_topk
 
@@ -1694,6 +1763,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bm25_topk and ann_cosine_topk lists (rank-only fusion — no
         # score calibration across the two engines)
         "hybrid_rrf_topk": lambda s, d: _hybrid_rrf_topk(s, d),
+        # link-graph centrality (operators/linkgraph.py::pagerank) over
+        # a deterministic synthetic edge set on documents
+        "link_pagerank": lambda s, d: _link_pagerank(s, d),
         "embedding_near_pairs": lambda s, d: N.cosine_near_pairs_exact(
             _emb(s, d), threshold=0.35
         ),
@@ -2242,6 +2314,7 @@ WHERE a.doc_id < b.doc_id
         "semdedup_survivors": _semdedup_oracle_sql("survivors"),
         "semdedup_summary": _semdedup_oracle_sql("summary"),
         "corpus_clean_with_neardup": _neardup_summary_oracle_sql(),
+        "link_pagerank": _link_pagerank_sql(),
         "hybrid_rrf_topk": _TOK_CTE + f""",
 dl AS (SELECT doc_id, sum(tf)::BIGINT AS doclen FROM post GROUP BY 1),
 corp AS (SELECT count(*)::BIGINT AS n_docs,
