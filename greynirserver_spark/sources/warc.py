@@ -103,12 +103,40 @@ def _fmt_warc_ts(ts: dt.datetime) -> str:
     return ts.strftime("%Y-%m-%dT%H:%M:%SZ")
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Decode HTTP/1.1 chunked transfer framing (size-in-hex CRLF chunk
+    CRLF ... 0 CRLF). Malformed framing returns the body as-is — a
+    truncated capture should degrade, not fail the task."""
+    out, i, n = [], 0, len(body)
+    while i < n:
+        eol = body.find(b"\r\n", i)
+        if eol < 0:
+            return body
+        size_tok = body[i:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            return body
+        if size == 0:
+            break
+        start = eol + 2
+        if start + size > n:
+            return body
+        out.append(body[start:start + size])
+        i = start + size + 2  # skip chunk-terminating CRLF
+    return b"".join(out)
+
+
 def _split_http_block(block: bytes) -> Tuple[Optional[int], Optional[str], bytes]:
     """(status, content_type, body) from a stored HTTP response.
 
     WARC ``response`` records store the raw HTTP message; the payload
-    starts after the first blank line. A block that does not look like
-    HTTP (no status line) is returned whole with (None, None)."""
+    starts after the first blank line. Real Common Crawl captures keep
+    the wire framing, so ``Transfer-Encoding: chunked`` is de-chunked
+    and a gzip/deflate ``Content-Encoding`` is decompressed (falling
+    back to the raw bytes if the stream is corrupt). A block that does
+    not look like HTTP (no status line) is returned whole with
+    (None, None)."""
     sep = block.find(b"\r\n\r\n")
     if sep < 0 or not block.startswith(b"HTTP/"):
         return None, None, block
@@ -119,12 +147,35 @@ def _split_http_block(block: bytes) -> Tuple[Optional[int], Optional[str], bytes
     if len(parts) >= 2 and parts[1].isdigit():
         status = int(parts[1])
     ctype: Optional[str] = None
+    t_enc = c_enc = ""
     for line in lines[1:]:
         k, _, v = line.partition(":")
-        if k.strip().lower() == "content-type":
+        k = k.strip().lower()
+        if k == "content-type" and ctype is None:
             ctype = v.strip()
-            break
-    return status, ctype, block[sep + 4:]
+        elif k == "transfer-encoding":
+            t_enc = v.strip().lower()
+        elif k == "content-encoding":
+            c_enc = v.strip().lower()
+    body = block[sep + 4:]
+    if "chunked" in t_enc:
+        body = _dechunk(body)
+    if c_enc in ("gzip", "x-gzip"):
+        try:
+            body = gzip.decompress(body)
+        except OSError:
+            pass
+    elif c_enc == "deflate":
+        import zlib
+
+        try:
+            body = zlib.decompress(body)
+        except zlib.error:
+            try:
+                body = zlib.decompress(body, -zlib.MAX_WBITS)
+            except zlib.error:
+                pass
+    return status, ctype, body
 
 
 def parse_warc_bytes(raw: bytes) -> Iterator[Tuple[dict, bytes]]:

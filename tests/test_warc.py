@@ -81,6 +81,39 @@ def test_parse_warc_bytes_truncated_tail_drops_last_record_only():
     assert list(parse_warc_bytes(raw + b"NOT A RECORD")) and True
 
 
+def test_http_envelope_chunked_and_content_encoding():
+    from greynirserver_spark.sources.warc import _split_http_block
+
+    # chunked transfer framing
+    chunked = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n"
+        b"5\r\n<html\r\n1\r\n>\r\n0\r\n\r\n"
+    )
+    status, ctype, body = _split_http_block(chunked)
+    assert (status, body) == (200, b"<html>")
+
+    # gzip content-encoding
+    gz = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: gzip\r\n\r\n" + gzip.compress(HTML)
+    )
+    status, _, body = _split_http_block(gz)
+    assert (status, body) == (200, HTML)
+
+    # corrupt gzip degrades to raw bytes, never raises
+    bad = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot-gzip"
+    )
+    assert _split_http_block(bad)[2] == b"not-gzip"
+
+    # malformed chunk framing degrades to raw bytes
+    badc = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nzz\r\nx"
+    )
+    assert _split_http_block(badc)[2] == b"zz\r\nx"
+
+
 def test_read_warc_filters_types_and_strips_http(spark, tmp_path):
     p = tmp_path / "one.warc.gz"
     p.write_bytes(gzip.compress(_container()))
