@@ -454,6 +454,38 @@ def main() -> None:
         docs.select("doc_id"), (0.98, 0.01, 0.01), seed=1
     ).count())
 
+    # --- q16: WARC container ingest (parse + envelope strip + extract
+    #     + langid) over a pre-exported slice of the bench corpus —
+    #     the docs/sec a crawl-archive backfill would see. Export cost
+    #     is excluded: the containers are the at-rest input.
+    from greynirserver_spark.sources.warc import export_warc, read_warc, \
+        warc_to_pages
+
+    warc_dir = f"/tmp/bench-warc-{os.getpid()}"
+    shutil.rmtree(warc_dir, ignore_errors=True)
+    n_warc = 2000
+    export_warc(pages.limit(n_warc).repartition(8), warc_dir)
+    timed("q16_warc_ingest_2000pages",
+          lambda: warc_to_pages(read_warc(spark, warc_dir)).count())
+
+    # --- q17: link-graph PageRank, 5 power iterations over the
+    #     deterministic doc graph (3 out-edges/doc) — the iterative
+    #     join+agg loop's cost at sf scale
+    from greynirserver_spark.operators.linkgraph import pagerank
+
+    n_docs_pr = docs.count()
+    pr_parts = [
+        docs.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * k + 1) % n_docs_pr).alias("dst"),
+        )
+        for k in (3, 7, 11)
+    ]
+    pr_edges = pr_parts[0].unionAll(pr_parts[1]).unionAll(pr_parts[2]) \
+        .where((F.col("src") % 97 != 0) & (F.col("src") != F.col("dst")))
+    timed("q17_pagerank_5iter",
+          lambda: pagerank(pr_edges, iterations=5).count())
+
     extras = {
         # matched-row payload a phrase query fetches from each format
         "pos_raw_query_bytes": int(
@@ -476,6 +508,7 @@ def main() -> None:
     shutil.rmtree(raw_path, ignore_errors=True)
     shutil.rmtree(seg_path, ignore_errors=True)
     shutil.rmtree(store_root, ignore_errors=True)
+    shutil.rmtree(warc_dir, ignore_errors=True)
     _emit(timings, sf, n_cpus, n_docs, n_pages, docs_per_sec, out_extra,
           extras, rep_log=rep_log)
     spark.stop()
