@@ -54,6 +54,8 @@ __all__ = [
     "export_warc",
     "export_wet",
     "parse_warc_bytes",
+    "parse_warc_df",
+    "BINARYFILE_SCHEMA",
 ]
 
 # Rows per pandas batch emitted from one container file. Bounds the
@@ -234,6 +236,39 @@ def _warc_rows(path: str, content: bytes,
         yield [url, ts, rtype, status, payload_ctype, payload, path]
 
 
+# the binaryFile source's fixed schema — needed explicitly for the
+# STREAMING reader (readStream requires a user-supplied schema)
+BINARYFILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def parse_warc_df(
+    files: DataFrame,
+    record_types: Sequence[str] = ("response",),
+) -> DataFrame:
+    """WARC records from a ``(path, content)`` DataFrame — the parse
+    kernel behind :func:`read_warc`, factored out so the STREAMING
+    reader (``readStream.format('binaryFile')`` over a crawl landing
+    directory) runs the identical plan on its micro-batches."""
+
+    def parse(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["url", "warc_ts", "record_type", "http_status",
+                "content_type", "html", "warc_file"]
+        for pdf in batches:
+            for p, content in zip(pdf["path"], pdf["content"]):
+                buf: List[List] = []
+                for row in _warc_rows(p, bytes(content), record_types):
+                    buf.append(row)
+                    if len(buf) >= _BATCH_ROWS:
+                        yield pd.DataFrame(buf, columns=cols)
+                        buf = []
+                if buf:
+                    yield pd.DataFrame(buf, columns=cols)
+
+    return files.select("path", "content").mapInPandas(parse, _WARC_SCHEMA)
+
+
 def read_warc(
     spark: SparkSession,
     path: str,
@@ -252,22 +287,7 @@ def read_warc(
     emitted Arrow batch.
     """
     files = spark.read.format("binaryFile").load(path)
-
-    def parse(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = ["url", "warc_ts", "record_type", "http_status",
-                "content_type", "html", "warc_file"]
-        for pdf in batches:
-            for p, content in zip(pdf["path"], pdf["content"]):
-                buf: List[List] = []
-                for row in _warc_rows(p, bytes(content), record_types):
-                    buf.append(row)
-                    if len(buf) >= _BATCH_ROWS:
-                        yield pd.DataFrame(buf, columns=cols)
-                        buf = []
-                if buf:
-                    yield pd.DataFrame(buf, columns=cols)
-
-    return files.select("path", "content").mapInPandas(parse, _WARC_SCHEMA)
+    return parse_warc_df(files, record_types)
 
 
 def read_wet(spark: SparkSession, path: str) -> DataFrame:

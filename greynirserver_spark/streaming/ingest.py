@@ -123,6 +123,7 @@ def stream_append_to_store(
     minhash_bands: int = 8,
     emit_topic_gram: bool = False,
     lsa_vocab_size: int = 512,
+    source_format: str = "parquet",
 ):
     """Continuous index maintenance: stream pages files INTO a built
     :class:`~..plans.lineage.IndexStore` via ``append_pages`` per
@@ -166,16 +167,48 @@ def stream_append_to_store(
     (``assign_topics_lsa(fit_from_gram_store(...))``) so a replayed
     micro-batch never re-tags with a newer model.
 
+    ``source_format='warc'`` points the same loop at a crawl-archive
+    landing directory instead of pages parquet: each arriving
+    ``.warc``/``.warc.gz`` container is parsed by the batch reader's
+    kernel (sources/warc.py::parse_warc_df — map-only, one task per
+    container), HTTP envelopes stripped, text extracted and language
+    identified (warc_to_pages), and the resulting canonical pages rows
+    flow through the UNCHANGED append/gate logic below. The file-source
+    checkpoint then gives exactly-once per container — the cc-style
+    "archives land, index follows" loop with no intermediate table.
+
     Returns the StreamingQuery (caller awaits/stops it).
     """
     import os
 
     from ..plans.lineage import append_pages
 
-    reader = spark.readStream.schema(PAGES_SCHEMA).format("parquet")
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    pages = reader.load(input_dir)
+    if source_format == "warc":
+        from ..sources.warc import (
+            BINARYFILE_SCHEMA,
+            parse_warc_df,
+            warc_to_pages,
+        )
+
+        reader = (
+            spark.readStream.format("binaryFile")
+            .schema(BINARYFILE_SCHEMA)
+            .option("pathGlobFilter", "*.warc*")
+        )
+        if max_files_per_trigger:
+            reader = reader.option(
+                "maxFilesPerTrigger", max_files_per_trigger)
+        pages = warc_to_pages(parse_warc_df(reader.load(input_dir)))
+    elif source_format == "parquet":
+        reader = spark.readStream.schema(PAGES_SCHEMA).format("parquet")
+        if max_files_per_trigger:
+            reader = reader.option(
+                "maxFilesPerTrigger", max_files_per_trigger)
+        pages = reader.load(input_dir)
+    else:
+        raise ValueError(
+            f"source_format must be 'parquet' or 'warc', got "
+            f"{source_format!r}")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession

@@ -207,6 +207,46 @@ def test_warc_to_pages_skips_non_2xx(spark, tmp_path):
     assert urls == ["http://x.is/a"]
 
 
+def test_stream_warc_append_matches_batch(spark, tmp_path):
+    """Containers landing in a directory stream into the index store
+    (source_format='warc') and yield the same store contents as a
+    one-shot batch append of the same parsed pages."""
+    from pyspark.sql import functions as F
+
+    from greynirserver_spark.plans.lineage import (
+        append_pages,
+        build_index_checkpointed,
+    )
+    from greynirserver_spark.streaming.ingest import stream_append_to_store
+
+    all_pages = generate_pages(spark, 120).cache()
+    h = F.pmod(F.xxhash64("url"), F.lit(3))
+    base = all_pages.where(h == 0)
+    s_stream = build_index_checkpointed(
+        spark, base, str(tmp_path / "s_stream"), n_shards=4)
+    s_batch = build_index_checkpointed(
+        spark, base, str(tmp_path / "s_batch"), n_shards=4)
+
+    landing = str(tmp_path / "landing")
+    export_warc(all_pages.where(h != 0).repartition(2), landing)
+
+    q = stream_append_to_store(
+        spark, s_stream, landing, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, source_format="warc",
+    )
+    q.awaitTermination(120)
+
+    ingested = warc_to_pages(read_warc(spark, landing))
+    append_pages(spark, s_batch, ingested)
+
+    urls_stream = sorted(
+        r.url for r in spark.read.parquet(s_stream.doc_map).collect())
+    urls_batch = sorted(
+        r.url for r in spark.read.parquet(s_batch.doc_map).collect())
+    assert urls_stream == urls_batch
+    assert len(urls_stream) > base.where(F.col("lang") == "is").count() - 1
+
+
 def test_warc_ingest_feeds_index_build(spark, tmp_path):
     """End-to-end: export → read_warc → warc_to_pages rows carry the
     exact (url, warc_ts, html, text, lang) shape the index build
