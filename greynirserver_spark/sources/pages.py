@@ -23,7 +23,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-__all__ = ["upsert_pages", "dedup_http_https", "extract_links"]
+__all__ = ["upsert_pages", "dedup_http_https", "extract_links",
+           "filter_noindex", "canonical_urls", "dedup_by_canonical"]
 
 _HREF_RE = r'href="([^"#][^"]*)"'
 
@@ -134,3 +135,65 @@ def extract_links(pages: DataFrame, same_domain: bool = True) -> DataFrame:
             F.regexp_extract("link", r"^https?://([^/]+)", 1) == F.col("host")
         )
     return df.select("url", "link").distinct()
+
+
+def filter_noindex(pages: DataFrame) -> DataFrame:
+    """Drop pages whose html carries a robots meta ``noindex``
+    directive — the crawl-politeness gate a real web index applies
+    before anything else touches the page (the reference's scraper
+    honors per-root skip rules, scraper.py; a Common-Crawl replay must
+    honor the page's own opt-out instead). Pure JVM regexp over the
+    html column, attribute order-insensitive, case-insensitive; rows
+    with NULL html are kept (nothing to evaluate)."""
+    h = F.lower(F.col("html").cast("string"))
+    name_first = (
+        r'<meta[^>]*name\s*=\s*["\x27]?robots["\x27]?[^>]*'
+        r'content\s*=\s*["\x27][^"\x27]*noindex'
+    )
+    content_first = (
+        r'<meta[^>]*content\s*=\s*["\x27][^"\x27]*noindex[^"\x27]*["\x27]'
+        r'[^>]*name\s*=\s*["\x27]?robots["\x27]?'
+    )
+    return pages.where(
+        F.col("html").isNull()
+        | (~h.rlike(name_first) & ~h.rlike(content_first))
+    )
+
+
+def canonical_urls(pages: DataFrame) -> DataFrame:
+    """(url, canonical): each page's ``<link rel="canonical">`` target,
+    absolutized against the page's own scheme+host (relative canonicals
+    are legal). Pages without the tag canonicalize to themselves — so
+    the output is a total url->key mapping usable directly as a dedup
+    key (grouping mirror/parameter variants of one logical document,
+    the exact-dedup key real crawl pipelines prefer over raw url)."""
+    base = F.regexp_extract("url", r"^(https?://[^/]+)", 1)
+    h = F.col("html").cast("string")
+    rel_first = (
+        r'<link[^>]*rel\s*=\s*["\x27]?canonical["\x27]?[^>]*'
+        r'href\s*=\s*["\x27]([^"\x27]+)["\x27]'
+    )
+    href_first = (
+        r'<link[^>]*href\s*=\s*["\x27]([^"\x27]+)["\x27]'
+        r'[^>]*rel\s*=\s*["\x27]?canonical["\x27]?'
+    )
+    cand = F.when(
+        F.regexp_extract(h, rel_first, 1) != "",
+        F.regexp_extract(h, rel_first, 1),
+    ).otherwise(F.regexp_extract(h, href_first, 1))
+    canonical = (
+        F.when(cand == "", F.col("url"))
+        .when(cand.rlike("^https?://"), cand)
+        .when(cand.startswith("/"), F.concat(base, cand))
+        .otherwise(F.concat(base, F.lit("/"), cand))
+    )
+    return pages.select("url", canonical.alias("canonical"))
+
+
+def dedup_by_canonical(pages: DataFrame) -> DataFrame:
+    """Keep one page per canonical target (smallest url wins — the
+    deterministic survivor rule used by the exact-dedup family in
+    operators/dedup.py). One groupBy on the canonical key; linear."""
+    keyed = pages.join(canonical_urls(pages), "url")
+    winners = keyed.groupBy("canonical").agg(F.min("url").alias("url"))
+    return pages.join(winners.select("url"), "url")

@@ -64,3 +64,60 @@ def test_extract_links(spark):
     }
     all_links = {r.link for r in extract_links(df, same_domain=False).collect()}
     assert "https://other.com/c" in all_links
+
+
+def test_filter_noindex(spark):
+    from greynirserver_spark.sources.pages import filter_noindex
+
+    rows = [
+        ("https://a.is/keep", b"<html><head></head><body>x</body></html>"),
+        ("https://a.is/drop1",
+         b'<html><meta name="robots" content="noindex,nofollow"></html>'),
+        ("https://a.is/drop2",
+         b"<html><META CONTENT='NOINDEX' NAME=robots></html>"),
+        ("https://a.is/keep2",
+         b'<html><meta name="robots" content="nofollow"></html>'),
+        ("https://a.is/keep3",
+         b'<html><meta name="viewport" content="noindex-lookalike">'
+         b'</html>'),  # noindex in content but name != robots
+        ("https://a.is/nullhtml", None),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    kept = sorted(r.url for r in filter_noindex(pages).collect())
+    assert kept == ["https://a.is/keep", "https://a.is/keep2",
+                    "https://a.is/keep3", "https://a.is/nullhtml"]
+
+
+def test_canonical_urls_and_dedup(spark):
+    from greynirserver_spark.sources.pages import (
+        canonical_urls,
+        dedup_by_canonical,
+    )
+
+    rows = [
+        # absolute canonical, two variants of one doc
+        ("https://a.is/page?utm=1",
+         b'<html><link rel="canonical" href="https://a.is/page"></html>'),
+        ("https://a.is/page?utm=2",
+         b'<html><link href="https://a.is/page" rel=canonical></html>'),
+        # relative canonical resolves against the page's host
+        ("https://a.is/amp/x",
+         b'<html><link rel="canonical" href="/x"></html>'),
+        # no canonical tag => self
+        ("https://a.is/y", b"<html><body>y</body></html>"),
+        # stylesheet link must NOT match
+        ("https://a.is/z",
+         b'<html><link rel="stylesheet" href="/style.css"></html>'),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    canon = {r.url: r.canonical for r in canonical_urls(pages).collect()}
+    assert canon["https://a.is/page?utm=1"] == "https://a.is/page"
+    assert canon["https://a.is/page?utm=2"] == "https://a.is/page"
+    assert canon["https://a.is/amp/x"] == "https://a.is/x"
+    assert canon["https://a.is/y"] == "https://a.is/y"
+    assert canon["https://a.is/z"] == "https://a.is/z"
+
+    kept = sorted(r.url for r in dedup_by_canonical(pages).collect())
+    # one survivor per canonical key, smallest url wins
+    assert kept == ["https://a.is/amp/x", "https://a.is/page?utm=1",
+                    "https://a.is/y", "https://a.is/z"]
