@@ -261,3 +261,55 @@ def test_warc_ingest_feeds_index_build(spark, tmp_path):
         "url", "warc_ts", "html", "text", "lang"]
     toks = tokenize_plain_text(ingested.selectExpr("url", "text"))
     assert toks.count() > 0
+
+
+# ---------------------------------------------------------------- property
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    payloads=st.lists(
+        st.binary(min_size=0, max_size=400), min_size=1, max_size=8),
+    urls=st.lists(
+        st.from_regex(r"https?://[a-z]{1,10}\.is/[a-z0-9/]{0,20}",
+                      fullmatch=True),
+        min_size=8, max_size=8),
+    gz=st.booleans(),
+)
+def test_record_round_trip_property(payloads, urls, gz):
+    """Any byte payload — including bodies containing 'WARC/1.0',
+    CRLFs, or gzip magic — survives the writer->parser round trip,
+    because record framing is Content-Length-delimited, never
+    delimiter-scanned."""
+    from greynirserver_spark.sources.warc import (
+        _response_record,
+        _split_http_block,
+        parse_warc_bytes,
+    )
+
+    ts = dt.datetime(2026, 3, 4, 5, 6, 7)
+    recs = [
+        _response_record(urls[i % len(urls)] + str(i), ts, body)
+        for i, body in enumerate(payloads)
+    ]
+    raw = b"".join(gzip.compress(r) for r in recs) if gz else b"".join(recs)
+    parsed = list(parse_warc_bytes(raw))
+    assert len(parsed) == len(payloads)
+    for (fields, block), body, i in zip(
+            parsed, payloads, range(len(payloads))):
+        assert fields["warc-type"] == "response"
+        assert fields["warc-target-uri"] == urls[i % len(urls)] + str(i)
+        status, ctype, got = _split_http_block(block)
+        assert status == 200
+        assert got == body
+
+
+@settings(max_examples=100, deadline=None)
+@given(junk=st.binary(min_size=0, max_size=300))
+def test_parser_never_raises_on_garbage(junk):
+    from greynirserver_spark.sources.warc import parse_warc_bytes
+
+    list(parse_warc_bytes(junk))
+    list(parse_warc_bytes(b"WARC/1.0\r\n" + junk))
