@@ -54,6 +54,7 @@ __all__ = [
     "export_warc",
     "export_wet",
     "parse_warc_bytes",
+    "parse_warc_stream",
     "parse_warc_df",
     "BINARYFILE_SCHEMA",
 ]
@@ -74,15 +75,6 @@ _WET_SCHEMA = "url string, warc_ts timestamp, text string, warc_file string"
 # ---------------------------------------------------------------------------
 # record-level parsing (plain Python; unit-testable without Spark)
 # ---------------------------------------------------------------------------
-
-def _maybe_gunzip(raw: bytes) -> bytes:
-    """Decompress multi-member gzip (the CC member-per-record layout);
-    pass non-gzip bytes through untouched."""
-    if raw[:2] == b"\x1f\x8b":
-        # gzip.decompress handles concatenated members since 3.8
-        return gzip.decompress(raw)
-    return raw
-
 
 def _parse_warc_ts(value: str) -> Optional[dt.datetime]:
     """WARC-Date (ISO 8601, 'Z'-suffixed, optional fraction) → naive
@@ -180,39 +172,62 @@ def _split_http_block(block: bytes) -> Tuple[Optional[int], Optional[str], bytes
     return status, ctype, body
 
 
-def parse_warc_bytes(raw: bytes) -> Iterator[Tuple[dict, bytes]]:
-    """Yield (header-fields, body-bytes) per record from one container.
+def parse_warc_stream(fh) -> Iterator[Tuple[dict, bytes]]:
+    """Yield (header-fields, body-bytes) per record from a binary
+    file-like object (plain or already-wrapped gzip stream).
 
     Header field names are lower-cased. The body is exactly
     ``Content-Length`` bytes; the inter-record CRLF padding is skipped.
     Malformed trailing garbage ends iteration rather than raising —
     a truncated tail file loses its last record, never the whole task.
+
+    STREAMING: memory is bounded by ONE record, never the container.
+    A Common Crawl container is ~1 GiB gzipped / 4-5 GiB decompressed;
+    decompress-then-scan would spike every task by that much, which is
+    exactly the pattern that fell over in the 600k-page scaling
+    measurement (BENCH.md) — this reads through ``GzipFile`` line by
+    line instead, holding only the current record's body.
     """
-    data = _maybe_gunzip(raw)
-    i, n = 0, len(data)
-    while i < n:
-        while data.startswith(b"\r\n", i):
-            i += 2
-        if i >= n:
+    while True:
+        # skip inter-record CRLF padding, find the version line
+        line = fh.readline()
+        while line in (b"\r\n", b"\n"):
+            line = fh.readline()
+        if not line:
             return
-        if not data.startswith(b"WARC/", i):
+        if not line.startswith(b"WARC/"):
             return  # trailing garbage / truncation
-        head_end = data.find(b"\r\n\r\n", i)
-        if head_end < 0:
-            return
         fields: dict = {}
-        for line in data[i:head_end].decode("utf-8", "replace").split("\r\n")[1:]:
-            k, _, v = line.partition(":")
+        while True:
+            line = fh.readline()
+            if not line:
+                return  # truncated header
+            if line in (b"\r\n", b"\n"):
+                break
+            k, _, v = line.decode("utf-8", "replace").partition(":")
             fields[k.strip().lower()] = v.strip()
         try:
             length = int(fields.get("content-length", "0"))
         except ValueError:
             return
-        body_start = head_end + 4
-        if body_start + length > n:
+        body = fh.read(length)
+        if len(body) < length:
             return  # truncated final record
-        yield fields, data[body_start:body_start + length]
-        i = body_start + length
+        yield fields, body
+
+
+def parse_warc_bytes(raw: bytes) -> Iterator[Tuple[dict, bytes]]:
+    """:func:`parse_warc_stream` over in-memory container bytes,
+    transparently unwrapping (multi-member) gzip. The gzip stream is
+    decompressed INCREMENTALLY — peak memory is the compressed bytes
+    plus one record, not the decompressed container."""
+    if raw[:2] == b"\x1f\x8b":
+        fh = io.BufferedReader(
+            gzip.GzipFile(fileobj=io.BytesIO(raw)), buffer_size=1 << 20
+        )
+    else:
+        fh = io.BufferedReader(io.BytesIO(raw), buffer_size=1 << 20)
+    yield from parse_warc_stream(fh)
 
 
 # ---------------------------------------------------------------------------
