@@ -331,7 +331,12 @@ def main() -> None:
     #     broadcast join on top of the same tokenize.
     from greynirserver_spark.operators.pii import pii_redact
 
-    timed("q8b_pii_redact", lambda: pii_redact(docs).count())
+    # force the redaction columns: count() would let Catalyst prune the
+    # regexp chain and time a bare scan (same for q15 below)
+    timed("q8b_pii_redact", lambda: pii_redact(docs).agg(
+        F.sum(F.col("n_email") + F.col("n_id") + F.col("n_ipv4")
+              + F.col("n_phone")),
+        F.sum(F.length("clean_text"))).first())
     timed("q8c_unigram_logprob",
           lambda: T.unigram_logprob_scores(docs).count())
     from greynirserver_spark.operators.classifier import nb_seed_classifier
@@ -446,13 +451,14 @@ def main() -> None:
     )
 
     timed("q15_training_shuffle",
-          lambda: training_shards(docs, seed=1, n_shards=8).count())
+          lambda: training_shards(docs, seed=1, n_shards=8).agg(
+              F.max("pos"), F.count("*")).first())
     timed("q15_doc_chunks", lambda: T.chunk_documents(
         docs, max_tokens=32, stride=24
     ).count())
     timed("q15_split", lambda: train_val_test_split(
         docs.select("doc_id"), (0.98, 0.01, 0.01), seed=1
-    ).count())
+    ).groupBy("split").count().collect())
 
     # --- q16: WARC container ingest (parse + envelope strip + extract
     #     + langid) over a pre-exported slice of the bench corpus —
@@ -465,8 +471,11 @@ def main() -> None:
     shutil.rmtree(warc_dir, ignore_errors=True)
     n_warc = 2000
     export_warc(pages.limit(n_warc).repartition(8), warc_dir)
+    # aggregate over text+lang, NOT count(): count() lets Catalyst prune
+    # the extraction/langid projections and times the parse alone
     timed("q16_warc_ingest_2000pages",
-          lambda: warc_to_pages(read_warc(spark, warc_dir)).count())
+          lambda: warc_to_pages(read_warc(spark, warc_dir)).agg(
+              F.sum(F.length("text")), F.count("lang")).first())
 
     # --- q17: link-graph PageRank, 5 power iterations over the
     #     deterministic doc graph (3 out-edges/doc) — the iterative

@@ -32,11 +32,15 @@ from greynirserver_spark.session import get_spark
 spark = get_spark(app_name="warc-scale", master="local[{cores}]",
                   shuffle_partitions={cores})
 from greynirserver_spark.sources.warc import read_warc, warc_to_pages
+from pyspark.sql import functions as F
 
 def run():
+    # aggregate over text+lang so Catalyst cannot prune the
+    # extraction/langid projections (count() would time parse alone)
     t0 = time.perf_counter()
-    n = warc_to_pages(read_warc(spark, {warc_dir!r})).count()
-    return n, time.perf_counter() - t0
+    row = warc_to_pages(read_warc(spark, {warc_dir!r})).agg(
+        F.count("lang").alias("n"), F.sum(F.length("text"))).first()
+    return int(row["n"]), time.perf_counter() - t0
 
 run()  # warmup: codegen + python workers
 best, n = None, 0
