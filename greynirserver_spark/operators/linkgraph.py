@@ -65,6 +65,8 @@ def pagerank(
     """
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
     e = edges.select("src", "dst").where(
         F.col("src").isNotNull() & F.col("dst").isNotNull()
     ).distinct()

@@ -146,14 +146,20 @@ def filter_noindex(pages: DataFrame) -> DataFrame:
     html column, attribute order-insensitive, case-insensitive; rows
     with NULL html are kept (nothing to evaluate)."""
     h = F.lower(F.col("html").cast("string"))
-    name_first = (
-        r'<meta[^>]*name\s*=\s*["\x27]?robots["\x27]?[^>]*'
-        r'content\s*=\s*["\x27][^"\x27]*noindex'
+    # name must be the TOKEN robots (quoted exactly, or unquoted and
+    # terminated by whitespace / '/' / '>'): 'robotsfoo' must not
+    # match. content may be quoted (noindex as a \b token inside the
+    # directive list) or unquoted per the HTML spec (value runs to
+    # whitespace / '>'; noindex must not be a prefix of a longer word).
+    name_is_robots = (
+        r'name\s*=\s*(?:["\x27]\s*robots\s*["\x27]|robots(?=[\s/>]))'
     )
-    content_first = (
-        r'<meta[^>]*content\s*=\s*["\x27][^"\x27]*noindex[^"\x27]*["\x27]'
-        r'[^>]*name\s*=\s*["\x27]?robots["\x27]?'
+    content_noindex = (
+        r'content\s*=\s*(?:["\x27][^"\x27]*\bnoindex\b'
+        r'|[^"\x27\s>]*noindex(?![\w-]))'
     )
+    name_first = r"<meta[^>]*" + name_is_robots + r"[^>]*" + content_noindex
+    content_first = r"<meta[^>]*" + content_noindex + r"[^>]*" + name_is_robots
     return pages.where(
         F.col("html").isNull()
         | (~h.rlike(name_first) & ~h.rlike(content_first))
@@ -168,25 +174,48 @@ def canonical_urls(pages: DataFrame) -> DataFrame:
     key (grouping mirror/parameter variants of one logical document,
     the exact-dedup key real crawl pipelines prefer over raw url)."""
     base = F.regexp_extract("url", r"^(https?://[^/]+)", 1)
+    scheme = F.regexp_extract("url", r"^(https?):", 1)
+    # page directory for RFC 3986 relative resolution (greedy .*/ ⇒ up
+    # to the LAST path slash); '' when the url has no path component
+    dirbase = F.regexp_extract("url", r"^(https?://[^/]+/.*/)", 1)
     h = F.col("html").cast("string")
+    # (?i): tag/attribute names are case-insensitive (<LINK
+    # REL="CANONICAL">) but the extracted href keeps its original case
+    # — URL paths are case-sensitive, so lowering the html (the
+    # filter_noindex approach) would corrupt the key.
     rel_first = (
-        r'<link[^>]*rel\s*=\s*["\x27]?canonical["\x27]?[^>]*'
+        r'(?i)<link[^>]*rel\s*=\s*["\x27]?canonical["\x27]?[^>]*'
         r'href\s*=\s*["\x27]([^"\x27]+)["\x27]'
     )
     href_first = (
-        r'<link[^>]*href\s*=\s*["\x27]([^"\x27]+)["\x27]'
+        r'(?i)<link[^>]*href\s*=\s*["\x27]([^"\x27]+)["\x27]'
         r'[^>]*rel\s*=\s*["\x27]?canonical["\x27]?'
     )
     cand = F.when(
         F.regexp_extract(h, rel_first, 1) != "",
         F.regexp_extract(h, rel_first, 1),
     ).otherwise(F.regexp_extract(h, href_first, 1))
+    cand = F.regexp_replace(cand, r"^\./", "")  # href="./x" ≡ href="x"
     canonical = (
         F.when(cand == "", F.col("url"))
         .when(cand.rlike("^https?://"), cand)
+        # protocol-relative: inherit the page's scheme, not its host
+        .when(cand.startswith("//"), F.concat(scheme, F.lit(":"), cand))
         .when(cand.startswith("/"), F.concat(base, cand))
-        .otherwise(F.concat(base, F.lit("/"), cand))
+        # directory-relative: resolve against the page's directory
+        .otherwise(
+            F.concat(
+                F.when(dirbase != "", dirbase)
+                .otherwise(F.concat(base, F.lit("/"))),
+                cand,
+            )
+        )
     )
+    # NULL html ⇒ every regexp above is NULL ⇒ canonical NULL; such a
+    # page must canonicalize to ITSELF — a NULL key would merge all
+    # html-less pages into one groupBy group and dedup_by_canonical
+    # would silently drop all but one of them.
+    canonical = F.coalesce(canonical, F.col("url"))
     return pages.select("url", canonical.alias("canonical"))
 
 

@@ -155,9 +155,15 @@ def _split_http_block(block: bytes) -> Tuple[Optional[int], Optional[str], bytes
     if "chunked" in t_enc:
         body = _dechunk(body)
     if c_enc in ("gzip", "x-gzip"):
+        # BadGzipFile is OSError, truncation is EOFError, corrupt
+        # deflate inside a valid gzip header is zlib.error — a capture
+        # with a mangled body must degrade to raw bytes, never fail
+        # the ingest task.
+        import zlib
+
         try:
             body = gzip.decompress(body)
-        except OSError:
+        except (OSError, EOFError, zlib.error):
             pass
     elif c_enc == "deflate":
         import zlib
@@ -187,43 +193,110 @@ def parse_warc_stream(fh) -> Iterator[Tuple[dict, bytes]]:
     exactly the pattern that fell over in the 600k-page scaling
     measurement (BENCH.md) — this reads through ``GzipFile`` line by
     line instead, holding only the current record's body.
+
+    Gzip-layer corruption (a truncated download raising ``EOFError``,
+    garbage after the last member raising ``BadGzipFile``, a corrupt
+    deflate stream raising ``zlib.error``) ALSO ends iteration instead
+    of propagating: one bad container among Common Crawl's ~64k files
+    must lose its tail records, not fail the whole Spark task — the
+    same degrade-don't-fail contract as the framing checks below.
     """
-    while True:
-        # skip inter-record CRLF padding, find the version line
-        line = fh.readline()
-        while line in (b"\r\n", b"\n"):
-            line = fh.readline()
-        if not line:
-            return
-        if not line.startswith(b"WARC/"):
-            return  # trailing garbage / truncation
-        fields: dict = {}
+    import zlib
+
+    try:
         while True:
+            # skip inter-record CRLF padding, find the version line
             line = fh.readline()
+            while line in (b"\r\n", b"\n"):
+                line = fh.readline()
             if not line:
-                return  # truncated header
-            if line in (b"\r\n", b"\n"):
-                break
-            k, _, v = line.decode("utf-8", "replace").partition(":")
-            fields[k.strip().lower()] = v.strip()
-        try:
-            length = int(fields.get("content-length", "0"))
-        except ValueError:
-            return
-        body = fh.read(length)
-        if len(body) < length:
-            return  # truncated final record
-        yield fields, body
+                return
+            if not line.startswith(b"WARC/"):
+                return  # trailing garbage / truncation
+            fields: dict = {}
+            while True:
+                line = fh.readline()
+                if not line:
+                    return  # truncated header
+                if line in (b"\r\n", b"\n"):
+                    break
+                k, _, v = line.decode("utf-8", "replace").partition(":")
+                fields[k.strip().lower()] = v.strip()
+            try:
+                length = int(fields.get("content-length", "0"))
+            except ValueError:
+                return
+            body = fh.read(length)
+            if len(body) < length:
+                return  # truncated final record
+            yield fields, body
+    except (EOFError, OSError, zlib.error):
+        return  # corrupt gzip layer: keep records parsed so far
+
+
+class _TolerantGzipReader(io.RawIOBase):
+    """Streaming multi-member gzip decoder that turns corruption into
+    clean EOF instead of raising.
+
+    ``GzipFile`` cannot provide this: its ``read(size)`` loops across
+    member boundaries inside ONE call and, on hitting garbage where the
+    next member header should be, raises ``BadGzipFile`` and DISCARDS
+    the decompressed bytes it already produced (measured — the whole
+    container parses to zero records). Decoding member-by-member with
+    ``zlib.decompressobj(31)`` keeps every byte decoded before the
+    corrupt region: a garbage tail or truncated download costs the
+    records at and after it, never the container. Memory stays bounded
+    by one compressed chunk + ``max_length`` of decompressed output."""
+
+    _CHUNK = 1 << 16
+
+    def __init__(self, fh) -> None:
+        import zlib
+
+        self._fh = fh  # the COMPRESSED byte stream
+        self._zlib = zlib
+        self._dec = zlib.decompressobj(31)  # 31 = gzip wrapper
+        self._pending = b""  # compressed bytes awaiting the decoder
+
+    def readable(self) -> bool:
+        return True
+
+    def readinto(self, b) -> int:
+        want = len(b)
+        while True:
+            chunk = self._pending
+            self._pending = b""
+            if not chunk:
+                chunk = self._fh.read(self._CHUNK)
+                if not chunk:
+                    return 0  # true EOF
+            try:
+                out = self._dec.decompress(chunk, want)
+            except self._zlib.error:
+                return 0  # corrupt member / garbage tail: clean EOF
+            if self._dec.eof:
+                # member finished: stash the bytes after its trailer
+                # and arm a fresh decoder for the next member
+                self._pending = self._dec.unused_data
+                self._dec = self._zlib.decompressobj(31)
+            else:
+                self._pending = self._dec.unconsumed_tail
+            if out:
+                b[: len(out)] = out
+                return len(out)
+            # header/trailer bytes only — keep feeding
 
 
 def parse_warc_bytes(raw: bytes) -> Iterator[Tuple[dict, bytes]]:
     """:func:`parse_warc_stream` over in-memory container bytes,
     transparently unwrapping (multi-member) gzip. The gzip stream is
     decompressed INCREMENTALLY — peak memory is the compressed bytes
-    plus one record, not the decompressed container."""
+    plus one record, not the decompressed container. Gzip-layer
+    corruption costs the records at and after it, never the ones
+    before (see :class:`_TolerantGzipReader`)."""
     if raw[:2] == b"\x1f\x8b":
         fh = io.BufferedReader(
-            gzip.GzipFile(fileobj=io.BytesIO(raw)), buffer_size=1 << 20
+            _TolerantGzipReader(io.BytesIO(raw)), buffer_size=1 << 20
         )
     else:
         fh = io.BufferedReader(io.BytesIO(raw), buffer_size=1 << 20)
@@ -412,19 +485,24 @@ def _conversion_record(url: str, ts: Optional[dt.datetime],
 
 
 def _export(df: DataFrame, out_dir: str, make_record, cols: List[str]) -> int:
-    """foreachPartition writer: each partition streams its rows into
+    """Per-partition writer: each partition streams its rows into
     ``out_dir/part-<pid>.warc.gz``, one gzip member per record (the CC
     layout). Executor-side and driver-memory-free; on a cluster
     *out_dir* would be shared storage — the task-local write pattern is
-    identical. Returns the number of partition files written."""
+    identical. The in-progress temp name starts with ``.`` so Spark's
+    file sources (and the streaming ingest glob) never list a
+    half-written container. Returns the number of partition files THIS
+    call wrote (counted from the successful task attempts, not by
+    re-listing the directory — an out_dir that already holds files from
+    an earlier export does not inflate the count)."""
     os.makedirs(out_dir, exist_ok=True)
 
-    def write_partition(rows) -> None:
+    def write_partition(rows):
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
         path = os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
-        tmp = path + ".inprogress"
+        tmp = os.path.join(out_dir, f".part-{pid:05d}.inprogress")
         wrote = False
         with open(tmp, "wb") as fh:
             for row in rows:
@@ -437,11 +515,12 @@ def _export(df: DataFrame, out_dir: str, make_record, cols: List[str]) -> int:
                 wrote = True
         if wrote:
             os.replace(tmp, path)  # atomic visibility, like runstore
+            yield 1
         else:
             os.remove(tmp)  # empty partition → no file
 
-    df.select(*cols).foreachPartition(write_partition)
-    return len([f for f in os.listdir(out_dir) if f.endswith(".warc.gz")])
+    written = df.select(*cols).rdd.mapPartitions(write_partition).sum()
+    return int(written or 0)
 
 
 def export_warc(pages: DataFrame, out_dir: str) -> int:

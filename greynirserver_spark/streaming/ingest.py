@@ -193,7 +193,13 @@ def stream_append_to_store(
         reader = (
             spark.readStream.format("binaryFile")
             .schema(BINARYFILE_SCHEMA)
-            .option("pathGlobFilter", "*.warc*")
+            # exact extensions only — '*.warc*' would also match
+            # half-written '<name>.warc.gz.inprogress' temp files from
+            # concurrent exporters, ingesting a partial gzip once and
+            # the renamed final file a second time (the checkpoint
+            # keys on path). export_warc's own temps are additionally
+            # dot-prefixed, which Spark's file listing skips.
+            .option("pathGlobFilter", "*.{warc,warc.gz}")
         )
         if max_files_per_trigger:
             reader = reader.option(

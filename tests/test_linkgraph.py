@@ -88,3 +88,14 @@ def test_pagerank_plan_no_cartesian(spark):
     out = pagerank(edges, iterations=2)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_pagerank_validates_checkpoint_every(spark):
+    import pytest as _pytest
+
+    from greynirserver_spark.operators.linkgraph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2)], "src long, dst long")
+    with _pytest.raises(ValueError):
+        pagerank(edges, iterations=2, checkpoint_every=0)

@@ -121,3 +121,68 @@ def test_canonical_urls_and_dedup(spark):
     # one survivor per canonical key, smallest url wins
     assert kept == ["https://a.is/amp/x", "https://a.is/page?utm=1",
                     "https://a.is/y", "https://a.is/z"]
+
+
+def test_filter_noindex_unquoted_and_token_boundaries(spark):
+    """Round-5 review findings: the legal unquoted attribute form must
+    be honored, and 'robots'/'noindex' must match as TOKENS, not
+    prefixes."""
+    from greynirserver_spark.sources.pages import filter_noindex
+
+    rows = [
+        # unquoted form is legal HTML and must be DROPPED
+        ("https://a.is/unquoted",
+         b"<html><meta name=robots content=noindex></html>"),
+        ("https://a.is/unquoted2",
+         b"<html><meta content=noindex,nofollow name=robots></html>"),
+        # prefix lookalikes must be KEPT
+        ("https://a.is/prefix",
+         b'<html><meta name="robotsfoo" content="noindexy"></html>'),
+        ("https://a.is/prefix2",
+         b"<html><meta name=robots content=noindexy></html>"),
+        ("https://a.is/plain", b"<html><body>ok</body></html>"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    kept = sorted(r.url for r in filter_noindex(pages).collect())
+    assert kept == ["https://a.is/plain", "https://a.is/prefix",
+                    "https://a.is/prefix2"]
+
+
+def test_canonical_urls_case_protocol_relative_and_dirs(spark):
+    """Round-5 review findings: uppercase markup, protocol-relative
+    hrefs, directory-relative resolution, './' prefix."""
+    from greynirserver_spark.sources.pages import canonical_urls
+
+    rows = [
+        ("https://a.is/upper",
+         b'<html><LINK REL="CANONICAL" HREF="https://a.is/Upper"></html>'),
+        ("https://a.is/proto",
+         b'<html><link rel="canonical" href="//cdn.b.is/x"></html>'),
+        ("https://a.is/dir/page",
+         b'<html><link rel="canonical" href="x"></html>'),
+        ("https://a.is/dir/page2",
+         b'<html><link rel="canonical" href="./x"></html>'),
+        ("https://a.is/rootrel",
+         b'<html><link rel="canonical" href="x"></html>'),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    canon = {r.url: r.canonical for r in canonical_urls(pages).collect()}
+    # href case is PRESERVED (URL paths are case-sensitive)
+    assert canon["https://a.is/upper"] == "https://a.is/Upper"
+    assert canon["https://a.is/proto"] == "https://cdn.b.is/x"
+    assert canon["https://a.is/dir/page"] == "https://a.is/dir/x"
+    assert canon["https://a.is/dir/page2"] == "https://a.is/dir/x"
+    assert canon["https://a.is/rootrel"] == "https://a.is/x"
+
+
+def test_dedup_by_canonical_keeps_all_null_html_pages(spark):
+    """NULL html must canonicalize to SELF: a NULL groupBy key would
+    merge every html-less page into one group and silently drop all
+    but one (round-5 review finding)."""
+    from greynirserver_spark.sources.pages import dedup_by_canonical
+
+    rows = [("https://a.is/1", None), ("https://b.is/2", None),
+            ("https://a.is/3", b"<html>x</html>")]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    kept = sorted(r.url for r in dedup_by_canonical(pages).collect())
+    assert kept == ["https://a.is/1", "https://a.is/3", "https://b.is/2"]

@@ -313,3 +313,61 @@ def test_parser_never_raises_on_garbage(junk):
 
     list(parse_warc_bytes(junk))
     list(parse_warc_bytes(b"WARC/1.0\r\n" + junk))
+
+
+def test_parse_warc_bytes_corrupt_gzip_layer_degrades():
+    """Gzip-layer corruption must END iteration (keeping records parsed
+    so far), never propagate — one bad container among 64k CC files
+    loses its tail, not the task (round-5 review finding)."""
+    good = gzip.compress(
+        _record("response", "http://x.is/ok", "2026-01-02T03:04:05Z",
+                HTTP_BLOCK))
+    # garbage after the last member: BadGzipFile inside the iterator
+    recs = list(parse_warc_bytes(good + b"GARBAGE-NOT-GZIP"))
+    assert [f["warc-target-uri"] for f, _ in recs] == ["http://x.is/ok"]
+    # truncated second member: EOFError inside the iterator
+    two = good + gzip.compress(
+        _record("response", "http://x.is/cut", "2026-01-02T03:04:05Z",
+                HTTP_BLOCK))
+    recs = list(parse_warc_bytes(two[:-30]))
+    assert [f["warc-target-uri"] for f, _ in recs] == ["http://x.is/ok"]
+
+
+def test_split_http_block_corrupt_body_encoding_degrades():
+    from greynirserver_spark.sources.warc import _split_http_block
+
+    # truncated gzip body raises EOFError from gzip.decompress
+    trunc = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: gzip\r\n\r\n" + gzip.compress(HTML)[:-3]
+    )
+    status, _, body = _split_http_block(trunc)
+    assert status == 200  # degraded to raw bytes, no raise
+    # bit-flipped deflate stream inside a valid gzip header
+    blob = bytearray(gzip.compress(HTML))
+    blob[12] ^= 0xFF
+    corrupt = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: gzip\r\n\r\n" + bytes(blob)
+    )
+    status, _, body = _split_http_block(corrupt)
+    assert status == 200
+
+
+def test_export_count_ignores_preexisting_files(spark, tmp_path):
+    out = str(tmp_path / "warc_out")
+    pages = spark.createDataFrame(
+        [("http://x.is/a", dt.datetime(2026, 1, 2), b"<html>a</html>")],
+        "url string, warc_ts timestamp, html binary",
+    ).repartition(1)
+    n1 = export_warc(pages, out)
+    assert n1 == 1
+    # second export into the SAME dir: count reflects THIS call only
+    pages2 = pages.withColumn(
+        "url", __import__("pyspark").sql.functions.lit("http://x.is/b"))
+    n2 = export_warc(pages2, out)
+    assert n2 == 1
+    # and no .inprogress temp (hidden or not) survives
+    import os
+    leftovers = [f for f in os.listdir(out) if "inprogress" in f]
+    assert leftovers == []
