@@ -1503,6 +1503,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_wand_batch": lambda s, d: T.bm25_wand_documents_topk_batch(
             _docs(s, d), _BM25_BATCH, k=20
         ),
+        # fielded BM25 (BM25F): title field = document head, per-field
+        # length norms, one saturation (operators/bm25f.py)
+        "bm25f_topk": lambda s, d: __import__(
+            "greynirserver_spark.operators.bm25f", fromlist=["bm25f"]
+        ).bm25f_documents_topk(_docs(s, d), _BM25_TERMS, k=20),
+        # facet/terms aggregation over the ANY-of match set (the
+        # search-UI source/language counters, operators/facets.py)
+        "search_facets": lambda s, d: __import__(
+            "greynirserver_spark.operators.facets", fromlist=["facets"]
+        ).facet_counts(_docs(s, d), _BM25_TERMS, facet_col="source", k=10),
         "term_stats_top100": lambda s, d: (
             T.document_term_stats(_docs(s, d), min_df=3)
             .orderBy(F.desc("df"), F.asc("term"))
@@ -1932,6 +1942,67 @@ sc AS (
 SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
        doc_id, score
 FROM sc ORDER BY score DESC, doc_id ASC LIMIT 20
+""",
+        "bm25f_topk": f"""
+WITH arrs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_TOKEN_RE}'),
+                     t -> length(t) BETWEEN 1 AND 64) AS toks
+  FROM documents
+), fields AS (
+  SELECT doc_id, toks[1:8] AS title, toks[9:] AS body FROM arrs
+), flen AS (
+  SELECT doc_id, len(title)::BIGINT AS lt, len(body)::BIGINT AS lb
+  FROM fields
+), pt AS (
+  SELECT term, doc_id, count(*)::BIGINT AS tf_t
+  FROM (SELECT doc_id, unnest(title) AS term FROM fields) GROUP BY 1, 2
+), pb AS (
+  SELECT term, doc_id, count(*)::BIGINT AS tf_b
+  FROM (SELECT doc_id, unnest(body) AS term FROM fields) GROUP BY 1, 2
+), j AS (
+  SELECT term, doc_id,
+         coalesce(tf_t, 0) AS tf_t, coalesce(tf_b, 0) AS tf_b
+  FROM pt FULL JOIN pb USING (term, doc_id)
+), stats AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         sum(lt)::DOUBLE / count(*) AS avg_t,
+         sum(lb)::DOUBLE / count(*) AS avg_b
+  FROM flen
+), dfreq AS (
+  SELECT term, count(*)::BIGINT AS df FROM j GROUP BY 1
+  HAVING count(*) >= 3
+), tsi AS (
+  SELECT term,
+         ln((stats.n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf,
+         stats.avg_t, stats.avg_b
+  FROM dfreq, stats
+), w AS (
+  SELECT j.doc_id, tsi.idf,
+         (CASE WHEN tsi.avg_t > 0
+               THEN 2.0 * j.tf_t
+                    / (1.0 - 0.75 + 0.75 * flen.lt / tsi.avg_t)
+               ELSE 0.0 END
+          + CASE WHEN tsi.avg_b > 0
+               THEN 1.0 * j.tf_b
+                    / (1.0 - 0.75 + 0.75 * flen.lb / tsi.avg_b)
+               ELSE 0.0 END) AS wtf
+  FROM j JOIN tsi USING (term) JOIN flen USING (doc_id)
+  WHERE j.term IN ({terms_in})
+), sc AS (
+  SELECT doc_id, round(sum(idf * wtf / (1.2 + wtf)), 4) AS score
+  FROM w GROUP BY 1
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+       doc_id, score
+FROM sc ORDER BY score DESC, doc_id ASC LIMIT 20
+""",
+        "search_facets": _TOK_CTE + f""",
+matched AS (SELECT DISTINCT doc_id FROM post WHERE term IN ({terms_in})),
+fc AS (SELECT d.source AS facet, count(*)::BIGINT AS doc_count
+       FROM matched JOIN documents d USING (doc_id) GROUP BY 1)
+SELECT facet, doc_count FROM fc
+ORDER BY doc_count DESC, facet ASC LIMIT 10
 """,
         "bm25_boolean_topk": _TOK_CTE + """,
 dl AS (SELECT doc_id, sum(tf)::BIGINT AS doclen FROM post GROUP BY 1),

@@ -1,0 +1,205 @@
+"""BM25F: fielded BM25 ranking (title weighted above body).
+
+The reference stores a per-article ``heading`` next to the body text
+(``/root/reference/db/models.py:208``) and its UI surfaces title
+matches prominently; web search engines formalize that as BM25F
+(Robertson & Zaragoza, "The Probabilistic Relevance Framework: BM25
+and Beyond", 2009, §3.5): per-field term frequencies are length-
+normalized PER FIELD, combined with field weights into one pseudo
+frequency, and saturated once —
+
+    wtf(t, d) = sum_f  w_f * tf_{t,f} / (1 - b_f + b_f * len_f/avg_f)
+    score(d)  = sum_t  idf(t) * wtf / (k1 + wtf)
+
+which rewards a title hit more than the same hit in a long body
+without double-saturating (the flaw of naively summing per-field BM25
+scores).
+
+The ``documents`` table has no separate title column, so the title
+field is the document HEAD — the first *title_tokens* filtered tokens
+(Common-Crawl pages carry ``<title>``/lead-heading text first; the
+fixture generator writes the heading into the text head the same way).
+The field split is a pure array slice of the SAME filtered token
+sequence both engines produce, so DuckDB reproduces the scoring
+bit-for-bit at round(4).
+
+Scale shape: one tokenize pass (JVM ``split``/``filter``/``slice`` —
+no UDF), two exploded field-postings aggregations that combine
+map-side, a full-outer join on (term, doc_id) that shuffles once, and
+broadcast field-average/idf stats — the identical skeleton as
+``textops.bm25_documents_topk`` with one extra column per field. At
+index time the same wtf can be baked into the segment store (one
+weighted-tf postings list; Lucene's BM25F-via-boosted-index approach),
+after which serving is byte-identical to the plain BM25 WAND path.
+
+Single-field reduction (tested): with no title field the BM25F score
+is exactly ``BM25 / (k1 + 1)`` —
+``tf*(k1+1)/(tf + k1*norm) == (k1+1) * (tf/norm)/((tf/norm) + k1)``
+— so ranks coincide with :func:`textops.bm25_documents_topk`.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from ..tokenization import MAX_WORD_LEN, TOKEN_SPLIT_RE
+
+__all__ = ["fielded_postings", "bm25f_documents_topk"]
+
+K1 = 1.2
+
+
+def _filtered_token_array(text_col):
+    """The filtered token sequence as an ARRAY (order preserved): the
+    same lower/split/length-filter pipeline as
+    ``textops.document_tokens``, kept as an array so a positional field
+    split stays a pure slice."""
+    toks = F.split(F.lower(text_col), TOKEN_SPLIT_RE)
+    return F.filter(
+        toks,
+        lambda t: (F.length(t) >= 1) & (F.length(t) <= MAX_WORD_LEN),
+    )
+
+
+def fielded_postings(
+    docs: DataFrame, title_tokens: int = 8
+) -> "tuple[DataFrame, DataFrame]":
+    """(postings, field_lengths) for the title/body field split.
+
+    postings: ``(term, doc_id, tf_title, tf_body)`` — full-outer merge
+    of the two per-field frequency aggregations (a term may appear in
+    either field alone).
+    field_lengths: ``(doc_id, len_title, len_body)``.
+    """
+    fields = docs.select(
+        "doc_id", _filtered_token_array(F.col("text")).alias("toks")
+    ).select(
+        "doc_id",
+        F.slice("toks", 1, title_tokens).alias("title"),
+        F.when(
+            F.size("toks") > title_tokens,
+            F.slice(
+                "toks",
+                title_tokens + 1,
+                F.size("toks") - F.lit(title_tokens),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("body"),
+    )
+    flen = fields.select(
+        "doc_id",
+        F.size("title").cast("long").alias("len_title"),
+        F.size("body").cast("long").alias("len_body"),
+    )
+
+    def field_tf(col: str, out: str) -> DataFrame:
+        return (
+            fields.select("doc_id", F.explode(col).alias("term"))
+            .groupBy("term", "doc_id")
+            .agg(F.count("*").cast("long").alias(out))
+        )
+
+    post = field_tf("title", "tf_title").join(
+        field_tf("body", "tf_body"), ["term", "doc_id"], "full_outer"
+    ).select(
+        "term",
+        "doc_id",
+        F.coalesce("tf_title", F.lit(0)).cast("long").alias("tf_title"),
+        F.coalesce("tf_body", F.lit(0)).cast("long").alias("tf_body"),
+    )
+    return post, flen
+
+
+def bm25f_documents_topk(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 20,
+    min_df: int = 3,
+    title_tokens: int = 8,
+    title_weight: float = 2.0,
+    body_weight: float = 1.0,
+    b_title: float = 0.75,
+    b_body: float = 0.75,
+) -> DataFrame:
+    """BM25F top-k ``(rank, doc_id, score)`` over the documents table —
+    oracle-safe (score rounded to 4 decimals, ordering on the rounded
+    value with a doc_id tie-break).
+
+    idf uses the document frequency over BOTH fields (a doc counts
+    once however the term appears), with the same ``min_df`` pruning
+    and Robertson idf as the plain BM25 path. A field that is globally
+    empty (avg length 0 — e.g. ``title_tokens=0``) contributes nothing
+    rather than dividing by zero.
+    """
+    terms = sorted({t.lower() for t in query_terms})
+    if not terms:
+        raise ValueError("empty query")
+    post, flen = fielded_postings(docs, title_tokens)
+    post = post.cache()
+
+    stats = flen.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.sum("len_title").cast("double") / F.count("*")).alias("avg_t"),
+        (F.sum("len_body").cast("double") / F.count("*")).alias("avg_b"),
+    )
+    idf = (
+        post.groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+        .where(F.col("df") >= min_df)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+        )
+        .select("term", "idf", "avg_t", "avg_b")
+    )
+
+    def field_part(tf: str, ln: str, w: float, b: float, avg: str):
+        return F.when(
+            F.col(avg) > 0,
+            F.lit(w)
+            * F.col(tf)
+            / (
+                F.lit(1.0 - b)
+                + F.lit(b) * F.col(ln) / F.col(avg)
+            ),
+        ).otherwise(F.lit(0.0))
+
+    scored = (
+        post.where(F.col("term").isin(terms))
+        .join(F.broadcast(idf), "term")
+        .join(flen, "doc_id")
+        .withColumn(
+            "wtf",
+            field_part("tf_title", "len_title", title_weight, b_title,
+                       "avg_t")
+            + field_part("tf_body", "len_body", body_weight, b_body,
+                         "avg_b"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("idf") * F.col("wtf") / (F.lit(K1) + F.col("wtf"))),
+                4,
+            ).alias("score")
+        )
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("rank", "doc_id", "score")
+    )
+    rows = out.collect()
+    post.unpersist()
+    return docs.sparkSession.createDataFrame(
+        rows, "rank long, doc_id long, score double"
+    )

@@ -706,18 +706,22 @@ def facet_counts_documents(
     documents (count desc, value asc) — faceted search served from the
     segment store: the matched-doc relation is tiny relative to the
     corpus, so the facet join is a semi-join-shaped probe of the
-    documents table followed by one partial-agg groupBy."""
+    documents table followed by one partial-agg groupBy. The join/agg
+    kernel is shared with the Searcher surface
+    (operators/facets.py::facet_counts_segments)."""
+    from .facets import facet_counts_segments
     from .segments import release_cached_deps
-    from .wand import matched_docs
 
     segments, _corpus = _documents_segment_index(docs, min_df, n_shards)
-    out = (
-        matched_docs(segments, sorted(set(query_terms)))
-        .join(docs.select("doc_id", F.col(facet).alias("facet_value")),
-              "doc_id")
-        .groupBy("facet_value")
-        .agg(F.count("*").cast("long").alias("n_hits"))
-        .orderBy(F.desc("n_hits"), F.asc("facet_value"))
+    out = facet_counts_segments(
+        segments,
+        docs.select("doc_id", F.col(facet).alias("_fv")),
+        query_terms,
+        "_fv",
+        k=None,
+    ).select(
+        F.col("facet").alias("facet_value"),
+        F.col("doc_count").alias("n_hits"),
     )
     rows = out.collect()
     release_cached_deps(segments)

@@ -877,6 +877,55 @@ class Searcher:
             raise ValueError("offset >= 0 and page_size > 0 required")
         return self.search(terms, offset + page_size)[offset:]
 
+    def facets(
+        self, terms: Sequence[str], facet: str = "domain", k: int = 10
+    ) -> List[Tuple[str, int]]:
+        """[(facet_value, doc_count)] over the ANY-of match set — the
+        aggregation panel a search UI renders next to the hit list
+        (Lucene/Solr facets; the reference's per-source article
+        grouping, routes/news.py:62-96). ``facet='domain'`` groups by
+        the url host from ``doc_map``; any other name must be a
+        ``doc_map`` column. The match set is the decode-only compressed
+        scan (operators/facets.py::facet_counts_segments — never
+        scores); tombstones are excluded DISTRIBUTED (anti-join), so a
+        mass-delete backlog cannot skew the counts or the driver."""
+        self._check_snapshot()
+        tl = sorted({t.lower() for t in terms})
+        if not tl:
+            return []
+        key = ("facets", tuple(tl), facet, k)
+        now = time.monotonic()
+        hit = self._cache.get(key)
+        if hit is not None:
+            inserted, result = hit
+            if now - inserted <= self._cache_ttl_s:
+                self._cache.move_to_end(key)
+                return result
+            del self._cache[key]
+        from ..operators.facets import facet_counts_segments
+
+        dim = self.store.load(self.spark, "doc_map")
+        if facet == "domain" and "domain" not in dim.columns:
+            dim = dim.withColumn(
+                "domain",
+                F.regexp_extract("url", r"^https?://([^/]+)", 1),
+            )
+        if self._tomb_df is not None:
+            dim = dim.join(self._tomb_df, "doc_id", "left_anti")
+        elif self._tombstones:
+            tomb = self.spark.createDataFrame(
+                [(int(d),) for d in self._tombstones], "doc_id long"
+            )
+            dim = dim.join(tomb, "doc_id", "left_anti")
+        rows = facet_counts_segments(
+            self._segments, dim, tl, facet, k
+        ).collect()
+        result = [(r["facet"], int(r["doc_count"])) for r in rows]
+        while len(self._cache) >= self._cache_size:
+            self._cache.popitem(last=False)
+        self._cache[key] = (now, result)
+        return result
+
     def snippets(
         self, terms: Sequence[str], k: int = 10, width: int = 12
     ) -> List[Tuple[int, float, str]]:
