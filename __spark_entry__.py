@@ -1968,7 +1968,7 @@ WITH arrs AS (
   SELECT count(*)::BIGINT AS n_docs,
          sum(lt)::DOUBLE / count(*) AS avg_t,
          sum(lb)::DOUBLE / count(*) AS avg_b
-  FROM flen
+  FROM flen WHERE lt + lb > 0
 ), dfreq AS (
   SELECT term, count(*)::BIGINT AS df FROM j GROUP BY 1
   HAVING count(*) >= 3

@@ -58,10 +58,13 @@ def _filtered_token_array(text_col):
     ``textops.document_tokens``, kept as an array so a positional field
     split stays a pure slice."""
     toks = F.split(F.lower(text_col), TOKEN_SPLIT_RE)
-    return F.filter(
+    filtered = F.filter(
         toks,
         lambda t: (F.length(t) >= 1) & (F.length(t) <= MAX_WORD_LEN),
     )
+    # NULL text must mean ZERO tokens, not a NULL array — downstream
+    # F.size(NULL) is -1 and would subtract from the field-length sums
+    return F.coalesce(filtered, F.array().cast("array<string>"))
 
 
 def fielded_postings(
@@ -141,10 +144,19 @@ def bm25f_documents_topk(
     post, flen = fielded_postings(docs, title_tokens)
     post = post.cache()
 
-    stats = flen.agg(
-        F.count("*").cast("long").alias("n_docs"),
-        (F.sum("len_title").cast("double") / F.count("*")).alias("avg_t"),
-        (F.sum("len_body").cast("double") / F.count("*")).alias("avg_b"),
+    # corpus stats over TOKEN-BEARING docs only — the same universe
+    # plain BM25 derives n_docs/avgdl from (textops.bm25_documents_topk
+    # aggregates doclen over postings-bearing docs), so the documented
+    # single-field reduction to BM25 holds on corpora with empty docs
+    stats = (
+        flen.where((F.col("len_title") + F.col("len_body")) > 0)
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            (F.sum("len_title").cast("double") / F.count("*"))
+            .alias("avg_t"),
+            (F.sum("len_body").cast("double") / F.count("*"))
+            .alias("avg_b"),
+        )
     )
     idf = (
         post.groupBy("term")

@@ -34,9 +34,11 @@ def host_edges(links: DataFrame) -> DataFrame:
     quality priors — page-level graphs reward boilerplate nav links,
     host graphs reward actual cross-site citation. Self-edges (intra-
     host nav) are dropped; parallel edges collapse to one."""
-    h = lambda c: F.regexp_extract(c, r"^https?://([^/]+)", 1)
+    from ..sources.pages import host_of
+
     return (
-        links.select(h("url").alias("src"), h("link").alias("dst"))
+        links.select(host_of(F.col("url")).alias("src"),
+                     host_of(F.col("link")).alias("dst"))
         .where((F.col("src") != F.col("dst"))
                & (F.col("src") != "") & (F.col("dst") != ""))
         .distinct()

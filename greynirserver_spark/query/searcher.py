@@ -906,10 +906,9 @@ class Searcher:
 
         dim = self.store.load(self.spark, "doc_map")
         if facet == "domain" and "domain" not in dim.columns:
-            dim = dim.withColumn(
-                "domain",
-                F.regexp_extract("url", r"^https?://([^/]+)", 1),
-            )
+            from ..sources.pages import host_of
+
+            dim = dim.withColumn("domain", host_of(F.col("url")))
         if self._tomb_df is not None:
             dim = dim.join(self._tomb_df, "doc_id", "left_anti")
         elif self._tombstones:

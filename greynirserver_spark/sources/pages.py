@@ -24,9 +24,29 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 __all__ = ["upsert_pages", "dedup_http_https", "extract_links",
-           "filter_noindex", "canonical_urls", "dedup_by_canonical"]
+           "filter_noindex", "canonical_urls", "dedup_by_canonical",
+           "host_of", "site_of"]
 
 _HREF_RE = r'href="([^"#][^"]*)"'
+
+
+def _path_part(col):
+    """The url with ?query / #fragment stripped — RFC 3986 resolves
+    relative references against the PATH, and a slash inside a query
+    string ('?next=/foo/') must never look like a path directory."""
+    return F.regexp_replace(col, r"[?#].*$", "")
+
+
+def host_of(col):
+    """Host component of a url column — THE shared helper for every
+    host extraction in the tree (link graph, facets, canonical keys),
+    so scheme/port handling has a single point of change."""
+    return F.regexp_extract(_path_part(col), r"^https?://([^/]+)", 1)
+
+
+def site_of(col):
+    """scheme://host prefix of a url column (absolutization base)."""
+    return F.regexp_extract(_path_part(col), r"^(https?://[^/]+)", 1)
 
 
 def upsert_pages(
@@ -111,8 +131,8 @@ def extract_links(pages: DataFrame, same_domain: bool = True) -> DataFrame:
     restricts to the page's own host (the spider's root rule,
     fetcher.py:345-349).
     """
-    base = F.regexp_extract("url", r"^(https?://[^/]+)", 1)
-    host = F.regexp_extract("url", r"^https?://([^/]+)", 1)
+    base = site_of(F.col("url"))
+    host = host_of(F.col("url"))
     raw = F.regexp_extract_all(
         F.col("html").cast("string"), F.lit(_HREF_RE), F.lit(1)
     )
@@ -131,9 +151,7 @@ def extract_links(pages: DataFrame, same_domain: bool = True) -> DataFrame:
         .where(F.col("link").rlike("^https?://"))
     )
     if same_domain:
-        df = df.where(
-            F.regexp_extract("link", r"^https?://([^/]+)", 1) == F.col("host")
-        )
+        df = df.where(host_of(F.col("link")) == F.col("host"))
     return df.select("url", "link").distinct()
 
 
@@ -154,9 +172,11 @@ def filter_noindex(pages: DataFrame) -> DataFrame:
     name_is_robots = (
         r'name\s*=\s*(?:["\x27]\s*robots\s*["\x27]|robots(?=[\s/>]))'
     )
+    # 'none' is the spec'd shorthand for 'noindex, nofollow' — a page
+    # using it has opted out exactly as hard as one saying noindex
     content_noindex = (
-        r'content\s*=\s*(?:["\x27][^"\x27]*\bnoindex\b'
-        r'|[^"\x27\s>]*noindex(?![\w-]))'
+        r'content\s*=\s*(?:["\x27][^"\x27]*\b(?:noindex|none)\b'
+        r'|[^"\x27\s>]*(?:noindex|none)(?![\w-]))'
     )
     name_first = r"<meta[^>]*" + name_is_robots + r"[^>]*" + content_noindex
     content_first = r"<meta[^>]*" + content_noindex + r"[^>]*" + name_is_robots
@@ -173,11 +193,16 @@ def canonical_urls(pages: DataFrame) -> DataFrame:
     the output is a total url->key mapping usable directly as a dedup
     key (grouping mirror/parameter variants of one logical document,
     the exact-dedup key real crawl pipelines prefer over raw url)."""
-    base = F.regexp_extract("url", r"^(https?://[^/]+)", 1)
+    base = site_of(F.col("url"))
     scheme = F.regexp_extract("url", r"^(https?):", 1)
     # page directory for RFC 3986 relative resolution (greedy .*/ ⇒ up
-    # to the LAST path slash); '' when the url has no path component
-    dirbase = F.regexp_extract("url", r"^(https?://[^/]+/.*/)", 1)
+    # to the LAST path slash); '' when the url has no path component.
+    # Query/fragment are stripped FIRST — a slash inside '?next=/foo/'
+    # is not a path directory, and resolving against it would mint
+    # different canonical keys for parameter variants of one page
+    dirbase = F.regexp_extract(
+        _path_part(F.col("url")), r"^(https?://[^/]+/.*/)", 1
+    )
     h = F.col("html").cast("string")
     # (?i): tag/attribute names are case-insensitive (<LINK
     # REL="CANONICAL">) but the extracted href keeps its original case

@@ -226,6 +226,12 @@ def parse_warc_stream(fh) -> Iterator[Tuple[dict, bytes]]:
                 length = int(fields.get("content-length", "0"))
             except ValueError:
                 return
+            if length < 0:
+                # a negative Content-Length would turn fh.read(length)
+                # into read-to-EOF: one malformed header swallowing the
+                # whole remaining container (and its records) into a
+                # single body — treat it as malformed like ValueError
+                return
             body = fh.read(length)
             if len(body) < length:
                 return  # truncated final record
@@ -345,8 +351,13 @@ def parse_warc_df(
                 "content_type", "html", "warc_file"]
         for pdf in batches:
             for p, content in zip(pdf["path"], pdf["content"]):
+                # Arrow already hands binary cells as bytes; only copy
+                # when it doesn't (memoryview/bytearray) — a gratuitous
+                # bytes() on a ~1 GiB container doubles task memory
+                if not isinstance(content, bytes):
+                    content = bytes(content)
                 buf: List[List] = []
-                for row in _warc_rows(p, bytes(content), record_types):
+                for row in _warc_rows(p, content, record_types):
                     buf.append(row)
                     if len(buf) >= _BATCH_ROWS:
                         yield pd.DataFrame(buf, columns=cols)
@@ -422,9 +433,11 @@ def warc_to_pages(
     if extract:
         from ..extraction import extract_text_udf
 
-        df = df.withColumn(
-            "text", extract_text_udf()(F.col("html").cast("string"))
-        )
+        # pass the binary column RAW: extract_text_udf decodes bytes
+        # itself and enforces MAX_HTML_BYTES in BYTES — a cast to
+        # string here would silently change the guard to characters
+        # and diverge from the parquet/streaming ingest path
+        df = df.withColumn("text", extract_text_udf()(F.col("html")))
     else:
         df = df.withColumn("text", F.lit(""))
     if detect_lang:
@@ -494,15 +507,24 @@ def _export(df: DataFrame, out_dir: str, make_record, cols: List[str]) -> int:
     half-written container. Returns the number of partition files THIS
     call wrote (counted from the successful task attempts, not by
     re-listing the directory — an out_dir that already holds files from
-    an earlier export does not inflate the count)."""
+    an earlier export does not inflate the count).
+
+    A container already present at the target name is NEVER
+    overwritten: a later export into the same landing directory (the
+    growing-archive pattern — scripts/submit_ingest.py,
+    stream_append_to_store) lands under the next free ``part-<pid>-<n>``
+    suffix instead. Overwriting would both destroy the earlier export's
+    records and hide the new ones from the streaming ingest, whose
+    binaryFile checkpoint keys on path and never re-reads a seen file."""
     os.makedirs(out_dir, exist_ok=True)
 
     def write_partition(rows):
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        path = os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
-        tmp = os.path.join(out_dir, f".part-{pid:05d}.inprogress")
+        tmp = os.path.join(
+            out_dir, f".part-{pid:05d}-{os.getpid()}.inprogress"
+        )
         wrote = False
         with open(tmp, "wb") as fh:
             for row in rows:
@@ -514,6 +536,16 @@ def _export(df: DataFrame, out_dir: str, make_record, cols: List[str]) -> int:
                 fh.write(buf.getvalue())
                 wrote = True
         if wrote:
+            # choose the final name at publish time: plain part-<pid>
+            # into a fresh dir (deterministic layout), first free
+            # -<n> suffix when that name is already taken
+            path = os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
+            n = 0
+            while os.path.exists(path):
+                n += 1
+                path = os.path.join(
+                    out_dir, f"part-{pid:05d}-{n:03d}.warc.gz"
+                )
             os.replace(tmp, path)  # atomic visibility, like runstore
             yield 1
         else:

@@ -196,3 +196,35 @@ def test_bm25f_single_field_reduces_to_bm25(spark):
     assert set(plain) == set(fielded)
     for d, sc in plain.items():
         assert fielded[d] == pytest.approx(sc / 2.2, abs=2e-3)
+
+
+def test_bm25f_reduction_holds_with_empty_and_null_docs(spark):
+    """Corpus stats must count TOKEN-BEARING docs only (the plain-BM25
+    universe): with an empty-text and a NULL-text doc present, the
+    single-field reduction still holds exactly, and size(NULL)=-1 must
+    never pollute the field-length sums (round-5 review finding)."""
+    from greynirserver_spark.operators.textops import bm25_documents_topk
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [(900001, ""), (900002, None), (900003, "   ")],
+        "doc_id long, text string",
+    )
+    docs2 = docs.union(extra)
+    terms = ["spark", "join", "window", "stream"]
+    plain = {
+        r.doc_id: r.score
+        for r in bm25_documents_topk(docs2, terms, k=100).collect()
+    }
+    fielded = {
+        r.doc_id: r.score
+        for r in bm25f_documents_topk(
+            docs2, terms, k=100, title_tokens=0, title_weight=2.0
+        ).collect()
+    }
+    assert set(plain) == set(fielded)
+    assert plain  # the query actually matched
+    for d, sc in plain.items():
+        assert fielded[d] == pytest.approx(sc / 2.2, abs=2e-3)

@@ -186,3 +186,48 @@ def test_dedup_by_canonical_keeps_all_null_html_pages(spark):
     pages = spark.createDataFrame(rows, "url string, html binary")
     kept = sorted(r.url for r in dedup_by_canonical(pages).collect())
     assert kept == ["https://a.is/1", "https://a.is/3", "https://b.is/2"]
+
+
+def test_filter_noindex_none_shorthand(spark):
+    """content="none" is the spec'd shorthand for noindex,nofollow —
+    an opted-out page must not be ingested (round-5 review finding);
+    lookalike words containing 'none' must not over-drop."""
+    from greynirserver_spark.sources.pages import filter_noindex
+
+    rows = [
+        ("https://a.is/drop-none",
+         b'<html><meta name="robots" content="none"></html>'),
+        ("https://a.is/drop-none-unq",
+         b"<html><meta name=robots content=none></html>"),
+        ("https://a.is/keep-lookalike",
+         b'<html><meta name="robots" content="nonexistent"></html>'),
+        ("https://a.is/keep-plain", b"<html><body>ok</body></html>"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    kept = sorted(r.url for r in filter_noindex(pages).collect())
+    assert kept == ["https://a.is/keep-lookalike", "https://a.is/keep-plain"]
+
+
+def test_canonical_urls_query_string_slashes(spark):
+    """A slash inside ?query must not look like a path directory:
+    relative canonicals resolve against the PATH (RFC 3986), so two
+    parameter variants of one page share one canonical key (round-5
+    review finding)."""
+    from greynirserver_spark.sources.pages import canonical_urls
+
+    rows = [
+        ("https://a.is/p?next=/foo/",
+         b'<html><link rel="canonical" href="x"></html>'),
+        ("https://a.is/p?next=/bar/",
+         b'<html><link rel="canonical" href="x"></html>'),
+        ("https://a.is/dir/p?next=/foo/",
+         b'<html><link rel="canonical" href="x"></html>'),
+        ("https://a.is/p#frag/ment/",
+         b'<html><link rel="canonical" href="x"></html>'),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    canon = {r.url: r.canonical for r in canonical_urls(pages).collect()}
+    assert canon["https://a.is/p?next=/foo/"] == "https://a.is/x"
+    assert canon["https://a.is/p?next=/bar/"] == "https://a.is/x"
+    assert canon["https://a.is/dir/p?next=/foo/"] == "https://a.is/dir/x"
+    assert canon["https://a.is/p#frag/ment/"] == "https://a.is/x"

@@ -371,3 +371,91 @@ def test_export_count_ignores_preexisting_files(spark, tmp_path):
     import os
     leftovers = [f for f in os.listdir(out) if "inprogress" in f]
     assert leftovers == []
+
+
+def test_negative_content_length_does_not_swallow_container():
+    """A record claiming Content-Length: -1 must be treated as
+    malformed (degrade: lose the tail), NOT turn fh.read(-1) into
+    read-to-EOF — which would buffer the whole remaining container as
+    one body and silently absorb every later record (round-5 review
+    finding)."""
+    from greynirserver_spark.sources.warc import parse_warc_bytes
+
+    good = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: http://x.is/good\r\n"
+        b"Content-Length: 5\r\n\r\n"
+        b"hello\r\n\r\n"
+    )
+    bad = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: http://x.is/bad\r\n"
+        b"Content-Length: -1\r\n\r\n"
+    )
+    tail = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: http://x.is/tail\r\n"
+        b"Content-Length: 4\r\n\r\n"
+        b"tail\r\n\r\n"
+    )
+    recs = list(parse_warc_bytes(good + bad + tail))
+    # the good record before the malformed one survives intact...
+    assert len(recs) == 1
+    fields, body = recs[0]
+    assert fields["warc-target-uri"] == "http://x.is/good"
+    assert body == b"hello"
+    # ...and no record absorbed the remaining stream as its body
+    assert all(len(b) <= 5 for _, b in recs)
+
+
+def test_export_into_nonempty_dir_never_clobbers(spark, tmp_path):
+    """A later export into the same landing dir must land under a NEW
+    filename: overwriting part-00000 both destroys the earlier
+    container and hides the new one from the streaming checkpoint,
+    which keys on path (round-5 review finding)."""
+    from greynirserver_spark.sources.warc import read_warc
+
+    out = str(tmp_path / "landing")
+    pages_a = spark.createDataFrame(
+        [("http://x.is/a", dt.datetime(2026, 1, 2), b"<html>a</html>")],
+        "url string, warc_ts timestamp, html binary",
+    ).repartition(1)
+    pages_b = pages_a.withColumn(
+        "url", __import__("pyspark").sql.functions.lit("http://x.is/b"))
+    assert export_warc(pages_a, out) == 1
+    assert export_warc(pages_b, out) == 1
+    import os
+
+    names = sorted(f for f in os.listdir(out) if f.endswith(".warc.gz"))
+    assert len(names) == 2  # two distinct containers on disk
+    urls = sorted(
+        r.url for r in read_warc(spark, out + "/*.warc.gz").collect()
+    )
+    assert urls == ["http://x.is/a", "http://x.is/b"]
+
+
+def test_warc_to_pages_html_guard_is_bytes_not_chars(spark):
+    """The MAX_HTML_BYTES oversize guard counts BYTES on every ingest
+    path: a multibyte page over the byte cap but under it in characters
+    must extract to '' through warc_to_pages exactly as it does through
+    the parquet/streaming path (round-5 review finding — a cast to
+    string before the UDF silently changed the unit)."""
+    from greynirserver_spark.extraction import MAX_HTML_BYTES, extract_document
+    from greynirserver_spark.sources.warc import warc_to_pages
+
+    body = "é" * ((MAX_HTML_BYTES // 2) + 1024)  # 2 bytes/char in utf-8
+    html = f"<html><body>{body}</body></html>".encode()
+    assert len(html) > MAX_HTML_BYTES
+    assert len(html.decode()) < MAX_HTML_BYTES
+    assert extract_document(html) == ""  # the direct-path ground truth
+
+    df = spark.createDataFrame(
+        [("http://x.is/big", dt.datetime(2026, 1, 2), html)],
+        "url string, warc_ts timestamp, html binary",
+    )
+    out = warc_to_pages(df, ok_only=False, detect_lang=False).collect()
+    assert len(out) == 1
+    assert out[0].text == ""
