@@ -1513,6 +1513,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_facets": lambda s, d: __import__(
             "greynirserver_spark.operators.facets", fromlist=["facets"]
         ).facet_counts(_docs(s, d), _BM25_TERMS, facet_col="source", k=10),
+        # site-collapse diversification: <= 2 results per source
+        "bm25_topk_collapsed": lambda s, d: T.bm25_topk_source_collapsed(
+            _docs(s, d), _BM25_TERMS, k=20, per_source=2
+        ),
+        # Lucene-explain(): per-term contributions for the top docs
+        "bm25_score_breakdown": lambda s, d: T.bm25_score_breakdown(
+            _docs(s, d), _BM25_TERMS, k=5
+        ),
+        # query completion from the corpus's own vocabulary
+        "suggest_terms": lambda s, d: T.suggest_terms(
+            _docs(s, d), "s", k=10
+        ),
         "term_stats_top100": lambda s, d: (
             T.document_term_stats(_docs(s, d), min_df=3)
             .orderBy(F.desc("df"), F.asc("term"))
@@ -1942,6 +1954,72 @@ sc AS (
 SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
        doc_id, score
 FROM sc ORDER BY score DESC, doc_id ASC LIMIT 20
+""",
+        "bm25_topk_collapsed": _TOK_CTE + f""",
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS doclen FROM post GROUP BY 1),
+corp AS (SELECT count(*)::BIGINT AS n_docs,
+                sum(doclen)::DOUBLE / count(*) AS avgdl FROM dl),
+ts AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY 1
+       HAVING count(*) >= 3),
+tsi AS (SELECT term,
+               ln((corp.n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+        FROM ts, corp),
+sc AS (
+  SELECT p.doc_id,
+         round(sum(tsi.idf * (p.tf * (1.2 + 1.0))
+               / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doclen / corp.avgdl))), 4)
+           AS score
+  FROM post p
+  JOIN tsi USING (term)
+  JOIN dl ON dl.doc_id = p.doc_id, corp
+  WHERE p.term IN ({terms_in})
+  GROUP BY p.doc_id
+), keyed AS (
+  SELECT sc.doc_id, d.source, sc.score,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY sc.score DESC, sc.doc_id ASC) AS srk
+  FROM sc JOIN documents d USING (doc_id)
+), surv AS (
+  SELECT doc_id, source, score FROM keyed WHERE srk <= 2
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+       doc_id, source, score
+FROM surv ORDER BY score DESC, doc_id ASC LIMIT 20
+""",
+        "bm25_score_breakdown": _TOK_CTE + f""",
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS doclen FROM post GROUP BY 1),
+corp AS (SELECT count(*)::BIGINT AS n_docs,
+                sum(doclen)::DOUBLE / count(*) AS avgdl FROM dl),
+ts AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY 1
+       HAVING count(*) >= 3),
+tsi AS (SELECT term, df,
+               ln((corp.n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+        FROM ts, corp),
+parts AS (
+  SELECT p.doc_id, p.term, p.tf, tsi.df, tsi.idf,
+         tsi.idf * (p.tf * (1.2 + 1.0))
+           / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doclen / corp.avgdl))
+           AS part
+  FROM post p
+  JOIN tsi USING (term)
+  JOIN dl ON dl.doc_id = p.doc_id, corp
+  WHERE p.term IN ({terms_in})
+), sc AS (
+  SELECT doc_id, round(sum(part), 4) AS score FROM parts GROUP BY 1
+), topk AS (
+  SELECT doc_id, score FROM sc
+  ORDER BY score DESC, doc_id ASC LIMIT 5
+)
+SELECT p.doc_id, p.term, p.tf, p.df,
+       round(p.idf, 4) AS idf, round(p.part, 4) AS contrib, t.score
+FROM parts p JOIN topk t USING (doc_id)
+ORDER BY t.score DESC, p.doc_id ASC, p.term ASC
+""",
+        "suggest_terms": _TOK_CTE + """,
+ts AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY 1
+       HAVING count(*) >= 3)
+SELECT term, df FROM ts WHERE term LIKE 's%'
+ORDER BY df DESC, term ASC LIMIT 10
 """,
         "bm25f_topk": f"""
 WITH arrs AS (

@@ -28,6 +28,9 @@ __all__ = [
     "document_term_stats",
     "document_corpus_stats",
     "bm25_documents_topk",
+    "bm25_topk_source_collapsed",
+    "bm25_score_breakdown",
+    "suggest_terms",
     "bm25_boolean_topk",
     "quality_scores",
     "document_fingerprints",
@@ -88,21 +91,16 @@ def document_corpus_stats(docs: DataFrame) -> DataFrame:
     )
 
 
-def bm25_documents_topk(
-    docs: DataFrame, query_terms: Sequence[str], k: int = 20, min_df: int = 3,
+def _bm25_term_parts(
+    docs: DataFrame, query_terms: Sequence[str], min_df: int = 3,
     postings: DataFrame | None = None,
 ) -> DataFrame:
-    """Oracle-safe BM25 top-k over documents: (rank, doc_id, score).
+    """Per-(doc, matched term) BM25 scoring rows — the shared pipeline
+    behind :func:`bm25_documents_topk`, :func:`bm25_topk_source_collapsed`
+    and :func:`bm25_score_breakdown`.
 
-    ``score`` is rounded to 4 decimals and the ordering uses the rounded
-    value, so DuckDB reproduces rows bit-for-bit. The rank-identity tests
-    against the NumPy oracle (unrounded, bit-exact) cover the precise
-    path; this variant exists for cross-engine comparison.
-
-    ``postings``: optionally pass an already-materialized
-    ``document_postings(docs)`` (e.g. cached/persisted) so repeated
-    ad-hoc queries don't re-tokenize the corpus — on a real deployment
-    the postings table is built once and queried many times.
+    Columns: (doc_id, term, tf, df, idf, doclen, avgdl, part) where
+    ``part`` is the term's un-rounded BM25 contribution.
     """
     terms = sorted(set(query_terms))
     # postings feed three consumers (doclen, df stats, scoring); cache so
@@ -131,7 +129,7 @@ def bm25_documents_topk(
             ),
         )
     )
-    scored = (
+    return (
         postings.where(F.col("term").isin(terms))
         .join(F.broadcast(tstats.where(F.col("term").isin(terms))), "term")
         .join(doclen, "doc_id")
@@ -144,7 +142,15 @@ def bm25_documents_topk(
                 + K1 * (1.0 - B + B * F.col("doclen") / F.col("avgdl"))
             ),
         )
-        .groupBy("doc_id")
+    )
+
+
+def _bm25_doc_scores(parts: DataFrame) -> DataFrame:
+    """(doc_id, score) from :func:`_bm25_term_parts` output — parts are
+    summed in sorted-term order so the 4-decimal rounding is
+    bit-deterministic across partitionings (and engines)."""
+    return (
+        parts.groupBy("doc_id")
         .agg(
             F.array_sort(F.collect_list(F.struct("term", "part"))).alias("p")
         )
@@ -155,12 +161,124 @@ def bm25_documents_topk(
             ).alias("score"),
         )
     )
+
+
+def bm25_documents_topk(
+    docs: DataFrame, query_terms: Sequence[str], k: int = 20, min_df: int = 3,
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Oracle-safe BM25 top-k over documents: (rank, doc_id, score).
+
+    ``score`` is rounded to 4 decimals and the ordering uses the rounded
+    value, so DuckDB reproduces rows bit-for-bit. The rank-identity tests
+    against the NumPy oracle (unrounded, bit-exact) cover the precise
+    path; this variant exists for cross-engine comparison.
+
+    ``postings``: optionally pass an already-materialized
+    ``document_postings(docs)`` (e.g. cached/persisted) so repeated
+    ad-hoc queries don't re-tokenize the corpus — on a real deployment
+    the postings table is built once and queried many times.
+    """
+    scored = _bm25_doc_scores(
+        _bm25_term_parts(docs, query_terms, min_df, postings)
+    )
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         scored.orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .select("rank", "doc_id", "score")
+    )
+
+
+def bm25_topk_source_collapsed(
+    docs: DataFrame, query_terms: Sequence[str], k: int = 20,
+    per_source: int = 2, min_df: int = 3, key_col: str = "source",
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Source-collapsed BM25 top-k: (rank, doc_id, source, score) with
+    at most *per_source* documents per *key_col* value — the web-search
+    "site collapse" result diversification every production engine
+    applies so one mirror-heavy host cannot monopolize page one.
+
+    Exact, not an overfetch heuristic: the per-key window runs over the
+    FULL matched-and-scored set (only docs containing a query term —
+    already pruned, never the corpus), so the k survivors are the true
+    best under the cap. The window partitions by the collapse key, so
+    at scale it shuffles the match set once by key and sorts each
+    key-group independently — no global sort before the final top-k cut.
+    """
+    scored = _bm25_doc_scores(
+        _bm25_term_parts(docs, query_terms, min_df, postings)
+    )
+    keyed = scored.join(docs.select("doc_id", key_col), "doc_id")
+    wk = Window.partitionBy(key_col).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    surv = keyed.withColumn(
+        "src_rank", F.row_number().over(wk)
+    ).where(F.col("src_rank") <= per_source)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        surv.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("rank", "doc_id", F.col(key_col).alias("source"), "score")
+    )
+
+
+def bm25_score_breakdown(
+    docs: DataFrame, query_terms: Sequence[str], k: int = 5,
+    min_df: int = 3, postings: DataFrame | None = None,
+) -> DataFrame:
+    """Per-term score explain for the global top-*k* docs — the
+    Lucene-``explain()`` debugging surface: one row per (doc, matched
+    term) with the raw inputs and the term's contribution.
+
+    Columns: (doc_id, term, tf, df, idf, contrib, score) — idf/contrib
+    rounded to 4 decimals, ``score`` the doc's (rounded) total, so the
+    breakdown is oracle-reproducible and contributions visibly sum to
+    the ranked score. Ordered by (score desc, doc_id, term).
+    """
+    parts = _bm25_term_parts(docs, query_terms, min_df, postings)
+    topk = (
+        _bm25_doc_scores(parts)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return (
+        parts.join(F.broadcast(topk), "doc_id")
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round("idf", 4).alias("idf"),
+            F.round("part", 4).alias("contrib"),
+            "score",
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"), F.asc("term"))
+    )
+
+
+def suggest_terms(
+    docs: DataFrame, prefix: str, k: int = 10, min_df: int = 3,
+) -> DataFrame:
+    """(term, df): the query-completion surface — index-vocabulary
+    terms starting with *prefix*, most-frequent first (df desc, term
+    asc tie-break). Completion comes from the corpus's OWN vocabulary
+    (like the spell-correct path, ``fuzzy_term_lookup``) — no curated
+    resource; the serving twin reads the store's term_stats view
+    in-process (``Searcher.suggest``)."""
+    p = prefix.lower()
+    if not p:
+        raise ValueError("empty prefix")
+    return (
+        document_term_stats(docs, min_df=min_df)
+        .where(F.col("term").startswith(p))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(k)
+        .select("term", "df")
     )
 
 

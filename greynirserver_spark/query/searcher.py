@@ -925,6 +925,154 @@ class Searcher:
         self._cache[key] = (now, result)
         return result
 
+    def suggest(self, prefix: str, k: int = 10) -> List[Tuple[str, int]]:
+        """[(term, df)] — query completion from the index's OWN
+        vocabulary (the term_stats derived view): terms starting with
+        *prefix*, most-frequent first (df desc, term asc). One
+        prefix-pushed scan over the stats store, TTL-cached; corpus
+        twin: ``textops.suggest_terms``."""
+        p = (prefix or "").lower()
+        if not p:
+            raise ValueError("empty prefix")
+        self._check_snapshot()
+        key = ("suggest", p, k)
+        now = time.monotonic()
+        hit = self._cache.get(key)
+        if hit is not None:
+            inserted, result = hit
+            if now - inserted <= self._cache_ttl_s:
+                self._cache.move_to_end(key)
+                return result
+            del self._cache[key]
+        rows = (
+            self.store.load(self.spark, "term_stats")
+            .where(F.col("term").startswith(p))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(k)
+            .select("term", "df")
+            .collect()
+        )
+        result = [(r["term"], int(r["df"])) for r in rows]
+        while len(self._cache) >= self._cache_size:
+            self._cache.popitem(last=False)
+        self._cache[key] = (now, result)
+        return result
+
+    def search_collapsed(
+        self, terms: Sequence[str], k: int = 10, per_domain: int = 2
+    ) -> List[Tuple[int, str, float]]:
+        """[(doc_id, domain, score)] — :meth:`search` with site
+        collapse: at most *per_domain* hits per url host, the result
+        diversification a web-search page applies so one mirror-heavy
+        host cannot monopolize it (corpus twin:
+        ``textops.bm25_topk_source_collapsed``).
+
+        Overfetch-and-collapse: fetch a growing prefix of the ranked
+        list (``search`` brings its own tombstone/cache/fallback guard
+        rails), resolve hosts with a doc_id-pruned ``doc_map`` point
+        read, keep greedily under the cap, and double the fetch until
+        k survive or the index runs dry — the ranked prefix property
+        makes the greedy cap exact for the documents it has seen."""
+        per_domain = max(int(per_domain), 1)
+        tl = sorted({t.lower() for t in terms})
+        if not tl:
+            return []
+        self._check_snapshot()
+        key = ("collapsed", tuple(tl), k, per_domain)
+        now = time.monotonic()
+        hit = self._cache.get(key)
+        if hit is not None:
+            inserted, result = hit
+            if now - inserted <= self._cache_ttl_s:
+                self._cache.move_to_end(key)
+                return result
+            del self._cache[key]
+        from ..sources.pages import host_of
+
+        fetch = max(k, 10)
+        result: List[Tuple[int, str, float]] = []
+        while True:
+            hits = self.search(tl, fetch)
+            ids = [int(d) for d, _ in hits]
+            hosts: dict = {}
+            if ids:
+                dm = (
+                    self.store.load(self.spark, "doc_map")
+                    .where(F.col("doc_id").isin(ids))
+                    .select("doc_id", host_of(F.col("url")).alias("h"))
+                )
+                hosts = {int(r["doc_id"]): r["h"] for r in dm.collect()}
+            counts: dict = {}
+            result = []
+            for d, s in hits:
+                h = hosts.get(int(d), "")
+                c = counts.get(h, 0)
+                if c < per_domain:
+                    counts[h] = c + 1
+                    result.append((int(d), h, float(s)))
+                    if len(result) == k:
+                        break
+            if len(result) >= k or len(hits) < fetch:
+                break  # filled k, or the index itself ran dry
+            fetch *= 2
+        while len(self._cache) >= self._cache_size:
+            self._cache.popitem(last=False)
+        self._cache[key] = (now, result)
+        return result
+
+    def explain(
+        self, terms: Sequence[str], doc_id: int
+    ) -> List[Tuple[str, float, float]]:
+        """[(term, idf, contrib)] — the per-term breakdown of THIS
+        index's serving score for one document (the Lucene
+        ``explain()`` surface; corpus twin:
+        ``textops.bm25_score_breakdown``). Contributions come from the
+        same compressed blocks, varint decode and exact-stats idf
+        rescale as :meth:`search`, so they sum to the served score
+        (test-pinned). The fetch is doc-range-pruned: shards hold
+        disjoint doc ranges, so ``first_doc <= doc_id <= last_doc``
+        narrows the scan to the handful of covering blocks per term."""
+        import numpy as np
+
+        from ..operators.wand import _TermBlocks
+
+        self._check_snapshot()
+        doc_id = int(doc_id)
+        terms_u = sorted({t.lower() for t in terms})
+        if not terms_u:
+            return []
+        term_idf = self._term_idf(terms_u)
+        if term_idf is not None:
+            terms_u = sorted(term_idf)
+            if not terms_u:
+                return []
+        pdf = (
+            self._segments.where(
+                F.col("term").isin(terms_u)
+                & (F.col("first_doc") <= doc_id)
+                & (F.col("last_doc") >= doc_id)
+            ).toPandas()
+        )
+        out: List[Tuple[str, float, float]] = []
+        for t, g in pdf.groupby("term", sort=True):
+            m = _TermBlocks(g.sort_values("first_doc").reset_index(drop=True))
+            idf_now = term_idf.get(t) if term_idf is not None else None
+            idxs = list(range(len(m.first)))
+            m.decode(idxs, self.avgdl, idf_now=idf_now)
+            contrib, used_idf = 0.0, None
+            for b in idxs:
+                docs, parts = m.cache[b]
+                j = int(np.searchsorted(docs, doc_id))
+                if j < len(docs) and docs[j] == doc_id:
+                    contrib += float(parts[j])
+                    used_idf = (
+                        float(idf_now) if idf_now is not None
+                        else float(m.idf[b])
+                    )
+            if used_idf is not None:
+                out.append((str(t), used_idf, contrib))
+        return out
+
     def snippets(
         self, terms: Sequence[str], k: int = 10, width: int = 12
     ) -> List[Tuple[int, float, str]]:

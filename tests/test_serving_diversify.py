@@ -1,0 +1,179 @@
+"""Round-5 serving completions: site-collapse diversification, score
+explain, and prefix suggest — corpus-level operators plus their
+index-backed Searcher twins."""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import pytest
+from pyspark.sql import functions as F
+
+from greynirserver_spark.corpus import generate_pages, indexable_stems_by_rank
+from greynirserver_spark.operators.textops import (
+    bm25_documents_topk,
+    bm25_score_breakdown,
+    bm25_topk_source_collapsed,
+    document_term_stats,
+    suggest_terms,
+)
+from greynirserver_spark.plans.lineage import build_index_checkpointed
+from greynirserver_spark.plans.pipeline import query_to_terms
+from greynirserver_spark.query.searcher import Searcher
+
+_TERMS = ["spark", "join", "window", "stream"]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .cache()
+    )
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("div") / "store")
+    pages = generate_pages(spark, 400)
+    store = build_index_checkpointed(spark, pages, root, n_shards=4)
+    return Searcher(spark, store, version_check_interval_s=0.0)
+
+
+# ---------------------------------------------------------------------------
+# corpus-level operators
+# ---------------------------------------------------------------------------
+
+def _greedy_collapse(ranked, per_key, k):
+    counts, out = {}, []
+    for row in ranked:
+        c = counts.get(row[-2], 0)  # key is second-to-last column
+        if c < per_key:
+            counts[row[-2]] = c + 1
+            out.append(row)
+            if len(out) == k:
+                break
+    return out
+
+
+def test_source_collapsed_is_exact_greedy_over_full_ranking(docs):
+    full = (
+        bm25_documents_topk(docs, _TERMS, k=10**6)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .select("doc_id", "source", "score")
+        .collect()
+    )
+    expect = _greedy_collapse(
+        [(r.doc_id, r.source, r.score) for r in full], per_key=2, k=20
+    )
+    got = bm25_topk_source_collapsed(
+        docs, _TERMS, k=20, per_source=2
+    ).collect()
+    assert [(r.doc_id, r.source, r.score) for r in got] == expect
+    assert [r.rank for r in got] == list(range(1, len(got) + 1))
+    # the cap is actually binding on this corpus (else the test is vacuous)
+    plain = [r.doc_id for r in bm25_documents_topk(docs, _TERMS, k=20).collect()]
+    assert plain != [r.doc_id for r in got]
+
+
+def test_source_collapsed_cap_respected(docs):
+    got = bm25_topk_source_collapsed(
+        docs, _TERMS, k=50, per_source=1
+    ).collect()
+    sources = [r.source for r in got]
+    assert len(sources) == len(set(sources))
+
+
+def test_breakdown_contributions_sum_to_score(docs):
+    top5 = [
+        r.doc_id for r in bm25_documents_topk(docs, _TERMS, k=5).collect()
+    ]
+    rows = bm25_score_breakdown(docs, _TERMS, k=5).collect()
+    assert sorted({r.doc_id for r in rows}) == sorted(top5)
+    by_doc: dict = {}
+    for r in rows:
+        assert r.tf > 0 and r.df >= 3 and r.idf > 0
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for d, terms in by_doc.items():
+        total = sum(t.contrib for t in terms)
+        # each contrib rounded at 4, score rounded once: tolerance is
+        # the worst-case accumulation of per-term rounding
+        assert total == pytest.approx(
+            terms[0].score, abs=5e-4 * len(terms) + 1e-9
+        )
+
+
+def test_suggest_terms_prefix_and_order(docs):
+    got = [(r.term, r.df) for r in suggest_terms(docs, "s", k=10).collect()]
+    assert got, "prefix 's' must match planted vocabulary"
+    assert all(t.startswith("s") for t, _ in got)
+    stats = {
+        r.term: r.df
+        for r in document_term_stats(docs, min_df=3)
+        .where(F.col("term").startswith("s"))
+        .collect()
+    }
+    expect = sorted(stats.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got == expect
+    with pytest.raises(ValueError):
+        suggest_terms(docs, "", k=5)
+
+
+# ---------------------------------------------------------------------------
+# index-backed Searcher twins
+# ---------------------------------------------------------------------------
+
+def test_searcher_collapsed_matches_greedy_over_search(searcher):
+    terms = query_to_terms(" ".join(indexable_stems_by_rank(3)))
+    full = searcher.search(terms, 400)
+    assert len(full) > 20
+    hosts = {
+        d: h for d, h, _ in searcher.search_collapsed(terms, k=400,
+                                                      per_domain=10**6)
+    }
+    expect = _greedy_collapse(
+        [(d, hosts[d], s) for d, s in full], per_key=2, k=10
+    )
+    got = searcher.search_collapsed(terms, k=10, per_domain=2)
+    assert got == expect
+    per_host: dict = {}
+    for _, h, _ in got:
+        per_host[h] = per_host.get(h, 0) + 1
+    assert all(c <= 2 for c in per_host.values())
+
+
+def test_searcher_explain_sums_to_served_score(searcher):
+    terms = query_to_terms(" ".join(indexable_stems_by_rank(3)))
+    hits = searcher.search(terms, 5)
+    assert hits
+    for doc_id, score in hits:
+        rows = searcher.explain(terms, doc_id)
+        assert rows
+        assert {t for t, _, _ in rows} <= set(terms)
+        assert sum(c for _, _, c in rows) == pytest.approx(score, rel=1e-9)
+        assert all(i > 0 for _, i, _ in rows)
+
+
+def test_searcher_explain_unmatched_doc_is_empty(searcher):
+    terms = query_to_terms(" ".join(indexable_stems_by_rank(2)))
+    assert searcher.explain(terms, 10**12) == []
+
+
+def test_searcher_suggest_from_store_vocabulary(searcher):
+    stem = indexable_stems_by_rank(1)[0]
+    p = stem[:2].lower()
+    got = searcher.suggest(p, k=10)
+    assert got
+    assert all(t.startswith(p) for t, _ in got)
+    dfs = [df for _, df in got]
+    assert dfs == sorted(dfs, reverse=True) or len(got) <= 1 or all(
+        (dfs[i] > dfs[i + 1])
+        or (dfs[i] == dfs[i + 1] and got[i][0] < got[i + 1][0])
+        for i in range(len(got) - 1)
+    )
+    # served from cache second time (same object)
+    assert searcher.suggest(p, k=10) == got
+    with pytest.raises(ValueError):
+        searcher.suggest("", k=5)
