@@ -1525,6 +1525,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_terms": lambda s, d: T.suggest_terms(
             _docs(s, d), "s", k=10
         ),
+        # SynonymQuery semantics: each group scores as one pseudo-term
+        "bm25_synonym_topk": lambda s, d: T.bm25_synonym_topk(
+            _docs(s, d), [["spark", "stream"], ["join"], ["window"]], k=20
+        ),
         "term_stats_top100": lambda s, d: (
             T.document_term_stats(_docs(s, d), min_df=3)
             .orderBy(F.desc("df"), F.asc("term"))
@@ -1950,6 +1954,38 @@ sc AS (
   JOIN dl ON dl.doc_id = p.doc_id, corp
   WHERE p.term IN ({terms_in})
   GROUP BY p.doc_id
+)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
+       doc_id, score
+FROM sc ORDER BY score DESC, doc_id ASC LIMIT 20
+""",
+        "bm25_synonym_topk": _TOK_CTE + """,
+gmap AS (
+  SELECT * FROM (VALUES ('spark', 'spark|stream'), ('stream', 'spark|stream'),
+                        ('join', 'join'), ('window', 'window'))
+           AS t(term, gid)
+),
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS doclen FROM post GROUP BY 1),
+corp AS (SELECT count(*)::BIGINT AS n_docs,
+                sum(doclen)::DOUBLE / count(*) AS avgdl FROM dl),
+gpost AS (
+  SELECT g.gid, p.doc_id, sum(p.tf)::BIGINT AS tf
+  FROM post p JOIN gmap g USING (term) GROUP BY 1, 2
+),
+gs AS (SELECT gid, count(*)::BIGINT AS df FROM gpost GROUP BY 1
+       HAVING count(*) >= 3),
+gsi AS (SELECT gid,
+               ln((corp.n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+        FROM gs, corp),
+sc AS (
+  SELECT gp.doc_id,
+         round(sum(gsi.idf * (gp.tf * (1.2 + 1.0))
+               / (gp.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doclen / corp.avgdl))), 4)
+           AS score
+  FROM gpost gp
+  JOIN gsi USING (gid)
+  JOIN dl ON dl.doc_id = gp.doc_id, corp
+  GROUP BY gp.doc_id
 )
 SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank,
        doc_id, score

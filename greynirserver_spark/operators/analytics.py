@@ -227,14 +227,19 @@ def events_page(
     )
 
 
-def term_autocomplete(docs: DataFrame, prefix: str, limit: int = 10) -> DataFrame:
+def term_autocomplete(
+    docs: DataFrame, prefix: str, limit: int = 10, min_df: int = 1,
+) -> DataFrame:
     """Prefix autocomplete over the vocabulary, ordered by df — the
     reference's ILIKE 'x%' autocomplete (routes/main.py:475-483);
-    startswith pushes down as a range predicate."""
+    startswith pushes down as a range predicate. ``min_df=1`` completes
+    over the RAW vocabulary; ``textops.suggest_terms`` is the
+    index-vocabulary variant (df >= the index's pruning floor — the
+    universe ``Searcher.suggest`` serves from the store)."""
     from .textops import document_term_stats
 
     return (
-        document_term_stats(docs, min_df=1)
+        document_term_stats(docs, min_df=min_df)
         .where(F.col("term").startswith(prefix))
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(limit)

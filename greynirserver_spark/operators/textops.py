@@ -31,6 +31,7 @@ __all__ = [
     "bm25_topk_source_collapsed",
     "bm25_score_breakdown",
     "suggest_terms",
+    "bm25_synonym_topk",
     "bm25_boolean_topk",
     "quality_scores",
     "document_fingerprints",
@@ -273,12 +274,108 @@ def suggest_terms(
     p = prefix.lower()
     if not p:
         raise ValueError("empty prefix")
+    from .analytics import term_autocomplete
+
+    return term_autocomplete(docs, p, limit=k, min_df=min_df)
+
+
+def bm25_synonym_topk(
+    docs: DataFrame, groups: Sequence[Sequence[str]], k: int = 20,
+    min_df: int = 3, postings: DataFrame | None = None,
+) -> DataFrame:
+    """Synonym-group BM25 top-k: (rank, doc_id, score) where each
+    *group* of query terms scores as ONE pseudo-term — Lucene's
+    ``SynonymQuery`` semantics: per-doc tf = sum of member tfs, df =
+    docs containing ANY member, one idf and one saturation per group.
+    This is the correct way to expand a query with synonyms/inflections
+    ("bíll" ~ "bifreið"): scoring members independently would reward a
+    doc for using BOTH spellings over one that says it twice, and would
+    let a rare member's high idf dominate the common sense.
+
+    With every group a singleton this reduces exactly to
+    :func:`bm25_documents_topk` (test-pinned). ``min_df`` prunes on the
+    GROUP's df. Plan shape: the postings scan prunes to the union of
+    member terms, a broadcast term→group map folds members, and the
+    rest is the plain pipeline — one extra tiny broadcast, no extra
+    shuffle over the plain path.
+    """
+    norm: list = []
+    seen: set = set()
+    for g in groups:
+        gl = sorted({t.lower() for t in g})
+        if not gl:
+            continue
+        overlap = seen.intersection(gl)
+        if overlap:
+            raise ValueError(
+                f"term(s) {sorted(overlap)} appear in more than one group"
+            )
+        seen.update(gl)
+        norm.append(gl)
+    if not norm:
+        raise ValueError("empty query")
+    spark = docs.sparkSession
+    mapping = spark.createDataFrame(
+        [(t, "|".join(g)) for g in norm for t in g], "term string, gid string"
+    )
+    if postings is None:
+        postings = document_postings(docs).cache()
+    doclen = postings.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("doclen")
+    )
+    corpus = doclen.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("doclen").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    gpost = (
+        postings.where(F.col("term").isin(sorted(seen)))
+        .join(F.broadcast(mapping), "term")
+        .groupBy("gid", "doc_id")
+        .agg(F.sum("tf").cast("long").alias("tf"))
+    )
+    gstats = (
+        gpost.groupBy("gid")
+        .agg(F.count("*").cast("long").alias("df"))
+        .where(F.col("df") >= min_df)
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+        )
+    )
+    scored = (
+        gpost.join(F.broadcast(gstats), "gid")
+        .join(doclen, "doc_id")
+        .withColumn(
+            "part",
+            F.col("idf")
+            * (F.col("tf") * (K1 + 1.0))
+            / (
+                F.col("tf")
+                + K1 * (1.0 - B + B * F.col("doclen") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("gid", "part"))).alias("p")
+        )
+        .select(
+            "doc_id",
+            F.round(
+                F.aggregate("p", F.lit(0.0), lambda a, x: a + x["part"]), 4
+            ).alias("score"),
+        )
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (
-        document_term_stats(docs, min_df=min_df)
-        .where(F.col("term").startswith(p))
-        .orderBy(F.desc("df"), F.asc("term"))
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
-        .select("term", "df")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("rank", "doc_id", "score")
     )
 
 

@@ -925,6 +925,124 @@ class Searcher:
         self._cache[key] = (now, result)
         return result
 
+    def synonym(
+        self, groups: Sequence[Sequence[str]], k: int = 10
+    ) -> List[Tuple[int, float]]:
+        """[(doc_id, score)] — SynonymQuery retrieval: each *group* of
+        terms scores as ONE pseudo-term (summed tf, any-member df, one
+        idf + saturation), the correct expansion semantics for
+        synonyms/inflections (corpus twin:
+        ``textops.bm25_synonym_topk``, which documents why).
+
+        Served as the EXACT distributed path over the store's raw
+        postings (the ``_boolean_exact_excluding`` shape): group tf/df
+        are query-time aggregates, so there is no baked per-group
+        block_max to drive a WAND sweep — and synonym expansion is the
+        long-tail recall query, not the hot path. Tombstones are
+        anti-joined before the fold, so a deleted doc neither scores
+        nor counts toward group df. Group df is gated on the store's
+        own ``min_df``."""
+        norm: List[List[str]] = []
+        seen: set = set()
+        for g in groups:
+            gl = sorted({t.lower() for t in g})
+            if not gl:
+                continue
+            overlap = seen.intersection(gl)
+            if overlap:
+                raise ValueError(
+                    f"term(s) {sorted(overlap)} appear in more than one group"
+                )
+            seen.update(gl)
+            norm.append(gl)
+        if not norm:
+            return []
+        self._check_snapshot()
+        key = ("synonym", tuple(tuple(g) for g in norm), k)
+        now = time.monotonic()
+        hit = self._cache.get(key)
+        if hit is not None:
+            inserted, result = hit
+            if now - inserted <= self._cache_ttl_s:
+                self._cache.move_to_end(key)
+                return result
+            del self._cache[key]
+        postings = (
+            self.store.load(self.spark, "postings")
+            .where(F.col("term").isin(sorted(seen)))
+        )
+        if self._tomb_df is not None:
+            postings = postings.join(self._tomb_df, "doc_id", "left_anti")
+        elif self._tombstones:
+            tomb = self.spark.createDataFrame(
+                [(int(d),) for d in self._tombstones], "doc_id long"
+            )
+            postings = postings.join(tomb, "doc_id", "left_anti")
+        mapping = self.spark.createDataFrame(
+            [(t, "|".join(g)) for g in norm for t in g],
+            "term string, gid string",
+        )
+        gpost = (
+            postings.join(F.broadcast(mapping), "term")
+            .groupBy("gid", "doc_id")
+            .agg(F.sum("tf").cast("long").alias("tf"))
+        )
+        gstats = (
+            gpost.groupBy("gid")
+            .agg(F.count("*").cast("long").alias("df"))
+            .where(F.col("df") >= self._min_df)
+            .crossJoin(
+                F.broadcast(self._corpus_df.select("n_docs", "avgdl"))
+            )
+            .withColumn(
+                "idf",
+                F.log(
+                    (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                    + F.lit(1.0)
+                ),
+            )
+        )
+        doclen = self.store.load(self.spark, "doc_stats")
+        from ..operators.bm25 import B as _B, K1 as _K1
+
+        scored = (
+            gpost.join(F.broadcast(gstats), "gid")
+            .join(doclen, "doc_id")
+            .withColumn(
+                "part",
+                F.col("idf")
+                * (F.col("tf") * (_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + _K1
+                    * (1.0 - _B + _B * F.col("doclen") / F.col("avgdl"))
+                ),
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("gid", "part"))
+                ).alias("p")
+            )
+            .select(
+                "doc_id",
+                F.aggregate(
+                    "p", F.lit(0.0), lambda a, x: a + x["part"]
+                ).alias("score"),
+            )
+        )
+        rows = (
+            scored.orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .collect()
+        )
+        result = [(int(r["doc_id"]), float(r["score"])) for r in rows]
+        while len(self._cache) >= self._cache_size:
+            self._cache.popitem(last=False)
+        self._cache[key] = (now, result)
+        return result
+
     def suggest(self, prefix: str, k: int = 10) -> List[Tuple[str, int]]:
         """[(term, df)] — query completion from the index's OWN
         vocabulary (the term_stats derived view): terms starting with

@@ -177,3 +177,84 @@ def test_searcher_suggest_from_store_vocabulary(searcher):
     assert searcher.suggest(p, k=10) == got
     with pytest.raises(ValueError):
         searcher.suggest("", k=5)
+
+
+# ---------------------------------------------------------------------------
+# synonym-group BM25 (SynonymQuery semantics)
+# ---------------------------------------------------------------------------
+
+def test_synonym_singletons_reduce_to_plain_bm25(docs):
+    from greynirserver_spark.operators.textops import bm25_synonym_topk
+
+    plain = bm25_documents_topk(docs, _TERMS, k=50).collect()
+    syn = bm25_synonym_topk(docs, [[t] for t in _TERMS], k=50).collect()
+    assert [(r.rank, r.doc_id, r.score) for r in plain] == [
+        (r.rank, r.doc_id, r.score) for r in syn
+    ]
+
+
+def test_synonym_group_scores_as_one_pseudo_term(docs):
+    """A doc using both members once must score the group like a doc
+    using one member twice (identical tf), and must NOT get two idf
+    rewards."""
+    import pandas as pd
+    from greynirserver_spark.operators.textops import bm25_synonym_topk
+
+    spark = docs.sparkSession
+    base = ["filler"] * 8
+    rows = [
+        (1, " ".join(base + ["spark", "stream"])),   # one of each member
+        (2, " ".join(base + ["spark", "spark"])),    # one member twice
+        (3, " ".join(base + ["spark"])),             # tf 1
+    ] + [(10 + i, " ".join(base + ["spark"])) for i in range(4)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.score
+        for r in bm25_synonym_topk(d, [["spark", "stream"]], k=10,
+                                   min_df=1).collect()
+    }
+    assert out[1] == out[2]          # summed tf, single saturation
+    assert out[1] > out[3]
+    # doc 1's score comes from ONE idf over the group (df = docs with
+    # ANY member = 7), not spark-idf + stream-idf
+    import math
+    n, df, tf = 7, 7, 2
+    dl, avgdl = 10, 65 / 7  # docs: 10, 10, 9, and four of 9 tokens
+    idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    expect = round(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4)
+    assert out[1] == pytest.approx(expect, abs=1e-9)
+
+
+def test_synonym_rejects_cross_group_duplicates(docs):
+    from greynirserver_spark.operators.textops import bm25_synonym_topk
+
+    with pytest.raises(ValueError):
+        bm25_synonym_topk(docs, [["spark"], ["spark", "stream"]], k=5)
+    with pytest.raises(ValueError):
+        bm25_synonym_topk(docs, [[]], k=5)
+
+
+def test_searcher_synonym_singletons_match_search(searcher):
+    terms = query_to_terms(" ".join(indexable_stems_by_rank(3)))
+    via_search = searcher.search(terms, 10)
+    via_syn = searcher.synonym([[t] for t in terms], 10)
+    assert [d for d, _ in via_syn] == [d for d, _ in via_search]
+    for (_, s1), (_, s2) in zip(via_syn, via_search):
+        assert s1 == pytest.approx(s2, rel=1e-6)
+
+
+def test_searcher_synonym_group_fold(searcher):
+    stems = indexable_stems_by_rank(4)
+    terms = query_to_terms(" ".join(stems))
+    assert len(terms) >= 2
+    grouped = searcher.synonym([terms[:2], *[[t] for t in terms[2:]]], 10)
+    assert grouped
+    # folding two terms into one group can only DROP total idf mass
+    # vs scoring them separately: top score must not increase
+    separate = searcher.synonym([[t] for t in terms], 10)
+    assert grouped[0][1] <= separate[0][1] + 1e-9
+    # cached replay returns the identical object content
+    assert searcher.synonym(
+        [terms[:2], *[[t] for t in terms[2:]]], 10) == grouped
+    with pytest.raises(ValueError):
+        searcher.synonym([[terms[0]], terms[:2]], 5)
