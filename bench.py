@@ -28,6 +28,8 @@ _REPO = str(Path(__file__).resolve().parent)
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
+from pyspark.sql import functions as F  # noqa: E402
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -366,7 +368,6 @@ def main() -> None:
     #     query must fetch (matched rows/blocks under columnar
     #     pruning) — the read-amplification number that matters at
     #     100 TB.
-    from pyspark.sql import functions as F
 
     from greynirserver_spark.operators.posindex import (
         build_positional_segments,

@@ -92,6 +92,49 @@ def document_corpus_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def bm25_idf(df_col, n_docs_col):
+    """Robertson idf expression — THE one copy of the formula (shared
+    by the plain, synonym-group and serving scorers)."""
+    return F.log(
+        (n_docs_col - df_col + F.lit(0.5)) / (df_col + F.lit(0.5))
+        + F.lit(1.0)
+    )
+
+
+def bm25_part(tf_col, doclen_col, avgdl_col, idf_col):
+    """One term's (or pseudo-term's) BM25 contribution expression."""
+    return (
+        idf_col
+        * (tf_col * (K1 + 1.0))
+        / (tf_col + K1 * (1.0 - B + B * doclen_col / avgdl_col))
+    )
+
+
+def normalize_synonym_groups(
+    groups: Sequence[Sequence[str]],
+) -> "list[list[str]]":
+    """Lowercase/dedupe synonym groups and reject a term appearing in
+    more than one group — shared by :func:`bm25_synonym_topk` and
+    ``Searcher.synonym`` so the twins keep identical input contracts
+    (both raise on an effectively empty query)."""
+    norm: list = []
+    seen: set = set()
+    for g in groups:
+        gl = sorted({t.lower() for t in g})
+        if not gl:
+            continue
+        overlap = seen.intersection(gl)
+        if overlap:
+            raise ValueError(
+                f"term(s) {sorted(overlap)} appear in more than one group"
+            )
+        seen.update(gl)
+        norm.append(gl)
+    if not norm:
+        raise ValueError("empty query")
+    return norm
+
+
 def _bm25_term_parts(
     docs: DataFrame, query_terms: Sequence[str], min_df: int = 3,
     postings: DataFrame | None = None,
@@ -121,14 +164,7 @@ def _bm25_term_parts(
         .agg(F.count("*").cast("long").alias("df"))
         .where(F.col("df") >= min_df)
         .crossJoin(F.broadcast(corpus))
-        .withColumn(
-            "idf",
-            F.log(
-                (F.col("n_docs") - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5))
-                + F.lit(1.0)
-            ),
-        )
+        .withColumn("idf", bm25_idf(F.col("df"), F.col("n_docs")))
     )
     return (
         postings.where(F.col("term").isin(terms))
@@ -136,12 +172,8 @@ def _bm25_term_parts(
         .join(doclen, "doc_id")
         .withColumn(
             "part",
-            F.col("idf")
-            * (F.col("tf") * (K1 + 1.0))
-            / (
-                F.col("tf")
-                + K1 * (1.0 - B + B * F.col("doclen") / F.col("avgdl"))
-            ),
+            bm25_part(F.col("tf"), F.col("doclen"), F.col("avgdl"),
+                      F.col("idf")),
         )
     )
 
@@ -299,21 +331,8 @@ def bm25_synonym_topk(
     rest is the plain pipeline — one extra tiny broadcast, no extra
     shuffle over the plain path.
     """
-    norm: list = []
-    seen: set = set()
-    for g in groups:
-        gl = sorted({t.lower() for t in g})
-        if not gl:
-            continue
-        overlap = seen.intersection(gl)
-        if overlap:
-            raise ValueError(
-                f"term(s) {sorted(overlap)} appear in more than one group"
-            )
-        seen.update(gl)
-        norm.append(gl)
-    if not norm:
-        raise ValueError("empty query")
+    norm = normalize_synonym_groups(groups)
+    members = sorted({t for g in norm for t in g})
     spark = docs.sparkSession
     mapping = spark.createDataFrame(
         [(t, "|".join(g)) for g in norm for t in g], "term string, gid string"
@@ -328,7 +347,7 @@ def bm25_synonym_topk(
         (F.sum("doclen").cast("double") / F.count("*")).alias("avgdl"),
     )
     gpost = (
-        postings.where(F.col("term").isin(sorted(seen)))
+        postings.where(F.col("term").isin(members))
         .join(F.broadcast(mapping), "term")
         .groupBy("gid", "doc_id")
         .agg(F.sum("tf").cast("long").alias("tf"))
@@ -338,26 +357,15 @@ def bm25_synonym_topk(
         .agg(F.count("*").cast("long").alias("df"))
         .where(F.col("df") >= min_df)
         .crossJoin(F.broadcast(corpus))
-        .withColumn(
-            "idf",
-            F.log(
-                (F.col("n_docs") - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5))
-                + F.lit(1.0)
-            ),
-        )
+        .withColumn("idf", bm25_idf(F.col("df"), F.col("n_docs")))
     )
     scored = (
         gpost.join(F.broadcast(gstats), "gid")
         .join(doclen, "doc_id")
         .withColumn(
             "part",
-            F.col("idf")
-            * (F.col("tf") * (K1 + 1.0))
-            / (
-                F.col("tf")
-                + K1 * (1.0 - B + B * F.col("doclen") / F.col("avgdl"))
-            ),
+            bm25_part(F.col("tf"), F.col("doclen"), F.col("avgdl"),
+                      F.col("idf")),
         )
         .groupBy("doc_id")
         .agg(

@@ -938,25 +938,21 @@ class Searcher:
         postings (the ``_boolean_exact_excluding`` shape): group tf/df
         are query-time aggregates, so there is no baked per-group
         block_max to drive a WAND sweep — and synonym expansion is the
-        long-tail recall query, not the hot path. Tombstones are
-        anti-joined before the fold, so a deleted doc neither scores
-        nor counts toward group df. Group df is gated on the store's
-        own ``min_df``."""
-        norm: List[List[str]] = []
-        seen: set = set()
-        for g in groups:
-            gl = sorted({t.lower() for t in g})
-            if not gl:
-                continue
-            overlap = seen.intersection(gl)
-            if overlap:
-                raise ValueError(
-                    f"term(s) {sorted(overlap)} appear in more than one group"
-                )
-            seen.update(gl)
-            norm.append(gl)
-        if not norm:
-            return []
+        long-tail recall query, not the hot path. Stats follow the
+        serving convention every other path uses: group df counts the
+        BAKED posting universe (so a singleton group scores identically
+        to :meth:`search` even under a delete backlog), and tombstoned
+        docs are excluded from the RESULTS by anti-join, with stats
+        drift resolved at rebuild. Group df is gated on the store's own
+        ``min_df``."""
+        from ..operators.textops import (
+            bm25_idf,
+            bm25_part,
+            normalize_synonym_groups,
+        )
+
+        norm = normalize_synonym_groups(groups)
+        members = sorted({t for g in norm for t in g})
         self._check_snapshot()
         key = ("synonym", tuple(tuple(g) for g in norm), k)
         now = time.monotonic()
@@ -969,15 +965,8 @@ class Searcher:
             del self._cache[key]
         postings = (
             self.store.load(self.spark, "postings")
-            .where(F.col("term").isin(sorted(seen)))
+            .where(F.col("term").isin(members))
         )
-        if self._tomb_df is not None:
-            postings = postings.join(self._tomb_df, "doc_id", "left_anti")
-        elif self._tombstones:
-            tomb = self.spark.createDataFrame(
-                [(int(d),) for d in self._tombstones], "doc_id long"
-            )
-            postings = postings.join(tomb, "doc_id", "left_anti")
         mapping = self.spark.createDataFrame(
             [(t, "|".join(g)) for g in norm for t in g],
             "term string, gid string",
@@ -994,30 +983,16 @@ class Searcher:
             .crossJoin(
                 F.broadcast(self._corpus_df.select("n_docs", "avgdl"))
             )
-            .withColumn(
-                "idf",
-                F.log(
-                    (F.col("n_docs") - F.col("df") + F.lit(0.5))
-                    / (F.col("df") + F.lit(0.5))
-                    + F.lit(1.0)
-                ),
-            )
+            .withColumn("idf", bm25_idf(F.col("df"), F.col("n_docs")))
         )
         doclen = self.store.load(self.spark, "doc_stats")
-        from ..operators.bm25 import B as _B, K1 as _K1
-
         scored = (
             gpost.join(F.broadcast(gstats), "gid")
             .join(doclen, "doc_id")
             .withColumn(
                 "part",
-                F.col("idf")
-                * (F.col("tf") * (_K1 + 1.0))
-                / (
-                    F.col("tf")
-                    + _K1
-                    * (1.0 - _B + _B * F.col("doclen") / F.col("avgdl"))
-                ),
+                bm25_part(F.col("tf"), F.col("doclen"), F.col("avgdl"),
+                          F.col("idf")),
             )
             .groupBy("doc_id")
             .agg(
@@ -1032,6 +1007,13 @@ class Searcher:
                 ).alias("score"),
             )
         )
+        if self._tomb_df is not None:
+            scored = scored.join(self._tomb_df, "doc_id", "left_anti")
+        elif self._tombstones:
+            tomb = self.spark.createDataFrame(
+                [(int(d),) for d in self._tombstones], "doc_id long"
+            )
+            scored = scored.join(tomb, "doc_id", "left_anti")
         rows = (
             scored.orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
@@ -1109,17 +1091,19 @@ class Searcher:
 
         fetch = max(k, 10)
         result: List[Tuple[int, str, float]] = []
+        hosts: dict = {}  # resolved once per id across fetch doublings
         while True:
             hits = self.search(tl, fetch)
-            ids = [int(d) for d, _ in hits]
-            hosts: dict = {}
-            if ids:
+            new_ids = [int(d) for d, _ in hits if int(d) not in hosts]
+            if new_ids:
                 dm = (
                     self.store.load(self.spark, "doc_map")
-                    .where(F.col("doc_id").isin(ids))
+                    .where(F.col("doc_id").isin(new_ids))
                     .select("doc_id", host_of(F.col("url")).alias("h"))
                 )
-                hosts = {int(r["doc_id"]): r["h"] for r in dm.collect()}
+                hosts.update(
+                    {int(r["doc_id"]): r["h"] for r in dm.collect()}
+                )
             counts: dict = {}
             result = []
             for d, s in hits:
@@ -1156,6 +1140,18 @@ class Searcher:
 
         self._check_snapshot()
         doc_id = int(doc_id)
+        # a tombstoned doc has NO serving score to explain — returning
+        # its decoded breakdown would fabricate one search() never emits
+        if doc_id in self._tombstones:
+            return []
+        if self._tomb_df is not None:
+            gone = (
+                self._tomb_df.where(F.col("doc_id") == doc_id)
+                .limit(1)
+                .count()
+            )
+            if gone:
+                return []
         terms_u = sorted({t.lower() for t in terms})
         if not terms_u:
             return []

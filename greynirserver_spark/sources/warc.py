@@ -509,22 +509,33 @@ def _export(df: DataFrame, out_dir: str, make_record, cols: List[str]) -> int:
     re-listing the directory — an out_dir that already holds files from
     an earlier export does not inflate the count).
 
-    A container already present at the target name is NEVER
-    overwritten: a later export into the same landing directory (the
-    growing-archive pattern — scripts/submit_ingest.py,
-    stream_append_to_store) lands under the next free ``part-<pid>-<n>``
-    suffix instead. Overwriting would both destroy the earlier export's
-    records and hide the new ones from the streaming ingest, whose
-    binaryFile checkpoint keys on path and never re-reads a seen file."""
+    Final names are ``part-<pid>-<content-digest>.warc.gz`` — derived
+    from the container's own (byte-deterministic) bytes. That gives
+    both safety properties at once, with no check-then-act race:
+
+    * a later export into the same landing directory (the
+      growing-archive pattern — scripts/submit_ingest.py,
+      stream_append_to_store) carries different records ⇒ different
+      digest ⇒ different name — it can never destroy an earlier
+      container, nor hide itself from the streaming ingest (whose
+      binaryFile checkpoint keys on path and never re-reads a seen
+      file);
+    * a RETRIED or speculatively re-run task writes the identical
+      bytes ⇒ the same name — the ``os.replace`` is an idempotent
+      self-overwrite, never a duplicate container double-ingested by
+      the stream."""
     os.makedirs(out_dir, exist_ok=True)
 
     def write_partition(rows):
+        import hashlib
+
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
         tmp = os.path.join(
             out_dir, f".part-{pid:05d}-{os.getpid()}.inprogress"
         )
+        digest = hashlib.sha256()
         wrote = False
         with open(tmp, "wb") as fh:
             for row in rows:
@@ -533,19 +544,15 @@ def _export(df: DataFrame, out_dir: str, make_record, cols: List[str]) -> int:
                 buf = io.BytesIO()
                 with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
                     gz.write(rec)
-                fh.write(buf.getvalue())
+                member = buf.getvalue()
+                fh.write(member)
+                digest.update(member)
                 wrote = True
         if wrote:
-            # choose the final name at publish time: plain part-<pid>
-            # into a fresh dir (deterministic layout), first free
-            # -<n> suffix when that name is already taken
-            path = os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
-            n = 0
-            while os.path.exists(path):
-                n += 1
-                path = os.path.join(
-                    out_dir, f"part-{pid:05d}-{n:03d}.warc.gz"
-                )
+            path = os.path.join(
+                out_dir,
+                f"part-{pid:05d}-{digest.hexdigest()[:12]}.warc.gz",
+            )
             os.replace(tmp, path)  # atomic visibility, like runstore
             yield 1
         else:

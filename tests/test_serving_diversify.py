@@ -258,3 +258,38 @@ def test_searcher_synonym_group_fold(searcher):
         [terms[:2], *[[t] for t in terms[2:]]], 10) == grouped
     with pytest.raises(ValueError):
         searcher.synonym([[terms[0]], terms[:2]], 5)
+
+
+def test_synonym_and_explain_respect_tombstones(spark, tmp_path_factory):
+    """Post-delete consistency (round-5 self-review findings): explain
+    must not fabricate a breakdown for a doc search() no longer serves,
+    and singleton-group synonym() must keep matching search() under a
+    delete backlog (both use baked stats; both exclude tombstones from
+    results only)."""
+    from greynirserver_spark.plans.lineage import delete_urls
+
+    root = str(tmp_path_factory.mktemp("tombsyn") / "store")
+    store = build_index_checkpointed(
+        spark, generate_pages(spark, 300), root, n_shards=4
+    )
+    s = Searcher(spark, store, version_check_interval_s=0.0)
+    terms = query_to_terms(" ".join(indexable_stems_by_rank(3)))
+    before = s.search(terms, 5)
+    assert before
+    victim = before[0][0]
+    assert s.explain(terms, victim)  # served doc has a breakdown
+    url = (
+        store.load(spark, "doc_map")
+        .where(F.col("doc_id") == victim)
+        .first()["url"]
+    )
+    assert delete_urls(spark, store, [url]) == 1
+
+    assert s.explain(terms, victim) == []  # no served score to explain
+    after_search = s.search(terms, 5)
+    after_syn = s.synonym([[t] for t in terms], 5)
+    assert victim not in [d for d, _ in after_search]
+    assert victim not in [d for d, _ in after_syn]
+    assert [d for d, _ in after_syn] == [d for d, _ in after_search]
+    for (_, s1), (_, s2) in zip(after_syn, after_search):
+        assert s1 == pytest.approx(s2, rel=1e-6)

@@ -435,6 +435,13 @@ def test_export_into_nonempty_dir_never_clobbers(spark, tmp_path):
         r.url for r in read_warc(spark, out + "/*.warc.gz").collect()
     )
     assert urls == ["http://x.is/a", "http://x.is/b"]
+    # retry idempotence: re-exporting the SAME data lands on the same
+    # content-derived name (byte-identical self-overwrite), never a
+    # duplicate container the streaming checkpoint would ingest twice
+    assert export_warc(pages_a, out) == 1
+    assert sorted(
+        f for f in os.listdir(out) if f.endswith(".warc.gz")
+    ) == names
 
 
 def test_warc_to_pages_html_guard_is_bytes_not_chars(spark):
