@@ -311,6 +311,55 @@ def suggest_terms(
     return term_autocomplete(docs, p, limit=k, min_df=min_df)
 
 
+def synonym_group_scores(
+    spark, postings: DataFrame, doclen: DataFrame, corpus: DataFrame,
+    groups_norm: Sequence[Sequence[str]], min_df: int = 3,
+    round_digits: "int | None" = None,
+) -> DataFrame:
+    """(doc_id, score) under SynonymQuery semantics — THE one copy of
+    the group-folded scoring plan, shared by :func:`bm25_synonym_topk`
+    (corpus stats, rounded for the DuckDB oracle), ``Searcher.synonym``
+    and ``Router.synonym_search`` (store tables, unrounded serving
+    floats). *groups_norm* must already be
+    :func:`normalize_synonym_groups` output; *corpus* is a 1-row
+    (n_docs, avgdl) frame."""
+    members = sorted({t for g in groups_norm for t in g})
+    mapping = spark.createDataFrame(
+        [(t, "|".join(g)) for g in groups_norm for t in g],
+        "term string, gid string",
+    )
+    gpost = (
+        postings.where(F.col("term").isin(members))
+        .join(F.broadcast(mapping), "term")
+        .groupBy("gid", "doc_id")
+        .agg(F.sum("tf").cast("long").alias("tf"))
+    )
+    gstats = (
+        gpost.groupBy("gid")
+        .agg(F.count("*").cast("long").alias("df"))
+        .where(F.col("df") >= min_df)
+        .crossJoin(F.broadcast(corpus.select("n_docs", "avgdl")))
+        .withColumn("idf", bm25_idf(F.col("df"), F.col("n_docs")))
+    )
+    total = F.aggregate("p", F.lit(0.0), lambda a, x: a + x["part"])
+    if round_digits is not None:
+        total = F.round(total, round_digits)
+    return (
+        gpost.join(F.broadcast(gstats), "gid")
+        .join(doclen.select("doc_id", "doclen"), "doc_id")
+        .withColumn(
+            "part",
+            bm25_part(F.col("tf"), F.col("doclen"), F.col("avgdl"),
+                      F.col("idf")),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("gid", "part"))).alias("p")
+        )
+        .select("doc_id", total.alias("score"))
+    )
+
+
 def bm25_synonym_topk(
     docs: DataFrame, groups: Sequence[Sequence[str]], k: int = 20,
     min_df: int = 3, postings: DataFrame | None = None,
@@ -332,11 +381,6 @@ def bm25_synonym_topk(
     shuffle over the plain path.
     """
     norm = normalize_synonym_groups(groups)
-    members = sorted({t for g in norm for t in g})
-    spark = docs.sparkSession
-    mapping = spark.createDataFrame(
-        [(t, "|".join(g)) for g in norm for t in g], "term string, gid string"
-    )
     if postings is None:
         postings = document_postings(docs).cache()
     doclen = postings.groupBy("doc_id").agg(
@@ -346,37 +390,9 @@ def bm25_synonym_topk(
         F.count("*").alias("n_docs"),
         (F.sum("doclen").cast("double") / F.count("*")).alias("avgdl"),
     )
-    gpost = (
-        postings.where(F.col("term").isin(members))
-        .join(F.broadcast(mapping), "term")
-        .groupBy("gid", "doc_id")
-        .agg(F.sum("tf").cast("long").alias("tf"))
-    )
-    gstats = (
-        gpost.groupBy("gid")
-        .agg(F.count("*").cast("long").alias("df"))
-        .where(F.col("df") >= min_df)
-        .crossJoin(F.broadcast(corpus))
-        .withColumn("idf", bm25_idf(F.col("df"), F.col("n_docs")))
-    )
-    scored = (
-        gpost.join(F.broadcast(gstats), "gid")
-        .join(doclen, "doc_id")
-        .withColumn(
-            "part",
-            bm25_part(F.col("tf"), F.col("doclen"), F.col("avgdl"),
-                      F.col("idf")),
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("gid", "part"))).alias("p")
-        )
-        .select(
-            "doc_id",
-            F.round(
-                F.aggregate("p", F.lit(0.0), lambda a, x: a + x["part"]), 4
-            ).alias("score"),
-        )
+    scored = synonym_group_scores(
+        docs.sparkSession, postings, doclen, corpus, norm,
+        min_df=min_df, round_digits=4,
     )
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (

@@ -730,6 +730,26 @@ class Router:
             ans = self._structured_search(q, k)
             if ans is not None:
                 return ans
+        elif "|" in q:
+            # a|b synonym-group syntax (Lucene SynonymQuery): members
+            # of a '|' token fold into ONE pseudo-term; bare tokens are
+            # singleton groups. A degenerate parse (term in two groups,
+            # no resolvable members) falls back to plain Search.
+            groups: List[List[str]] = []
+            label: List[str] = []
+            for tok in q.split():
+                terms = query_to_terms(tok.replace("|", " "))
+                if terms:
+                    groups.append(terms)
+                    label.append(tok if "|" in tok else terms[0])
+            if any("|" in t for t in label):
+                try:
+                    return Answer(
+                        "SynonymSearch", self.synonym_search(groups, k),
+                        label,
+                    )
+                except ValueError:
+                    pass
         terms = query_to_terms(q)
         return Answer("Search", self.search(terms, k), terms)
 
@@ -1021,6 +1041,49 @@ class Router:
         if not expansion:
             return self._empty_frame(_SEARCH_DDL)
         return self.search(expansion, k)
+
+    def synonym_search(
+        self, groups: List[List[str]], k: int = 10
+    ) -> DataFrame:
+        """SynonymQuery answer frame (``a|b`` query syntax): each group
+        scores as one pseudo-term (summed tf, any-member df — see
+        ``textops.bm25_synonym_topk`` for why). Exact distributed path
+        over the store's raw postings with BAKED stats; the scored set
+        is COMPLETE (not a top-k prefetch), so the anti-joined
+        ``doc_map`` join excludes tombstones exactly — no overfetch
+        discipline needed."""
+        from pyspark.sql.window import Window
+
+        from ..operators.textops import (
+            normalize_synonym_groups,
+            synonym_group_scores,
+        )
+        from ..plans.lineage import read_store_meta
+
+        norm = normalize_synonym_groups(groups)
+        try:
+            min_df = int(read_store_meta(self.store)["min_df"])
+        except (FileNotFoundError, KeyError):
+            min_df = 1
+        k = min(k, _MAXLEN_ANSWER)
+        scored = synonym_group_scores(
+            self.spark,
+            self.store.load(self.spark, "postings"),
+            self.spark.read.parquet(self.store.doc_stats),
+            self.corpus,
+            norm,
+            min_df=min_df,
+        )
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            scored.join(
+                self.doc_map.select("doc_id", "url", "warc_ts"), "doc_id"
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .select("rank", "doc_id", "url", "warc_ts", "score")
+        )
 
     def boolean(self, must: List[str], should: List[str] = (),
                 must_not: List[str] = (), k: int = 10) -> DataFrame:

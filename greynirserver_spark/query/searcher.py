@@ -946,13 +946,11 @@ class Searcher:
         drift resolved at rebuild. Group df is gated on the store's own
         ``min_df``."""
         from ..operators.textops import (
-            bm25_idf,
-            bm25_part,
             normalize_synonym_groups,
+            synonym_group_scores,
         )
 
         norm = normalize_synonym_groups(groups)
-        members = sorted({t for g in norm for t in g})
         self._check_snapshot()
         key = ("synonym", tuple(tuple(g) for g in norm), k)
         now = time.monotonic()
@@ -963,49 +961,13 @@ class Searcher:
                 self._cache.move_to_end(key)
                 return result
             del self._cache[key]
-        postings = (
-            self.store.load(self.spark, "postings")
-            .where(F.col("term").isin(members))
-        )
-        mapping = self.spark.createDataFrame(
-            [(t, "|".join(g)) for g in norm for t in g],
-            "term string, gid string",
-        )
-        gpost = (
-            postings.join(F.broadcast(mapping), "term")
-            .groupBy("gid", "doc_id")
-            .agg(F.sum("tf").cast("long").alias("tf"))
-        )
-        gstats = (
-            gpost.groupBy("gid")
-            .agg(F.count("*").cast("long").alias("df"))
-            .where(F.col("df") >= self._min_df)
-            .crossJoin(
-                F.broadcast(self._corpus_df.select("n_docs", "avgdl"))
-            )
-            .withColumn("idf", bm25_idf(F.col("df"), F.col("n_docs")))
-        )
-        doclen = self.store.load(self.spark, "doc_stats")
-        scored = (
-            gpost.join(F.broadcast(gstats), "gid")
-            .join(doclen, "doc_id")
-            .withColumn(
-                "part",
-                bm25_part(F.col("tf"), F.col("doclen"), F.col("avgdl"),
-                          F.col("idf")),
-            )
-            .groupBy("doc_id")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("gid", "part"))
-                ).alias("p")
-            )
-            .select(
-                "doc_id",
-                F.aggregate(
-                    "p", F.lit(0.0), lambda a, x: a + x["part"]
-                ).alias("score"),
-            )
+        scored = synonym_group_scores(
+            self.spark,
+            self.store.load(self.spark, "postings"),
+            self.store.load(self.spark, "doc_stats"),
+            self._corpus_df,
+            norm,
+            min_df=self._min_df,
         )
         if self._tomb_df is not None:
             scored = scored.join(self._tomb_df, "doc_id", "left_anti")

@@ -169,3 +169,39 @@ def test_boolean_phrase_dispatch_and_parity(spark, tmp_path_factory):
     empty = r_p.execute(f'"{w1} {w2}" +{must_word} -{must_word}', k=10)
     assert empty.qtype == "BooleanPhraseSearch"
     assert empty.df.count() == 0
+
+
+def test_synonym_dispatch_and_fold(router):
+    """a|b query syntax: dispatches to SynonymSearch; singleton groups
+    reproduce plain Search ranking; a degenerate parse falls back."""
+    a, b, c = _stems(3)
+    ans = router.execute(f"{a}|{b} {c}", k=10)
+    assert ans.qtype == "SynonymSearch"
+    rows = ans.df.collect()
+    assert rows and rows[0].rank == 1
+    assert {"rank", "doc_id", "url", "warc_ts", "score"} <= set(
+        ans.df.columns
+    )
+    # every hit contains a member of some group (it scored)
+    from pyspark.sql import functions as F
+
+    members = query_to_terms(f"{a} {b} {c}")
+    hit_ids = [r.doc_id for r in rows]
+    with_member = {
+        r.doc_id
+        for r in router.postings.where(
+            F.col("term").isin(members) & F.col("doc_id").isin(hit_ids)
+        ).select("doc_id").distinct().collect()
+    }
+    assert set(hit_ids) <= with_member
+
+    # all-singleton '|' query == plain search ranking (score parity)
+    syn = router.execute(f"{a}|{a} {c}", k=10).df.collect()
+    plain = router.search(query_to_terms(f"{a} {c}"), k=10).collect()
+    assert [r.doc_id for r in syn] == [r.doc_id for r in plain]
+    for r1, r2 in zip(syn, plain):
+        assert r1.score == pytest.approx(r2.score, rel=1e-6)
+
+    # term in two groups -> ValueError inside -> plain Search fallback
+    fb = router.execute(f"{a}|{b} {a}", k=5)
+    assert fb.qtype == "Search"
