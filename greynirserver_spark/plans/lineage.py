@@ -58,6 +58,7 @@ __all__ = [
     "lookup_term_idf",
     "append_pages",
     "delete_urls",
+    "merge_stores",
     "rebuild_segments",
     "maintain_count_stores",
     "stats_need_rescale",
@@ -1072,6 +1073,166 @@ def delete_urls(
         )
     victims.unpersist()
     return n
+
+
+def merge_stores(
+    spark: SparkSession,
+    a: IndexStore,
+    b: IndexStore,
+    out_root: str,
+) -> IndexStore:
+    """Merge two INDEPENDENTLY built index stores into a new store at
+    *out_root* — the Lucene segment-merge analog at store granularity,
+    for the two patterns a 10^12-doc deployment actually runs:
+    parallel partition builds (one store per crawl slice, merged after)
+    and backfills built offline then folded into serving.
+
+    Mechanics (everything distributed, nothing O(store) on the driver):
+
+    * *b*'s doc ids are offset past *a*'s maximum (the append-path id
+      discipline), so the pinned doc-range sharding stays valid;
+    * each input's tombstones are applied on read (a deleted doc
+      neither merges nor counts);
+    * url collisions resolve NEWEST-``warc_ts``-wins (tie: *b*, the
+      "later" store — matching ``upsert_pages``); the loser's rows are
+      anti-joined out of every table;
+    * the merged row tables (doc_map / postings / positions when BOTH
+      inputs carry them) are committed to the new store, stats are
+      recomputed from the merged postings, and
+      :func:`rebuild_segments` bakes segments with the merged corpus's
+      CURRENT idf — so the result ranks exactly like a from-scratch
+      build over the union (test-pinned by url+score).
+
+    ``min_df`` must match between the inputs (it changes scoring
+    semantics); the physical layout (shard_size / block_size /
+    n_shards) is taken from *a* since every block is re-baked anyway.
+    Positions are kept only when BOTH stores have them — a half-covered
+    positional table would silently exclude one input's docs from
+    phrase results.
+    """
+    ma, mb = read_store_meta(a), read_store_meta(b)
+    if int(ma["min_df"]) != int(mb["min_df"]):
+        raise ValueError(
+            f"min_df mismatch: {ma['min_df']} vs {mb['min_df']} — "
+            "merging stores with different pruning floors would change "
+            "scoring semantics"
+        )
+    out = IndexStore(out_root)
+    if os.path.exists(out_root) and os.listdir(out_root):
+        raise ValueError(f"out_root {out_root} is not empty")
+    os.makedirs(out_root, exist_ok=True)
+    t0 = time.time()
+
+    def _live(store: IndexStore, name: str) -> Optional[DataFrame]:
+        if not store.has(name):
+            return None
+        df = store.load(spark, name)
+        if store.has("tombstones"):
+            tomb = spark.read.parquet(store.tombstones).select("doc_id")
+            df = df.join(tomb, "doc_id", "left_anti")
+        return df
+
+    dm_a = _live(a, "doc_map")
+    dm_b = _live(b, "doc_map")
+    base = dm_a.agg(F.max("doc_id")).collect()[0][0]
+    pmax = spark.read.parquet(a.postings).agg(F.max("doc_id")).collect()[0][0]
+    offset = max(
+        int(base) + 1 if base is not None else 0,
+        int(pmax) + 1 if pmax is not None else 0,
+    )
+
+    def _shift(df: Optional[DataFrame]) -> Optional[DataFrame]:
+        if df is None:
+            return None
+        return df.withColumn(
+            "doc_id", (F.col("doc_id") + F.lit(offset)).cast("long")
+        )
+
+    doc_map = dm_a.unionByName(_shift(dm_b))
+    # newest-warc_ts wins per url; doc_id desc tie-break keeps the
+    # b-side copy (the "later" store), mirroring upsert semantics
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("url").orderBy(
+        F.desc("warc_ts"), F.desc("doc_id")
+    )
+    winners = (
+        doc_map.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .drop("_r")
+    )
+    losers = doc_map.join(
+        winners.select("doc_id"), "doc_id", "left_anti"
+    ).select("doc_id")
+
+    postings = (
+        _live(a, "postings")
+        .unionByName(_shift(_live(b, "postings")))
+        .join(losers, "doc_id", "left_anti")
+    )
+    _commit_table(winners, out.doc_map)
+    _commit_table(postings, out.postings)
+    postings = spark.read.parquet(out.postings)
+    _commit_table(build_doc_stats(postings), out.doc_stats)
+    _commit_table(
+        corpus_stats(spark.read.parquet(out.doc_stats)), out.corpus
+    )
+    from ..operators.postings import build_term_counts, compact_term_counts
+
+    compact_term_counts(
+        spark, out.term_counts,
+        build_term_counts(postings).sortWithinPartitions("term"),
+    )
+    if a.has("positions") and b.has("positions"):
+        # the positional store is COMPRESSED blocks (delta-coded doc id
+        # streams — no doc_id column to shift), but doc_map keeps the
+        # extracted text as stored fields, so the merged positional
+        # segments regenerate through the initial-build path; the
+        # rebuild below re-packs them and recomputes the phrase guard
+        # summary (pos_heavy) exactly
+        from ..operators.phrase import positional_postings
+        from ..operators.posindex import build_positional_segments
+        from ..operators.segments import release_cached_deps
+        from .storage import ADAPTER
+
+        pos = positional_postings(
+            spark.read.parquet(out.doc_map).select("doc_id", "text")
+        )
+        built = build_positional_segments(
+            pos, n_shards=int(ma["n_shards"]),
+            block_size=int(ma["block_size"]),
+            shard_size=int(ma["shard_size"]),
+        )
+        psegs = built.repartition("shard").sortWithinPartitions(
+            "term", "block_id"
+        )
+        staging = ADAPTER.stage_partitioned(psegs, out.positions, ["shard"])
+        release_cached_deps(built)
+        ADAPTER.swap_in(staging, out.positions, spark)
+
+    with open(os.path.join(out_root, "meta.json"), "w") as fh:
+        json.dump(
+            {
+                "shard_size": ma["shard_size"],
+                "n_shards": ma["n_shards"],
+                "block_size": ma["block_size"],
+                "min_df": ma["min_df"],
+            },
+            fh,
+        )
+    _append_lineage(
+        out_root,
+        dict(stage="merge_stores", partition_id="-",
+             input_fingerprint=f"{a.root}+{b.root}", status="done",
+             started_ts=t0, finished_ts=time.time(),
+             rows_out=-1, bytes_out=_dir_bytes(out.postings),
+             wall_ms=int((time.time() - t0) * 1000)),
+    )
+    # bake segments (+ positional re-pack + guard summary) with the
+    # merged corpus's current stats — the standard maintenance path,
+    # so every invariant (block idf vintage, pos_heavy, meta) holds
+    rebuild_segments(spark, out)
+    return out
 
 
 def rebuild_segments(spark: SparkSession, store: IndexStore) -> None:
