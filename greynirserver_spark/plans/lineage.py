@@ -57,6 +57,7 @@ __all__ = [
     "read_store_meta",
     "lookup_term_idf",
     "append_pages",
+    "update_pages",
     "delete_urls",
     "merge_stores",
     "rebuild_segments",
@@ -747,9 +748,18 @@ def append_pages(
         int(pmax) + 1 if pmax is not None else 0,
     )
 
+    # anti-join against the LIVE doc_map view (tombstoned rows don't
+    # block re-entry): a url deleted — or refreshed via update_pages'
+    # delete-then-append — re-enters under a NEW doc id; the next
+    # rebuild purges the tombstoned old row. Without this, a re-crawled
+    # page could not be refreshed between rebuilds at all.
+    live = doc_map
+    if store.has("tombstones"):
+        tomb = spark.read.parquet(store.tombstones).select("doc_id")
+        live = doc_map.join(tomb, "doc_id", "left_anti")
     texts = new_pages.where(F.col("lang") == "is").select(
         "url", "warc_ts", extract_text_udf()(F.col("html")).alias("text")
-    ).join(doc_map.select("url"), "url", "left_anti")
+    ).join(live.select("url"), "url", "left_anti")
 
     from pyspark import StorageLevel
 
@@ -1018,6 +1028,48 @@ def append_pages(
                 "rebuilt": rebuilt}
     finally:
         texts.unpersist()
+
+
+def update_pages(
+    spark: SparkSession, store: IndexStore, new_pages: DataFrame,
+    **append_kwargs,
+) -> dict:
+    """Newest-wins re-crawl refresh — the reference's per-url
+    delete+reinsert on re-scrape (article.py:473-477) composed from the
+    two log-structured phases:
+
+    1. the REFRESH set = batch urls already live in the store whose
+       batch ``warc_ts`` is strictly NEWER than the stored one (a stale
+       or identical re-crawl is a no-op — the reference's
+       scr_module_update gate) — tombstoned via :func:`delete_urls`,
+       excluding them from serving immediately;
+    2. :func:`append_pages` on the full batch — its anti-join is
+       tombstone-aware, so the refreshed urls re-enter under NEW doc
+       ids with the new content, while untouched existing urls are
+       dropped as before.
+
+    The old rows purge physically at the next rebuild; between the
+    update and the rebuild the store serves exactly the refreshed
+    corpus (old copy tombstone-excluded, new copy append-served).
+    Returns ``append_pages``' stats dict plus ``"refreshed": int``.
+    """
+    doc_map = spark.read.parquet(store.doc_map)
+    live = doc_map
+    if store.has("tombstones"):
+        tomb = spark.read.parquet(store.tombstones).select("doc_id")
+        live = doc_map.join(tomb, "doc_id", "left_anti")
+    refresh = (
+        new_pages.where(F.col("lang") == "is")
+        .select("url", F.col("warc_ts").alias("_new_ts"))
+        .join(live.select("url", "warc_ts"), "url")
+        .where(F.col("_new_ts") > F.col("warc_ts"))
+        .select("url")
+        .distinct()
+    )
+    n_refreshed = delete_urls(spark, store, refresh)
+    out = append_pages(spark, store, new_pages, **append_kwargs)
+    out["refreshed"] = n_refreshed
+    return out
 
 
 def delete_urls(

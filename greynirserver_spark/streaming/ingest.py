@@ -124,6 +124,7 @@ def stream_append_to_store(
     emit_topic_gram: bool = False,
     lsa_vocab_size: int = 512,
     source_format: str = "parquet",
+    refresh: bool = False,
 ):
     """Continuous index maintenance: stream pages files INTO a built
     :class:`~..plans.lineage.IndexStore` via ``append_pages`` per
@@ -136,6 +137,10 @@ def stream_append_to_store(
     (plans/lineage.py); the file-source checkpoint gives exactly-once
     per input file, and ``append_pages``' url anti-join makes replayed
     batches no-ops — so the combination is idempotent end-to-end.
+    ``refresh=True`` routes batches through
+    :func:`~..plans.lineage.update_pages` instead: a landing dir that
+    carries re-crawls installs the newest-``warc_ts`` copy of each url
+    (tombstone + re-append), still replay-idempotent.
     ``Trigger.AvailableNow`` bounds a run exactly like the reference's
     cron budget; omit it for continuous 24/7 ingest.
 
@@ -218,7 +223,16 @@ def stream_append_to_store(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
-        append_pages(sp, store, batch_df, rebuild_every=rebuild_every)
+        if refresh:
+            # re-crawl landing dirs carry NEWER copies of stored urls:
+            # newest-warc_ts-wins upsert (tombstone + re-append) — still
+            # replay-idempotent, since a replayed batch's warc_ts is no
+            # longer strictly newer than the copy it already installed
+            from ..plans.lineage import update_pages
+
+            update_pages(sp, store, batch_df, rebuild_every=rebuild_every)
+        else:
+            append_pages(sp, store, batch_df, rebuild_every=rebuild_every)
         if not (emit_near_dup_pairs or emit_topic_gram):
             return
         texts = batch_df.where(F.col("lang") == "is").select(

@@ -300,3 +300,153 @@ def test_rebuild_every_policy(spark, tmp_path):
     assert _topk_by_url(spark, store, terms) == _topk_by_url(
         spark, scratch, terms
     )
+
+
+def test_update_pages_newest_wins_refresh(spark, tmp_path_factory):
+    """Re-crawl refresh between rebuilds (round-5): a batch carrying a
+    NEWER copy of a stored url tombstones the old doc and re-appends
+    the new content under a new id — serving reflects the refresh
+    immediately; a stale re-crawl is a no-op; the next rebuild purges
+    and ranking equals a scratch build over the refreshed corpus."""
+    from pyspark.sql import functions as F
+
+    from greynirserver_spark.corpus import (
+        generate_pages,
+        indexable_stems_by_rank,
+    )
+    from greynirserver_spark.plans.lineage import (
+        build_index_checkpointed,
+        rebuild_segments,
+        update_pages,
+    )
+    from greynirserver_spark.plans.pipeline import query_to_terms
+    from greynirserver_spark.query.searcher import Searcher
+
+    base = tmp_path_factory.mktemp("upd")
+    pages = generate_pages(spark, 120).where(F.col("lang") == "is").cache()
+    first_two = pages.orderBy("url").limit(2).collect()
+    u1, u2 = first_two[0], first_two[1]
+
+    store = build_index_checkpointed(
+        spark, pages, str(base / "store"), n_shards=4
+    )
+    old_id = (
+        store.load(spark, "doc_map").where(F.col("url") == u1["url"])
+        .first()["doc_id"]
+    )
+
+    # u1 re-crawled with NEWER ts and u2's content
+    import datetime as dt
+
+    batch = spark.createDataFrame(
+        [(u1["url"], u1["warc_ts"] + dt.timedelta(days=1),
+          bytes(u2["html"]), "is")],
+        "url string, warc_ts timestamp, html binary, lang string",
+    )
+    res = update_pages(spark, store, batch)
+    assert res["refreshed"] == 1
+    assert res["new_docs"] == 1
+
+    dm = store.load(spark, "doc_map")
+    live = dm.join(
+        spark.read.parquet(store.tombstones).select("doc_id"),
+        "doc_id", "left_anti",
+    )
+    row = live.where(F.col("url") == u1["url"]).collect()
+    assert len(row) == 1 and row[0]["doc_id"] != old_id
+    new_id = row[0]["doc_id"]
+
+    # content identity: the refreshed doc's postings == u2's postings
+    u2_id = dm.where(F.col("url") == u2["url"]).first()["doc_id"]
+    post = spark.read.parquet(store.postings)
+    tf_new = {(r["term"], r["tf"]) for r in
+              post.where(F.col("doc_id") == new_id).collect()}
+    tf_u2 = {(r["term"], r["tf"]) for r in
+             post.where(F.col("doc_id") == u2_id).collect()}
+    assert tf_new and tf_new == tf_u2
+
+    # serving excludes the stale copy immediately
+    s = Searcher(spark, store, version_check_interval_s=0.0)
+    terms = query_to_terms(" ".join(indexable_stems_by_rank(3)))
+    assert old_id not in [d for d, _ in s.search(terms, 50)]
+
+    # stale re-crawl (original ts): no-op on both phases
+    stale = spark.createDataFrame(
+        [(u1["url"], u1["warc_ts"], bytes(u1["html"]), "is")],
+        "url string, warc_ts timestamp, html binary, lang string",
+    )
+    res2 = update_pages(spark, store, stale)
+    assert res2["refreshed"] == 0 and res2["new_docs"] == 0
+
+    # rebuild purges; ranking == scratch over the refreshed corpus
+    rebuild_segments(spark, store)
+    assert (
+        store.load(spark, "doc_map").where(F.col("url") == u1["url"])
+        .count() == 1
+    )
+    refreshed_corpus = pages.where(F.col("url") != u1["url"]).unionByName(
+        spark.createDataFrame(
+            [(u1["url"], u1["warc_ts"] + dt.timedelta(days=1),
+              bytes(u2["html"]), u2["text"], "is")],
+            "url string, warc_ts timestamp, html binary, "
+            "text string, lang string",
+        ).select(*pages.columns)
+    )
+    scratch = build_index_checkpointed(
+        spark, refreshed_corpus, str(base / "scratch"), n_shards=4
+    )
+
+    def ranked(st):
+        sr = Searcher(spark, st, version_check_interval_s=0.0)
+        hits = sr.search(terms, 15)
+        m = {int(r["doc_id"]): r["url"] for r in st.load(spark, "doc_map")
+             .where(F.col("doc_id").isin([d for d, _ in hits])).collect()}
+        return [(m[d], round(sc, 6)) for d, sc in hits]
+
+    assert ranked(store) == ranked(scratch)
+
+
+def test_stream_refresh_installs_newest_copy(spark, tmp_path):
+    """stream_append_to_store(refresh=True): a landing dir carrying a
+    re-crawled (newer warc_ts, new content) copy of a stored url
+    installs it; replaying the stream over the same checkpoint is a
+    no-op."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from greynirserver_spark.corpus import generate_pages
+    from greynirserver_spark.plans.lineage import build_index_checkpointed
+    from greynirserver_spark.streaming.ingest import stream_append_to_store
+
+    pages = generate_pages(spark, 100).where(F.col("lang") == "is").cache()
+    first_two = pages.orderBy("url").limit(2).collect()
+    u1, u2 = first_two[0], first_two[1]
+    store = build_index_checkpointed(
+        spark, pages, str(tmp_path / "store"), n_shards=4
+    )
+    n0 = store.load(spark, "doc_map").count()
+
+    indir = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(u1["url"], u1["warc_ts"] + dt.timedelta(days=1),
+          bytes(u2["html"]), u2["text"], "is")],
+        "url string, warc_ts timestamp, html binary, "
+        "text string, lang string",
+    ).write.mode("append").parquet(indir)
+
+    q = stream_append_to_store(spark, store, indir, ckpt, refresh=True)
+    q.awaitTermination(300)
+
+    dm = store.load(spark, "doc_map")
+    tomb = spark.read.parquet(store.tombstones).select("doc_id")
+    live = dm.join(tomb, "doc_id", "left_anti")
+    assert live.count() == n0  # one tombstoned, one re-appended
+    row = live.where(F.col("url") == u1["url"]).collect()
+    assert len(row) == 1 and row[0]["text"] == u2["text"]
+
+    # replay over the same checkpoint: no new files -> no change
+    q2 = stream_append_to_store(spark, store, indir, ckpt, refresh=True)
+    q2.awaitTermination(300)
+    assert dm.count() == store.load(spark, "doc_map").count()
