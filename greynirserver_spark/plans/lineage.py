@@ -748,16 +748,47 @@ def append_pages(
         int(pmax) + 1 if pmax is not None else 0,
     )
 
+    # one copy per url within the batch, newest warc_ts wins — a
+    # landing dir can deliver several crawls of one url in a single
+    # micro-batch, and duplicate live docs must never be minted
+    from pyspark.sql.window import Window as _W
+
+    batch = (
+        new_pages.where(F.col("lang") == "is")
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                _W.partitionBy("url").orderBy(F.desc("warc_ts"))
+            ),
+        )
+        .where(F.col("_r") == 1)
+        .drop("_r")
+    )
     # anti-join against the LIVE doc_map view (tombstoned rows don't
-    # block re-entry): a url deleted — or refreshed via update_pages'
-    # delete-then-append — re-enters under a NEW doc id; the next
-    # rebuild purges the tombstoned old row. Without this, a re-crawled
-    # page could not be refreshed between rebuilds at all.
+    # block re-entry), BUT a tombstoned url re-enters only with a
+    # STRICTLY NEWER warc_ts than the copy that was deleted: a genuine
+    # re-crawl (update_pages) refreshes, while a replayed crashed batch
+    # — same or older crawl timestamp — stays a no-op, so a url deleted
+    # via delete_urls is never resurrected by at-least-once streaming
+    # replay. The next rebuild purges the tombstoned old rows.
     live = doc_map
     if store.has("tombstones"):
         tomb = spark.read.parquet(store.tombstones).select("doc_id")
         live = doc_map.join(tomb, "doc_id", "left_anti")
-    texts = new_pages.where(F.col("lang") == "is").select(
+        dead_ts = (
+            doc_map.join(tomb, "doc_id")
+            .groupBy("url")
+            .agg(F.max("warc_ts").alias("_dead_ts"))
+        )
+        batch = (
+            batch.join(dead_ts, "url", "left")
+            .where(
+                F.col("_dead_ts").isNull()
+                | (F.col("warc_ts") > F.col("_dead_ts"))
+            )
+            .drop("_dead_ts")
+        )
+    texts = batch.select(
         "url", "warc_ts", extract_text_udf()(F.col("html")).alias("text")
     ).join(live.select("url"), "url", "left_anti")
 
@@ -1163,6 +1194,11 @@ def merge_stores(
     phrase results.
     """
     ma, mb = read_store_meta(a), read_store_meta(b)
+    # a crashed append on either input must not leak orphaned rows
+    # (postings committed, doc_map not) into the merge — they would
+    # survive every url-level anti-join and skew merged df/idf
+    _reconcile_appends(spark, a, ma)
+    _reconcile_appends(spark, b, mb)
     if int(ma["min_df"]) != int(mb["min_df"]):
         raise ValueError(
             f"min_df mismatch: {ma['min_df']} vs {mb['min_df']} — "
@@ -1235,33 +1271,6 @@ def merge_stores(
         spark, out.term_counts,
         build_term_counts(postings).sortWithinPartitions("term"),
     )
-    if a.has("positions") and b.has("positions"):
-        # the positional store is COMPRESSED blocks (delta-coded doc id
-        # streams — no doc_id column to shift), but doc_map keeps the
-        # extracted text as stored fields, so the merged positional
-        # segments regenerate through the initial-build path; the
-        # rebuild below re-packs them and recomputes the phrase guard
-        # summary (pos_heavy) exactly
-        from ..operators.phrase import positional_postings
-        from ..operators.posindex import build_positional_segments
-        from ..operators.segments import release_cached_deps
-        from .storage import ADAPTER
-
-        pos = positional_postings(
-            spark.read.parquet(out.doc_map).select("doc_id", "text")
-        )
-        built = build_positional_segments(
-            pos, n_shards=int(ma["n_shards"]),
-            block_size=int(ma["block_size"]),
-            shard_size=int(ma["shard_size"]),
-        )
-        psegs = built.repartition("shard").sortWithinPartitions(
-            "term", "block_id"
-        )
-        staging = ADAPTER.stage_partitioned(psegs, out.positions, ["shard"])
-        release_cached_deps(built)
-        ADAPTER.swap_in(staging, out.positions, spark)
-
     with open(os.path.join(out_root, "meta.json"), "w") as fh:
         json.dump(
             {
@@ -1280,10 +1289,43 @@ def merge_stores(
              rows_out=-1, bytes_out=_dir_bytes(out.postings),
              wall_ms=int((time.time() - t0) * 1000)),
     )
-    # bake segments (+ positional re-pack + guard summary) with the
-    # merged corpus's current stats — the standard maintenance path,
-    # so every invariant (block idf vintage, pos_heavy, meta) holds
+    # bake segments with the merged corpus's current stats — the
+    # standard maintenance path, so every invariant (block idf
+    # vintage, meta, lineage) holds. Positions are built AFTER: the
+    # rebuild would otherwise re-pack the freshly built blocks a
+    # second time for zero output change (they're unfragmented).
     rebuild_segments(spark, out)
+    if a.has("positions") and b.has("positions"):
+        # the positional store is COMPRESSED blocks (delta-coded doc id
+        # streams — no doc_id column to shift), but doc_map keeps the
+        # extracted text as stored fields, so the merged positional
+        # segments regenerate through the initial-build path, and the
+        # phrase guard summary (pos_heavy) recomputes exactly
+        from ..operators.phrase import positional_postings
+        from ..operators.posindex import (
+            build_positional_segments,
+            update_positional_block_counts,
+        )
+        from ..operators.segments import release_cached_deps
+        from .storage import ADAPTER
+
+        pos = positional_postings(
+            spark.read.parquet(out.doc_map).select("doc_id", "text")
+        )
+        built = build_positional_segments(
+            pos, n_shards=int(ma["n_shards"]),
+            block_size=int(ma["block_size"]),
+            shard_size=int(ma["shard_size"]),
+        )
+        psegs = built.repartition("shard").sortWithinPartitions(
+            "term", "block_id"
+        )
+        staging = ADAPTER.stage_partitioned(psegs, out.positions, ["shard"])
+        release_cached_deps(built)
+        ADAPTER.swap_in(staging, out.positions, spark)
+        update_positional_block_counts(
+            spark, out_root, spark.read.parquet(out.positions), reset=True
+        )
     return out
 
 

@@ -332,6 +332,12 @@ class Router:
         self._exact_stats = stats_need_rescale(self.store)
         self._idf_cache: dict = {}
         self._version = _segments_version(self.store)
+        from ..plans.lineage import read_store_meta
+
+        try:
+            self._min_df = int(read_store_meta(self.store)["min_df"])
+        except (FileNotFoundError, KeyError):
+            self._min_df = 1  # meta-less store: expansion gate off
 
     def spell_correct(
         self, terms: List[str], max_dist: int = 2
@@ -737,12 +743,33 @@ class Router:
             # no resolvable members) falls back to plain Search.
             groups: List[List[str]] = []
             label: List[str] = []
+            has_pipe_group = False
             for tok in q.split():
-                terms = query_to_terms(tok.replace("|", " "))
-                if terms:
-                    groups.append(terms)
-                    label.append(tok if "|" in tok else terms[0])
-            if any("|" in t for t in label):
+                if "|" in tok:
+                    terms = query_to_terms(tok.replace("|", " "))
+                    if terms:
+                        groups.append(terms)
+                        label.append(tok)
+                        has_pipe_group = True
+                else:
+                    # bare tokens stay INDEPENDENT singleton terms —
+                    # folding a multi-term token into one group would
+                    # silently change its scoring vs plain search
+                    for t in query_to_terms(tok):
+                        groups.append([t])
+                        label.append(t)
+            # dedupe identical groups (a repeated bare word must not
+            # trip the cross-group-duplicate guard and lose the
+            # synonym semantics the user explicitly asked for)
+            seen_g: set = set()
+            uniq: List[List[str]] = []
+            for g in groups:
+                key = frozenset(g)
+                if key not in seen_g:
+                    seen_g.add(key)
+                    uniq.append(g)
+            groups = uniq
+            if has_pipe_group:
                 try:
                     return Answer(
                         "SynonymSearch", self.synonym_search(groups, k),
@@ -841,12 +868,7 @@ class Router:
         """max_expand highest-df dictionary terms starting with *prefix*
         (df desc, term asc — exact df from block n_docs sums); one tiny
         LIKE-pruned agg on the segment scan."""
-        from ..plans.lineage import read_store_meta
-
-        try:
-            min_df = int(read_store_meta(self.store)["min_df"])
-        except (FileNotFoundError, KeyError):
-            min_df = 1
+        min_df = self._min_df
         rows = (
             self.segments.where(F.col("term").startswith(prefix))
             .groupBy("term")
@@ -1058,13 +1080,9 @@ class Router:
             normalize_synonym_groups,
             synonym_group_scores,
         )
-        from ..plans.lineage import read_store_meta
 
         norm = normalize_synonym_groups(groups)
-        try:
-            min_df = int(read_store_meta(self.store)["min_df"])
-        except (FileNotFoundError, KeyError):
-            min_df = 1
+        min_df = self._min_df
         k = min(k, _MAXLEN_ANSWER)
         scored = synonym_group_scores(
             self.spark,

@@ -1107,11 +1107,22 @@ class Searcher:
         if doc_id in self._tombstones:
             return []
         if self._tomb_df is not None:
-            gone = (
-                self._tomb_df.where(F.col("doc_id") == doc_id)
-                .limit(1)
-                .count()
-            )
+            # above-cap backlog: membership needs a point job — memoized
+            # per (snapshot, doc_id) so repeated explains of one doc
+            # (the interactive pattern) pay it once
+            cache = getattr(self, "_tomb_probe_cache", None)
+            if cache is None or cache.get("_v") != self._version:
+                cache = {"_v": self._version}
+                self._tomb_probe_cache = cache
+            gone = cache.get(doc_id)
+            if gone is None:
+                gone = bool(
+                    self._tomb_df.where(F.col("doc_id") == doc_id)
+                    .limit(1)
+                    .count()
+                )
+                if len(cache) < 100_000:
+                    cache[doc_id] = gone
             if gone:
                 return []
         terms_u = sorted({t.lower() for t in terms})

@@ -450,3 +450,86 @@ def test_stream_refresh_installs_newest_copy(spark, tmp_path):
     q2 = stream_append_to_store(spark, store, indir, ckpt, refresh=True)
     q2.awaitTermination(300)
     assert dm.count() == store.load(spark, "doc_map").count()
+
+
+def test_append_batch_dedups_urls_newest_wins(spark, tmp_path):
+    """A single batch carrying several crawls of one url must install
+    exactly ONE live doc — the newest copy (round-5 review finding:
+    AvailableNow can deliver multiple landing files in one
+    micro-batch)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from greynirserver_spark.corpus import generate_pages
+    from greynirserver_spark.plans.lineage import (
+        build_index_checkpointed,
+        update_pages,
+    )
+
+    pages = generate_pages(spark, 80).where(F.col("lang") == "is").cache()
+    two = pages.orderBy("url").limit(2).collect()
+    u1, u2 = two
+    store = build_index_checkpointed(
+        spark, pages, str(tmp_path / "store"), n_shards=2
+    )
+    n0 = store.load(spark, "doc_map").count()
+    # batch: stale copy (== stored ts) AND a newer copy of u1, plus a
+    # duplicate pair of a brand-new url
+    batch = spark.createDataFrame(
+        [
+            (u1["url"], u1["warc_ts"], bytes(u1["html"]), "is"),
+            (u1["url"], u1["warc_ts"] + dt.timedelta(days=2),
+             bytes(u2["html"]), "is"),
+            ("http://new.is/x", dt.datetime(2026, 1, 1),
+             bytes(u2["html"]), "is"),
+            ("http://new.is/x", dt.datetime(2026, 1, 2),
+             bytes(u1["html"]), "is"),
+        ],
+        "url string, warc_ts timestamp, html binary, lang string",
+    )
+    res = update_pages(spark, store, batch)
+    assert res["refreshed"] == 1
+    assert res["new_docs"] == 2  # one u1 refresh + one new url
+    dm = store.load(spark, "doc_map")
+    tomb = spark.read.parquet(store.tombstones).select("doc_id")
+    live = dm.join(tomb, "doc_id", "left_anti")
+    assert live.count() == n0 + 1
+    r1 = live.where(F.col("url") == u1["url"]).collect()
+    assert len(r1) == 1 and r1[0]["text"] == u2["text"]  # newest won
+    rn = live.where(F.col("url") == "http://new.is/x").collect()
+    assert len(rn) == 1 and rn[0]["text"] == u1["text"]  # newest won
+
+
+def test_replayed_batch_does_not_resurrect_deleted_url(spark, tmp_path):
+    """delete_urls then an at-least-once REPLAY of the batch that first
+    added the url (same warc_ts) must stay a no-op — only a strictly
+    newer crawl re-enters (round-5 review finding)."""
+    from pyspark.sql import functions as F
+
+    from greynirserver_spark.corpus import generate_pages
+    from greynirserver_spark.plans.lineage import (
+        append_pages,
+        build_index_checkpointed,
+        delete_urls,
+    )
+
+    pages = generate_pages(spark, 80).where(F.col("lang") == "is").cache()
+    u1 = pages.orderBy("url").limit(1).collect()[0]
+    store = build_index_checkpointed(
+        spark, pages, str(tmp_path / "store"), n_shards=2
+    )
+    assert delete_urls(spark, store, [u1["url"]]) == 1
+
+    replay = spark.createDataFrame(
+        [(u1["url"], u1["warc_ts"], bytes(u1["html"]), "is")],
+        "url string, warc_ts timestamp, html binary, lang string",
+    )
+    res = append_pages(spark, store, replay)
+    assert res["new_docs"] == 0  # deletion sticks under replay
+    dm = store.load(spark, "doc_map")
+    tomb = spark.read.parquet(store.tombstones).select("doc_id")
+    assert (
+        dm.join(tomb, "doc_id", "left_anti")
+        .where(F.col("url") == u1["url"]).count() == 0
+    )
