@@ -168,3 +168,31 @@ def test_positional_scan_prunes_on_term(spark, tmp_path_factory):
     segs = spark.read.parquet(path)
     plan = _plan(phrase_topk_positional_segments(segs, spark, ["a", "b"], 5))
     assert "PushedFilters: [In(term, [a,b])]" in plan, plan
+
+
+def test_round5_serving_ops_plans(spark, docs):
+    """New round-5 operators: no cartesian product anywhere; the
+    term→group mapping and group stats join broadcast; the collapse
+    window partitions by the collapse key (no global sort before the
+    final top-k cut)."""
+    from greynirserver_spark.operators.textops import (
+        bm25_score_breakdown,
+        bm25_synonym_topk,
+        bm25_topk_source_collapsed,
+        suggest_terms,
+    )
+
+    plans = {
+        "collapsed": _plan(bm25_topk_source_collapsed(
+            docs, ["spark", "join"], k=10, per_source=2)),
+        "breakdown": _plan(bm25_score_breakdown(
+            docs, ["spark", "join"], k=5)),
+        "synonym": _plan(bm25_synonym_topk(
+            docs, [["spark", "stream"], ["join"]], k=10)),
+        "suggest": _plan(suggest_terms(docs, "s", k=10)),
+    }
+    for name, p in plans.items():
+        assert "CartesianProduct" not in p, name
+    assert "BroadcastHashJoin" in plans["synonym"]
+    # the per-source window sorts within key partitions, not globally
+    assert "source" in plans["collapsed"]
