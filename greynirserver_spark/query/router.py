@@ -1082,6 +1082,10 @@ class Router:
         )
 
         norm = normalize_synonym_groups(groups)
+        if all(len(g) == 1 for g in norm):
+            # no real group left after normalization: the WAND serving
+            # path is rank-identical (pinned) and several times faster
+            return self.search([g[0] for g in norm], k)
         min_df = self._min_df
         k = min(k, _MAXLEN_ANSWER)
         scored = synonym_group_scores(

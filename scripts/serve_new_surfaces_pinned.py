@@ -123,6 +123,31 @@ def main() -> None:
         timer(lambda q=q: searcher.snippets(q, k=10, width=12))
         for q in search_qs[:3]
     ], out, spread)
+    syn_specs = [
+        (search_qs[i], query_to_terms(stems[30 + i]))
+        for i in range(3)
+    ]
+    pin("synonym", [
+        timer(lambda g=g, e=e: searcher.synonym(
+            [list(g)] + [[t] for t in e], k=10))
+        for g, e in syn_specs
+    ], out, spread)
+    pin("collapsed", [
+        timer(lambda q=q: searcher.search_collapsed(
+            q, k=10, per_domain=2))
+        for q in search_qs[:3]
+    ], out, spread)
+    pin("suggest", [
+        timer(lambda p=p: searcher.suggest(p, k=10))
+        for p in prefixes[:3]
+    ], out, spread)
+    explain_targets = [
+        (q, searcher.search(q, 1)[0][0]) for q in search_qs[:3]
+    ]
+    pin("explain", [
+        timer(lambda q=q, d=d: searcher.explain(q, d))
+        for q, d in explain_targets
+    ], out, spread)
     if with_pos:
         near_qs = [query_to_terms(" ".join(stems[i:i + 2]))
                    for i in range(0, 6, 2)]
