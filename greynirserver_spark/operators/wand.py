@@ -52,6 +52,7 @@ __all__ = [
     "wand_topk",
     "wand_topk_batch",
     "shard_topk_pandas",
+    "synonym_topk_pandas",
     "boolean_topk",
     "shard_boolean_pandas",
     "prefix_topk",
@@ -166,6 +167,82 @@ class _TermBlocks:
         starts = np.concatenate(([0], np.cumsum(nd)[:-1]))
         corr = np.where(starts > 0, cs[np.maximum(starts - 1, 0)], 0)
         return cs - np.repeat(corr, nd)
+
+
+def synonym_topk_pandas(
+    pdf: pd.DataFrame,
+    groups: Sequence[Sequence[str]],
+    n_docs: int,
+    avgdl: float,
+    min_df: int = 1,
+) -> List[Tuple[int, float]]:
+    """Exact SynonymQuery scoring over FETCHED segment blocks — the
+    in-process serving path for mixed synonym groups (Searcher.synonym):
+    every member term's blocks are decoded (raw tf/dl streams, so the
+    group fold is exact regardless of block idf vintage), per-doc tf is
+    summed within each group, group df = distinct docs over the decoded
+    union (shards hold disjoint ranges, so a plain unique is global),
+    and one Robertson idf + one saturation apply per group — scoring
+    semantics identical to ``textops.synonym_group_scores`` over raw
+    postings (parity test-pinned). Returns EVERY matched doc's
+    (doc_id, score), sorted (score desc, doc_id asc) — the caller cuts
+    k after its tombstone filter; no overfetch discipline is needed
+    because the match set is complete.
+
+    *pdf* is the driver-side fetch of the member-term-pruned segment
+    scan, already capped by the caller (above the cap the distributed
+    exact path takes over).
+    """
+    import math
+
+    from .segments import varint_decode
+
+    if not len(pdf):
+        return []
+    gid_of = {t: "|".join(g) for g in groups for t in g}
+    per_gid: Dict[str, List[Tuple[np.ndarray, np.ndarray, np.ndarray]]] = {}
+    for t, g in pdf.groupby("term", sort=True):
+        gid = gid_of.get(t)
+        if gid is None:
+            continue
+        g = g.sort_values(["shard", "first_doc"]).reset_index(drop=True)
+        deltas = varint_decode(b"".join(g["docs"])).astype(np.int64)
+        tf = varint_decode(b"".join(g["tfs"])).astype(np.int64)
+        dl = varint_decode(b"".join(g["dls"])).astype(np.int64)
+        nd = g["n_docs"].to_numpy(np.int64)
+        cs = np.cumsum(deltas)
+        starts = np.concatenate(([0], np.cumsum(nd)[:-1]))
+        corr = np.where(starts > 0, cs[np.maximum(starts - 1, 0)], 0)
+        docs = cs - np.repeat(corr, nd)
+        per_gid.setdefault(gid, []).append((docs, tf, dl))
+
+    # fold each group, then accumulate per doc in SORTED-gid order —
+    # the same deterministic summation the relational path gets from
+    # array_sort(collect_list(struct(gid, part)))
+    folded: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+    for gid, chunks in per_gid.items():
+        docs = np.concatenate([c[0] for c in chunks])
+        tf = np.concatenate([c[1] for c in chunks])
+        dl = np.concatenate([c[2] for c in chunks])
+        order = np.argsort(docs, kind="mergesort")
+        docs, tf, dl = docs[order], tf[order], dl[order]
+        uniq, idx = np.unique(docs, return_index=True)
+        tf_sum = np.add.reduceat(tf, idx)
+        dl_u = dl[idx].astype(np.float64)
+        df = int(uniq.size)
+        if df < min_df:
+            continue
+        idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        folded[gid] = (uniq, bm25_partial(tf_sum, dl_u, idf, avgdl))
+    if not folded:
+        return []
+    all_docs = np.unique(np.concatenate([d for d, _ in folded.values()]))
+    acc = np.zeros(all_docs.size, dtype=np.float64)
+    for gid in sorted(folded):
+        d, p = folded[gid]
+        acc[np.searchsorted(all_docs, d)] += p
+    order = np.lexsort((all_docs, -acc))
+    return [(int(all_docs[i]), float(acc[i])) for i in order]
 
 
 def shard_topk_pandas(

@@ -965,6 +965,34 @@ class Searcher:
                 self._cache.move_to_end(key)
                 return result
             del self._cache[key]
+        # in-process path: member-term-pruned block fetch, exact group
+        # fold over the decoded raw tf/dl streams (rank-identical to
+        # the distributed path — test-pinned). The scored match set is
+        # COMPLETE, so tombstones filter exactly with no overfetch.
+        members = sorted({t for g in norm for t in g})
+        from ..operators.wand import synonym_topk_pandas
+
+        matched = self._segments.where(F.col("term").isin(members))
+        pdf = matched.limit(self._max_fetch_blocks + 1).toPandas()
+        if len(pdf) == 0:
+            return []
+        if len(pdf) <= self._max_fetch_blocks:
+            scored_all = synonym_topk_pandas(
+                pdf, norm, self.n_docs, self.avgdl, min_df=self._min_df
+            )
+            # capped-overfetch tombstone discipline (the search shape):
+            # filter only the head, never ship the whole match set to
+            # the anti-join under a mass-delete backlog
+            kk = k + min(self._n_tombstones, 3 * k)
+            result = self._filter_tombstones(scored_all[:kk])
+            if len(result) >= k or kk >= len(scored_all):
+                result = result[:k]
+                while len(self._cache) >= self._cache_size:
+                    self._cache.popitem(last=False)
+                self._cache[key] = (now, result)
+                return result
+            # backlog swallowed the capped head: exact distributed
+            # terminal below (anti-joined before the top-k cut)
         scored = synonym_group_scores(
             self.spark,
             self.store.load(self.spark, "postings"),

@@ -293,3 +293,25 @@ def test_synonym_and_explain_respect_tombstones(spark, tmp_path_factory):
     assert [d for d, _ in after_syn] == [d for d, _ in after_search]
     for (_, s1), (_, s2) in zip(after_syn, after_search):
         assert s1 == pytest.approx(s2, rel=1e-6)
+
+
+def test_searcher_synonym_inprocess_matches_distributed(searcher):
+    """Mixed-group synonym: the in-process block-decode path must be
+    rank- and score-identical to the distributed raw-postings path
+    (forced via a zero fetch cap)."""
+    terms = query_to_terms(" ".join(indexable_stems_by_rank(4)))
+    groups = [terms[:2]] + [[t] for t in terms[2:]]
+    searcher._cache.clear()
+    fast = searcher.synonym(groups, 10)
+    assert fast
+    old_cap = searcher._max_fetch_blocks
+    searcher._cache.clear()
+    searcher._max_fetch_blocks = 0
+    try:
+        slow = searcher.synonym(groups, 10)
+    finally:
+        searcher._max_fetch_blocks = old_cap
+        searcher._cache.clear()
+    assert [d for d, _ in fast] == [d for d, _ in slow]
+    for (_, s1), (_, s2) in zip(fast, slow):
+        assert s1 == pytest.approx(s2, rel=1e-9)
