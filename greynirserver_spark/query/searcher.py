@@ -192,6 +192,7 @@ class Searcher:
         self._exact_stats = stats_need_rescale(self.store)
         self._idf_cache: dict = {}
         self._doc_map_df = None  # snippets' stored-fields handle, lazy
+        self._doc_map_url_df = None  # collapsed/host handle, lazy
         from ..plans.lineage import read_store_meta
 
         try:
@@ -1090,8 +1091,15 @@ class Searcher:
             hits = self.search(tl, fetch)
             new_ids = [int(d) for d, _ in hits if int(d) not in hosts]
             if new_ids:
+                # one doc_map handle per snapshot (file listing
+                # amortized, the snippets pattern); ids are assigned in
+                # write order, so isin() prunes at row-group level
+                if self._doc_map_url_df is None:
+                    self._doc_map_url_df = self.store.load(
+                        self.spark, "doc_map"
+                    ).select("doc_id", "url")
                 dm = (
-                    self.store.load(self.spark, "doc_map")
+                    self._doc_map_url_df
                     .where(F.col("doc_id").isin(new_ids))
                     .select("doc_id", host_of(F.col("url")).alias("h"))
                 )
