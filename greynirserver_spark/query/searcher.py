@@ -977,7 +977,15 @@ class Searcher:
         pdf = matched.limit(self._max_fetch_blocks + 1).toPandas()
         if len(pdf) == 0:
             return []
-        if len(pdf) <= self._max_fetch_blocks:
+        # coverage guard: segments are df-pruned at bake time but the
+        # group fold's semantics (and the distributed path) include
+        # sub-min_df member terms from the RAW postings. A member with
+        # no fetched blocks is either absent from the corpus (fold
+        # unaffected) or present-but-pruned (fold would under-count) —
+        # indistinguishable from here, so any uncovered member routes
+        # to the distributed exact path.
+        covered = set(pdf["term"].unique())
+        if set(members) <= covered and len(pdf) <= self._max_fetch_blocks:
             scored_all = synonym_topk_pandas(
                 pdf, norm, self.n_docs, self.avgdl, min_df=self._min_df
             )

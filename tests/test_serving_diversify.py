@@ -315,3 +315,38 @@ def test_searcher_synonym_inprocess_matches_distributed(searcher):
     assert [d for d, _ in fast] == [d for d, _ in slow]
     for (_, s1), (_, s2) in zip(fast, slow):
         assert s1 == pytest.approx(s2, rel=1e-9)
+
+
+def test_searcher_synonym_submindf_member_matches_distributed(
+    spark, tmp_path_factory
+):
+    """A group containing a member BELOW the store's min_df must score
+    identically to the distributed raw-postings path: segments are
+    df-pruned at bake time, so the in-process path must detect the
+    uncovered member and route to the exact path (round-5 self-found
+    edge)."""
+    root = str(tmp_path_factory.mktemp("rare") / "store")
+    store = build_index_checkpointed(
+        spark, generate_pages(spark, 300), root, n_shards=4, min_df=3
+    )
+    s = Searcher(spark, store, version_check_interval_s=0.0,
+                 cache_ttl_s=0.0)
+    post = store.load(spark, "postings")
+    rare = (
+        post.groupBy("term").count().where(F.col("count") < 3)
+        .orderBy("term").limit(1).collect()
+    )
+    assert rare, "fixture must contain a sub-min_df term"
+    rare_t = rare[0]["term"]
+    common = query_to_terms(" ".join(indexable_stems_by_rank(2)))
+    groups = [[rare_t, common[0]], [common[1]]]
+    got = s.synonym(groups, 10)
+    cap = s._max_fetch_blocks
+    s._max_fetch_blocks = 0
+    try:
+        expect = s.synonym(groups, 10)
+    finally:
+        s._max_fetch_blocks = cap
+    assert [d for d, _ in got] == [d for d, _ in expect]
+    for (_, s1), (_, s2) in zip(got, expect):
+        assert s1 == pytest.approx(s2, rel=1e-9)
