@@ -1,0 +1,140 @@
+"""Zero-copy federated search: query N index stores AS ONE.
+
+``merge_stores`` (plans/lineage.py) is the batch composition path —
+physically fold stores and re-bake. This module is the SERVING
+composition path: score every store with the GLOBAL corpus statistics
+(summed df, summed doc counts, exact global avgdl from the carried
+``total_doclen``) so the federated ranking equals a search over the
+physically merged store (test-pinned by url+score), without moving a
+byte of index data.
+
+Why this matters at 10^12 docs: partition builds produce one store per
+crawl slice; merging is a full re-bake you schedule, federation is
+what you serve with in the meantime — and it is exactly Lucene's
+multi-reader / distributed-IDF discipline (stats exchanged at query
+open, scoring local to each shard-store).
+
+Statistics convention matches the single-store serving layer: df and
+n_docs count the BAKED universe (tombstoned docs still count until
+their store's rebuild purges them); tombstones are excluded from the
+RESULTS per store. A term's federated df is gated on the (shared)
+``min_df`` — stores must agree on it, like :func:`merge_stores`.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+from pyspark.sql import SparkSession, functions as F
+
+from ..plans.lineage import IndexStore, read_store_meta
+
+__all__ = ["federated_term_stats", "federated_search"]
+
+
+def federated_term_stats(
+    spark: SparkSession,
+    stores: Sequence[IndexStore],
+    terms: Sequence[str],
+) -> Tuple[Dict[str, float], int, float]:
+    """(term -> GLOBAL idf, global n_docs, global avgdl) across
+    *stores* — the query-open stats exchange. Per store this is a
+    term-pruned point read on the log-structured term_counts view plus
+    the 1-row corpus; cost is O(stores × query terms), never O(vocab).
+    Terms whose SUMMED df stays below the shared min_df are omitted
+    (the merged store would never bake blocks for them)."""
+    import math
+
+    from ..operators.postings import load_term_counts
+
+    terms_u = sorted({t.lower() for t in terms})
+    if not stores:
+        raise ValueError("no stores")
+    min_dfs = {int(read_store_meta(s)["min_df"]) for s in stores}
+    if len(min_dfs) != 1:
+        raise ValueError(
+            f"min_df mismatch across stores: {sorted(min_dfs)} — "
+            "federated scoring needs one pruning floor (see merge_stores)"
+        )
+    min_df = min_dfs.pop()
+    df_sum: Dict[str, int] = {}
+    n_docs = 0
+    total_dl = 0
+    for s in stores:
+        crow = spark.read.parquet(s.corpus).collect()[0]
+        n_docs += int(crow["n_docs"])
+        if "total_doclen" in crow.asDict():
+            total_dl += int(crow["total_doclen"])
+        else:  # legacy corpus row: reconstruct from the rounded mean
+            total_dl += int(round(float(crow["avgdl"]) * int(crow["n_docs"])))
+        if not terms_u:
+            continue
+        tc = (
+            load_term_counts(spark, s.term_counts)
+            .where(F.col("term").isin(terms_u))
+            .select("term", "df")
+            .collect()
+        )
+        for r in tc:
+            df_sum[r["term"]] = df_sum.get(r["term"], 0) + int(r["df"])
+    if n_docs == 0:
+        return {}, 0, 0.0
+    avgdl = total_dl / n_docs
+    idfs = {
+        t: math.log((n_docs - d + 0.5) / (d + 0.5) + 1.0)
+        for t, d in df_sum.items()
+        if d >= min_df
+    }
+    return idfs, n_docs, avgdl
+
+
+def federated_search(
+    spark: SparkSession,
+    stores: Sequence[IndexStore],
+    terms: Sequence[str],
+    k: int = 10,
+) -> List[Tuple[str, float]]:
+    """[(url, score)] — BM25 top-k over the UNION of *stores*, ranked
+    exactly as a search over their physical merge (``merge_stores``)
+    would rank it: every store's WAND sweep runs with the federated
+    idf/avgdl via the exact-stats ``term_idf`` override (the same
+    mechanism that serves appended-unrebuilt stores), so block-baked
+    per-store stats never leak into the scores.
+
+    Results key on url (doc ids are store-local): a url present in
+    several stores keeps its highest-scoring copy (ties: the copy is
+    identical anyway — same global stats, same text ⇒ same score).
+    Tombstones are excluded per store via the anti-joined doc_map with
+    the capped-overfetch discipline (k + min(n_tomb, 3k) per store).
+    """
+    from ..operators.wand import wand_topk
+
+    idfs, n_docs, avgdl = federated_term_stats(spark, stores, terms)
+    if not idfs:
+        return []
+    corpus = spark.createDataFrame(
+        [(n_docs, float(avgdl))], "n_docs long, avgdl double"
+    )
+    terms_u = sorted(idfs)
+    merged: Dict[str, float] = {}
+    for s in stores:
+        n_tomb = 0
+        tomb = None
+        if s.has("tombstones"):
+            t = spark.read.parquet(s.tombstones).select("doc_id")
+            n_tomb = t.count()
+            tomb = t if n_tomb else None
+        kk = k + min(n_tomb, 3 * k)
+        hits = wand_topk(
+            s.load_segments(spark), terms_u, corpus, kk, term_idf=idfs
+        )
+        dm = spark.read.parquet(s.doc_map).select("doc_id", "url")
+        if tomb is not None:
+            dm = dm.join(tomb, "doc_id", "left_anti")
+        rows = hits.join(dm, "doc_id").select("url", "score").collect()
+        for r in rows:
+            u, sc = r["url"], float(r["score"])
+            if u not in merged or sc > merged[u]:
+                merged[u] = sc
+    out = sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))
+    return out[:k]

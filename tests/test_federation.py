@@ -1,0 +1,92 @@
+"""Federated search: querying N stores as one ranks exactly like a
+search over their physical merge — the serving twin of merge_stores
+(Lucene multi-reader / distributed-IDF discipline)."""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import pytest
+from pyspark.sql import functions as F
+
+from greynirserver_spark.corpus import generate_pages, indexable_stems_by_rank
+from greynirserver_spark.plans.lineage import (
+    build_index_checkpointed,
+    delete_urls,
+    merge_stores,
+)
+from greynirserver_spark.plans.pipeline import query_to_terms
+from greynirserver_spark.query.federation import (
+    federated_search,
+    federated_term_stats,
+)
+from greynirserver_spark.query.searcher import Searcher
+
+
+@pytest.fixture(scope="module")
+def fed(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("fed")
+    pages = generate_pages(spark, 300).cache()
+    split = F.pmod(F.xxhash64("url"), F.lit(3))
+    stores = [
+        build_index_checkpointed(
+            spark, pages.where(split == i), str(base / f"s{i}"),
+            n_shards=3)
+        for i in range(3)
+    ]
+    merged = merge_stores(
+        spark, merge_stores(spark, stores[0], stores[1],
+                            str(base / "m01")),
+        stores[2], str(base / "m"))
+    return stores, merged
+
+
+def _merged_ranked(spark, merged, terms, k):
+    s = Searcher(spark, merged, version_check_interval_s=0.0)
+    hits = s.search(terms, k)
+    dm = {int(r["doc_id"]): r["url"]
+          for r in merged.load(spark, "doc_map")
+          .where(F.col("doc_id").isin([d for d, _ in hits])).collect()}
+    return [(dm[d], round(sc, 6)) for d, sc in hits]
+
+
+def test_federated_matches_physical_merge(spark, fed):
+    stores, merged = fed
+    for stems in (indexable_stems_by_rank(3),
+                  indexable_stems_by_rank(2, start_rank=60)):
+        terms = query_to_terms(" ".join(stems))
+        got = [(u, round(sc, 6))
+               for u, sc in federated_search(spark, stores, terms, k=12)]
+        assert got == _merged_ranked(spark, merged, terms, 12)
+
+
+def test_federated_stats_are_global(spark, fed):
+    stores, merged = fed
+    terms = query_to_terms(" ".join(indexable_stems_by_rank(2)))
+    idfs, n_docs, avgdl = federated_term_stats(spark, stores, terms)
+    crow = spark.read.parquet(merged.corpus).collect()[0]
+    assert n_docs == int(crow["n_docs"])
+    assert avgdl == pytest.approx(float(crow["avgdl"]), rel=1e-12)
+    # idf equals the merged store's derived stats for the same terms
+    ts = {r["term"]: r["idf"]
+          for r in merged.term_stats_df(spark)
+          .where(F.col("term").isin(terms)).collect()}
+    for t, v in idfs.items():
+        assert v == pytest.approx(ts[t], rel=1e-12)
+
+
+def test_federated_excludes_tombstones_per_store(spark, fed):
+    stores, _ = fed
+    terms = query_to_terms(" ".join(indexable_stems_by_rank(3)))
+    before = federated_search(spark, stores, terms, k=8)
+    victim_url = before[0][0]
+    owner = next(
+        s for s in stores
+        if s.load(spark, "doc_map")
+        .where(F.col("url") == victim_url).count() > 0
+    )
+    assert delete_urls(spark, owner, [victim_url]) == 1
+    after = federated_search(spark, stores, terms, k=8)
+    assert victim_url not in [u for u, _ in after]
+    assert len(after) == 8
