@@ -29,7 +29,8 @@ from pyspark.sql import SparkSession, functions as F
 
 from ..plans.lineage import IndexStore, read_store_meta
 
-__all__ = ["federated_term_stats", "federated_search"]
+__all__ = ["federated_term_stats", "federated_search",
+           "FederatedSearcher"]
 
 
 def federated_term_stats(
@@ -138,3 +139,73 @@ def federated_search(
                 merged[u] = sc
     out = sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))
     return out[:k]
+
+
+class FederatedSearcher:
+    """Interactive serving over N stores as one.
+
+    * :meth:`search` — the global-stats BM25 path
+      (:func:`federated_search`), rank-identical to the physical merge;
+    * :meth:`phrase` / :meth:`near` — STAT-FREE measures (phrase tf /
+      proximity tf are doc-local), so per-store serving through each
+      store's own :class:`~.searcher.Searcher` (all its guard rails:
+      capped fetch, distributed fallback, tombstone discipline, TTL
+      cache) merges exactly; results key on url, ties break on url.
+
+    Boolean federation is deliberately NOT offered: the MUST gate runs
+    over each store's df-pruned segments, so a term below one slice's
+    local min_df would silently miss that slice's docs while the
+    physically merged store (global df) would match them — run
+    ``merge_stores`` for boolean-heavy workloads instead.
+    """
+
+    def __init__(self, spark: SparkSession, stores, **searcher_kwargs):
+        from .searcher import Searcher
+
+        self.spark = spark
+        self.stores = list(stores)
+        if not self.stores:
+            raise ValueError("no stores")
+        min_dfs = {int(read_store_meta(s)["min_df"]) for s in self.stores}
+        if len(min_dfs) != 1:
+            raise ValueError(
+                f"min_df mismatch across stores: {sorted(min_dfs)}"
+            )
+        self._searchers = [
+            Searcher(spark, s, **searcher_kwargs) for s in self.stores
+        ]
+
+    def search(self, terms: Sequence[str], k: int = 10):
+        return federated_search(self.spark, self.stores, terms, k)
+
+    def _merge_counts(self, per_store: List[List[tuple]], k: int):
+        merged: Dict[str, int] = {}
+        for store, rows in zip(self.stores, per_store):
+            if not rows:
+                continue
+            ids = [int(d) for d, _ in rows]
+            urls = {
+                int(r["doc_id"]): r["url"]
+                for r in self.spark.read.parquet(store.doc_map)
+                .where(F.col("doc_id").isin(ids))
+                .select("doc_id", "url")
+                .collect()
+            }
+            for d, tf in rows:
+                u = urls[int(d)]
+                if u not in merged or tf > merged[u]:
+                    merged[u] = int(tf)
+        out = sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))
+        return out[:k]
+
+    def phrase(self, words: Sequence[str], k: int = 10):
+        """[(url, phrase_tf)] over the union of stores."""
+        return self._merge_counts(
+            [s.phrase(words, k) for s in self._searchers], k
+        )
+
+    def near(self, words: Sequence[str], window: int = 8, k: int = 10):
+        """[(url, prox_tf)] over the union of stores."""
+        return self._merge_counts(
+            [s.near(words, window=window, k=k) for s in self._searchers], k
+        )

@@ -32,7 +32,7 @@ def fed(spark, tmp_path_factory):
     stores = [
         build_index_checkpointed(
             spark, pages.where(split == i), str(base / f"s{i}"),
-            n_shards=3)
+            n_shards=3, with_positions=True)
         for i in range(3)
     ]
     merged = merge_stores(
@@ -76,6 +76,39 @@ def test_federated_stats_are_global(spark, fed):
         assert v == pytest.approx(ts[t], rel=1e-12)
 
 
+def test_federated_phrase_matches_physical_merge(spark, fed):
+    """Phrase tf is doc-local (stat-free), so per-store serving merges
+    exactly: federated full match set == merged store's, keyed by url."""
+    from greynirserver_spark.query.federation import FederatedSearcher
+
+    stores, merged = fed
+    f = FederatedSearcher(spark, stores, version_check_interval_s=0.0)
+    ph = [indexable_stems_by_rank(1)[0]]
+    got = f.phrase(ph, k=10**6)
+    sm = Searcher(spark, merged, version_check_interval_s=0.0)
+    hits = sm.phrase(ph, 10**6)
+    dm = {int(r["doc_id"]): r["url"]
+          for r in merged.load(spark, "doc_map")
+          .where(F.col("doc_id").isin([d for d, _ in hits])).collect()}
+    expect = {dm[d]: tf for d, tf in hits}
+    assert dict(got) == expect
+    # the API's own ordering is deterministic: tf desc, url asc
+    assert got == sorted(got, key=lambda kv: (-kv[1], kv[0]))
+
+
+def test_federated_searcher_search_delegates(spark, fed):
+    from greynirserver_spark.query.federation import FederatedSearcher
+
+    stores, merged = fed
+    f = FederatedSearcher(spark, stores, version_check_interval_s=0.0)
+    terms = query_to_terms(" ".join(indexable_stems_by_rank(2)))
+    assert f.search(terms, 5) == federated_search(spark, stores, terms, 5)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        FederatedSearcher(spark, [])
+
+
+# runs LAST: mutates a fixture store (tombstone)
 def test_federated_excludes_tombstones_per_store(spark, fed):
     stores, _ = fed
     terms = query_to_terms(" ".join(indexable_stems_by_rank(3)))
