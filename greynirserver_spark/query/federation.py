@@ -152,11 +152,14 @@ class FederatedSearcher:
       capped fetch, distributed fallback, tombstone discipline, TTL
       cache) merges exactly; results key on url, ties break on url.
 
-    Boolean federation is deliberately NOT offered: the MUST gate runs
-    over each store's df-pruned segments, so a term below one slice's
-    local min_df would silently miss that slice's docs while the
-    physically merged store (global df) would match them — run
-    ``merge_stores`` for boolean-heavy workloads instead.
+    * :meth:`boolean` — MUST/SHOULD/MUST_NOT with the merged store's
+      semantics reproduced per store: gate and scoring terms prune on
+      the GLOBAL df (from the stats exchange, so a must term under the
+      global floor empties the result exactly like the merged store's
+      indexed-vocab gate), the presence gate and scoring run over each
+      store's RAW postings (immune to local-slice pruning skew), and
+      scores use the global idf/avgdl. Exact but job-chain-served —
+      the recall path, like the single-store synonym fallback.
     """
 
     def __init__(self, spark: SparkSession, stores, **searcher_kwargs):
@@ -209,3 +212,85 @@ class FederatedSearcher:
         return self._merge_counts(
             [s.near(words, window=window, k=k) for s in self._searchers], k
         )
+
+    def boolean(
+        self,
+        must: Sequence[str],
+        should: Sequence[str] = (),
+        must_not: Sequence[str] = (),
+        k: int = 10,
+    ) -> List[Tuple[str, float]]:
+        """[(url, score)] — boolean retrieval over the union, rank-
+        identical to the merged store's ``Searcher.boolean`` (pinned)."""
+        from ..operators.bm25 import bm25_score_exact
+
+        must = sorted({t.lower() for t in must})
+        should = sorted({t.lower() for t in should})
+        must_not = sorted({t.lower() for t in must_not})
+        all_terms = sorted(set(must) | set(should) | set(must_not))
+        idfs, n_docs, avgdl = federated_term_stats(
+            self.spark, self.stores, all_terms
+        )
+        # the merged store's MUST gate runs over its indexed (global
+        # df >= min_df) vocabulary: an unindexed must term can never
+        # reach count == len(must) there, so it empties here too
+        if any(t not in idfs for t in must):
+            return []
+        score_terms = [t for t in sorted(set(must) | set(should))
+                       if t in idfs]
+        # NOT terms below the global floor have no blocks in the merged
+        # store — they must have no effect here either
+        not_terms = [t for t in must_not if t in idfs]
+        corpus = self.spark.createDataFrame(
+            [(n_docs, float(avgdl))], "n_docs long, avgdl double"
+        )
+        tstats = self.spark.createDataFrame(
+            [(t, float(v)) for t, v in sorted(idfs.items())],
+            "term string, idf double",
+        )
+        merged: Dict[str, float] = {}
+        for store in self.stores:
+            postings = self.spark.read.parquet(store.postings)
+            if store.has("tombstones"):
+                tomb = self.spark.read.parquet(store.tombstones).select(
+                    "doc_id"
+                )
+                postings = postings.join(tomb, "doc_id", "left_anti")
+            scored = bm25_score_exact(
+                postings, tstats,
+                self.spark.read.parquet(store.doc_stats),
+                corpus, score_terms,
+            )
+            if must:
+                gate = (
+                    postings.where(F.col("term").isin(must))
+                    .groupBy("doc_id")
+                    .agg(F.countDistinct("term").alias("nm"))
+                    .where(F.col("nm") == len(must))
+                    .select("doc_id")
+                )
+                scored = scored.join(gate, "doc_id")
+            if not_terms:
+                ex = (
+                    postings.where(F.col("term").isin(not_terms))
+                    .select("doc_id")
+                    .distinct()
+                )
+                scored = scored.join(ex, "doc_id", "left_anti")
+            rows = (
+                scored.orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+                .join(
+                    self.spark.read.parquet(store.doc_map)
+                    .select("doc_id", "url"),
+                    "doc_id",
+                )
+                .select("url", "score")
+                .collect()
+            )
+            for r in rows:
+                u, sc = r["url"], float(r["score"])
+                if u not in merged or sc > merged[u]:
+                    merged[u] = sc
+        out = sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))
+        return out[:k]

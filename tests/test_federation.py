@@ -108,6 +108,30 @@ def test_federated_searcher_search_delegates(spark, fed):
         FederatedSearcher(spark, [])
 
 
+def test_federated_boolean_matches_physical_merge(spark, fed):
+    """Boolean over the union == the merged store's Searcher.boolean,
+    keyed by url (gate + scoring both reproduce the merged semantics
+    from the global stats exchange)."""
+    from greynirserver_spark.query.federation import FederatedSearcher
+
+    stores, merged = fed
+    f = FederatedSearcher(spark, stores, version_check_interval_s=0.0)
+    stems = indexable_stems_by_rank(6)
+    must = query_to_terms(" ".join(stems[:2]))
+    should = query_to_terms(stems[2])
+    must_not = query_to_terms(stems[5])
+    got = [(u, round(sc, 6))
+           for u, sc in f.boolean(must, should, must_not, k=10)]
+    sm = Searcher(spark, merged, version_check_interval_s=0.0)
+    hits = sm.boolean(must, should=should, must_not=must_not, k=10)
+    dm = {int(r["doc_id"]): r["url"]
+          for r in merged.load(spark, "doc_map")
+          .where(F.col("doc_id").isin([d for d, _ in hits])).collect()}
+    assert got == [(dm[d], round(sc, 6)) for d, sc in hits]
+    # unindexed must term (below the global floor) empties the result
+    assert f.boolean(["zzz-not-a-term"], [], [], k=5) == []
+
+
 # runs LAST: mutates a fixture store (tombstone)
 def test_federated_excludes_tombstones_per_store(spark, fed):
     stores, _ = fed
