@@ -117,8 +117,8 @@ def federated_search(
         [(n_docs, float(avgdl))], "n_docs long, avgdl double"
     )
     terms_u = sorted(idfs)
-    merged: Dict[str, float] = {}
-    for s in stores:
+
+    def one_store(s: IndexStore):
         n_tomb = 0
         tomb = None
         if s.has("tombstones"):
@@ -132,13 +132,31 @@ def federated_search(
         dm = spark.read.parquet(s.doc_map).select("doc_id", "url")
         if tomb is not None:
             dm = dm.join(tomb, "doc_id", "left_anti")
-        rows = hits.join(dm, "doc_id").select("url", "score").collect()
+        return hits.join(dm, "doc_id").select("url", "score").collect()
+
+    # SCATTER concurrently: each store's query is an independent Spark
+    # job chain, so federated latency is max(store), not sum(stores) —
+    # on a real cluster the slices' executors work in parallel anyway
+    merged: Dict[str, float] = {}
+    for rows in _scatter(one_store, stores):
         for r in rows:
             u, sc = r["url"], float(r["score"])
             if u not in merged or sc > merged[u]:
                 merged[u] = sc
     out = sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))
     return out[:k]
+
+
+def _scatter(fn, stores):
+    """Run *fn* over the stores concurrently (Spark job submission is
+    thread-safe; the scheduler interleaves the independent job chains).
+    Results come back in store order so url-dedup stays deterministic."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(stores) == 1:
+        return [fn(stores[0])]
+    with ThreadPoolExecutor(max_workers=min(len(stores), 8)) as ex:
+        return list(ex.map(fn, stores))
 
 
 class FederatedSearcher:
@@ -204,13 +222,14 @@ class FederatedSearcher:
     def phrase(self, words: Sequence[str], k: int = 10):
         """[(url, phrase_tf)] over the union of stores."""
         return self._merge_counts(
-            [s.phrase(words, k) for s in self._searchers], k
+            _scatter(lambda s: s.phrase(words, k), self._searchers), k
         )
 
     def near(self, words: Sequence[str], window: int = 8, k: int = 10):
         """[(url, prox_tf)] over the union of stores."""
         return self._merge_counts(
-            [s.near(words, window=window, k=k) for s in self._searchers], k
+            _scatter(lambda s: s.near(words, window=window, k=k),
+                     self._searchers), k
         )
 
     def boolean(
@@ -248,8 +267,7 @@ class FederatedSearcher:
             [(t, float(v)) for t, v in sorted(idfs.items())],
             "term string, idf double",
         )
-        merged: Dict[str, float] = {}
-        for store in self.stores:
+        def one_store(store: IndexStore):
             postings = self.spark.read.parquet(store.postings)
             if store.has("tombstones"):
                 tomb = self.spark.read.parquet(store.tombstones).select(
@@ -277,7 +295,7 @@ class FederatedSearcher:
                     .distinct()
                 )
                 scored = scored.join(ex, "doc_id", "left_anti")
-            rows = (
+            return (
                 scored.orderBy(F.desc("score"), F.asc("doc_id"))
                 .limit(k)
                 .join(
@@ -288,6 +306,9 @@ class FederatedSearcher:
                 .select("url", "score")
                 .collect()
             )
+
+        merged: Dict[str, float] = {}
+        for rows in _scatter(one_store, self.stores):
             for r in rows:
                 u, sc = r["url"], float(r["score"])
                 if u not in merged or sc > merged[u]:
