@@ -1775,6 +1775,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": lambda s, d: N.cosine_topk_bruteforce(
             _emb(s, d), _query_vec(s, d), k=10, exclude_vec_id=_ANN_QUERY_ID
         ),
+        # int8-quantized brute force (scale cancels in cosine — the
+        # scan reads the integer lattice, 1/4 the bytes)
+        "ann_cosine_topk_quantized": lambda s, d: (
+            N.cosine_topk_quantized(
+                _emb(s, d).where(F.col("vec_id") != _ANN_QUERY_ID),
+                _query_vec(s, d), k=10,
+            )
+        ),
         # IVF with the seeded (data-independent) coarse quantizer so the
         # cell partitioning is reproducible as SQL literals; the
         # k-means-trained quantizer is recall-pinned in tests/test_ann_recall.py
@@ -2565,6 +2573,34 @@ s AS (
          4) AS cosine
   FROM embeddings, q
   WHERE vec_id <> {_ANN_QUERY_ID}
+)
+SELECT row_number() OVER (ORDER BY cosine DESC, vec_id ASC)::BIGINT AS rank,
+       vec_id, cosine
+FROM s ORDER BY cosine DESC, vec_id ASC LIMIT 10
+""",
+        "ann_cosine_topk_quantized": f"""
+WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = {_ANN_QUERY_ID}),
+qv AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs,
+         list_transform(embedding,
+             x -> round(x::DOUBLE
+                  / (list_max(list_transform(embedding,
+                       y -> abs(y::DOUBLE))) / 127.0))) AS qvec
+  FROM embeddings
+  WHERE vec_id <> {_ANN_QUERY_ID}
+), s AS (
+  SELECT vec_id,
+         round(
+           list_aggregate(list_transform(range(1, len(qvec) + 1),
+               i -> qvec[i] * e[i]::DOUBLE), 'sum')
+           / (sqrt(list_aggregate(list_transform(qvec,
+                  x -> x * x), 'sum'))
+              * sqrt(list_aggregate(list_transform(e,
+                  x -> x::DOUBLE * x::DOUBLE), 'sum'))),
+         4) AS cosine
+  FROM qv, q
+  WHERE maxabs > 0
 )
 SELECT row_number() OVER (ORDER BY cosine DESC, vec_id ASC)::BIGINT AS rank,
        vec_id, cosine

@@ -29,6 +29,8 @@ from pyspark.sql.window import Window
 __all__ = [
     "load_embeddings",
     "cosine_topk_bruteforce",
+    "quantize_embeddings",
+    "cosine_topk_quantized",
     "lsh_bucket_topk",
     "seeded_ivf_centroids",
     "train_ivf_centroids",
@@ -85,6 +87,70 @@ def cosine_topk_bruteforce(
     )
     if exclude_vec_id is not None:
         scored = scored.where(F.col("vec_id") != exclude_vec_id)
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("rank", "vec_id", "cosine")
+    )
+
+
+def quantize_embeddings(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """(vec_id, scale, qvec) — symmetric per-vector int8 quantization,
+    the 4× memory cut a 10^12-row embedding store takes before ANN
+    serving (float32 → logical int8; parquet stores the tinyint array
+    with INT8-annotated encoding, a production layout packs it to one
+    binary column).
+
+    ``scale = max|x| / 127``; ``q_i = round(x_i / scale)`` with
+    half-away-from-zero rounding (Spark's and DuckDB's shared ROUND
+    rule, so the oracle reproduces the lattice bit-for-bit), values in
+    [-127, 127] by construction. Reconstruction ``x̂ = q * scale`` is
+    elementwise within ``scale/2`` (test-pinned). All-zero vectors get
+    ``scale = 0`` and an all-zero qvec.
+    """
+    col = F.col(vec_col)
+    maxabs = F.array_max(F.transform(col, lambda x: F.abs(x.cast("double"))))
+    scale = (maxabs / F.lit(127.0)).alias("scale")
+    qvec = F.when(
+        maxabs > 0,
+        F.transform(
+            col,
+            lambda x: F.round(
+                x.cast("double") / (maxabs / F.lit(127.0))
+            ).cast("tinyint"),
+        ),
+    ).otherwise(
+        F.transform(col, lambda x: F.lit(0).cast("tinyint"))
+    ).alias("qvec")
+    return emb.select("vec_id", scale, qvec)
+
+
+def cosine_topk_quantized(
+    emb: DataFrame, query_vec: Sequence[float], k: int = 10,
+) -> DataFrame:
+    """(rank, vec_id, cosine) — brute-force top-k over the int8-
+    quantized store. The per-vector scale CANCELS in cosine
+    (cos(q·scale, y) == cos(q, y) for scale > 0), so scoring runs
+    directly on the integer lattice — no dequantize pass, and the
+    scan reads 1/4 the bytes of the float store. Same rounding /
+    ordering discipline as :func:`cosine_topk_bruteforce`; all-zero
+    vectors (scale 0) can never match and are dropped.
+    """
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    qnorm = float(np.sqrt(np.dot(query_vec, query_vec)))
+    qv = quantize_embeddings(emb)
+    scored = qv.where(F.col("scale") > 0).select(
+        "vec_id",
+        F.round(
+            _dot(F.col("qvec"), qlit)
+            / (_norm(F.col("qvec")) * F.lit(qnorm)),
+            4,
+        ).alias("cosine"),
+    )
     w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         scored.orderBy(F.desc("cosine"), F.asc("vec_id"))

@@ -132,3 +132,39 @@ def test_ivf_seeded_matches_driver_oracle_shape(spark, emb):
     assert [r.rank for r in rows] == list(range(1, 11))
     cosines = [r.cosine for r in rows]
     assert cosines == sorted(cosines, reverse=True)
+
+
+def test_int8_quantization_reconstruction_and_recall(spark, emb):
+    """int8 symmetric quantization: elementwise reconstruction error is
+    bounded by scale/2, and quantized cosine top-10 keeps high recall
+    against the float brute force (the 4x-memory serving trade)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from greynirserver_spark.operators.ann import (
+        cosine_topk_bruteforce,
+        cosine_topk_quantized,
+        quantize_embeddings,
+    )
+
+    qv = quantize_embeddings(emb)
+    joined = qv.join(emb.select("vec_id", "embedding"), "vec_id").limit(200)
+    for r in joined.collect():
+        x = np.asarray(r["embedding"], dtype=np.float64)
+        q = np.asarray(r["qvec"], dtype=np.float64)
+        s = float(r["scale"])
+        assert np.abs(q).max() <= 127
+        if s == 0:
+            assert not x.any() and not q.any()
+        else:
+            assert np.abs(q * s - x).max() <= s / 2 + 1e-12
+    # recall@10 of the quantized scan vs the float brute force
+    query = emb.orderBy("vec_id").first()
+    qvec = [float(v) for v in query["embedding"]]
+    rest = emb.where(F.col("vec_id") != query["vec_id"])
+    exact = {r.vec_id for r in
+             cosine_topk_bruteforce(rest, qvec, k=10).collect()}
+    quant = {r.vec_id for r in
+             cosine_topk_quantized(rest, qvec, k=10).collect()}
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.8, recall
