@@ -463,6 +463,7 @@ def semantic_dedup_pairs(
     k_cells: int = 8,
     threshold: float = 0.35,
     centroids: Optional[np.ndarray] = None,
+    assigned: Optional[DataFrame] = None,
 ) -> DataFrame:
     """(cell, vec_a, vec_b, cosine): semantic near-duplicate pairs, the
     SemDeDup shape (Abbas et al. 2023, arXiv:2303.09540): k-means the
@@ -478,23 +479,74 @@ def semantic_dedup_pairs(
     corpus. Here k is small and the quantizer seeded so an external
     SQL oracle reproduces the exact cell walls.
 
+    The within-cell pairwise stage runs as one BLAS matmul per cell
+    (grouped Arrow exchange -> blocked ``X @ X.T``), not a row-pair
+    self-join: the |cell|^2 dot products were the whole cost of the
+    old plan (interpreted zip_with/aggregate per pair — measured 225s
+    at the 20k-vector scale vs ~4s for this shape). Python emits only
+    the RAW cosine of candidate pairs above a loose guard band; the
+    exact gate — ``round(cosine, 4) >= threshold`` with Spark's
+    half-up-on-shortest-repr rounding — stays in the JVM, so emitted
+    rows are filtered by precisely the same expression as before.
+    Non-finite cosines (zero-norm vectors) are forwarded to the JVM
+    gate untouched for identical NaN/Inf semantics.
+
     Cosine rounded to 4 (summation-order independence across engines);
-    ``vec_a < vec_b`` canonical order.
+    ``vec_a < vec_b`` canonical order. Pass *assigned* (a materialized
+    :func:`_semdedup_assigned` frame) to skip re-assignment when
+    composing with survivors/summary.
     """
-    assigned = _semdedup_assigned(emb, k_cells, centroids)
+    import pandas as pd
+
+    if assigned is None:
+        assigned = _semdedup_assigned(emb, k_cells, centroids)
+    # loose pre-gate: round-half-up(x, 4) >= t can only hold when
+    # x >= t - 5e-5; the 1e-7 slack absorbs binary/decimal edge fuzz.
+    # The exact JVM round()-gate below re-filters, so the guard only
+    # bounds emission volume, never decides membership.
+    guard = float(threshold) - 5e-5 - 1e-7
+
+    def cell_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("vec_id", kind="mergesort")
+        ids = pdf["vec_id"].to_numpy()
+        cell = int(pdf["cell"].iloc[0])
+        x = np.array([np.asarray(v, dtype=np.float64)
+                      for v in pdf["embedding"]])
+        nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+        n = len(ids)
+        out = []
+        blk = 2048
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for i0 in range(0, n, blk):
+                i1 = min(i0 + blk, n)
+                cos = (x[i0:i1] @ x.T) / np.outer(nrm[i0:i1], nrm)
+                keep = (cos >= guard) | ~np.isfinite(cos)
+                # vec_a < vec_b: drop columns c <= global row index gi
+                # (tri(..., k=i0) is True exactly where c <= r + i0)
+                keep[:, :i1] &= ~np.tri(i1 - i0, i1, k=i0, dtype=bool)
+                r, c = np.nonzero(keep)
+                if len(r):
+                    out.append(pd.DataFrame({
+                        "cell": np.full(len(r), cell, dtype=np.int32),
+                        "vec_a": ids[r + i0],
+                        "vec_b": ids[c],
+                        "raw": cos[r, c],
+                    }))
+        if not out:
+            return pd.DataFrame(
+                {"cell": pd.Series(dtype="int32"),
+                 "vec_a": pd.Series(dtype="int64"),
+                 "vec_b": pd.Series(dtype="int64"),
+                 "raw": pd.Series(dtype="float64")}
+            )
+        return pd.concat(out, ignore_index=True)
+
+    raw = assigned.groupBy("cell").applyInPandas(
+        cell_pairs, "cell int, vec_a long, vec_b long, raw double"
+    )
     return (
-        assigned.alias("a")
-        .join(assigned.alias("b"), "cell")
-        .where(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            "cell",
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(
-                _dot(F.col("a.embedding"), F.col("b.embedding"))
-                / (F.col("a.nrm") * F.col("b.nrm")),
-                4,
-            ).alias("cosine"),
+        raw.select(
+            "cell", "vec_a", "vec_b", F.round("raw", 4).alias("cosine")
         )
         .where(F.col("cosine") >= threshold)
     )
@@ -513,11 +565,18 @@ def semantic_dedup_survivors(
     ``exact_dup_groups``). One anti-join against the pruned-id set;
     for transitive-closure clustering over these pairs reuse
     ``dedup.near_dup_clusters``'s label propagation — the pair relation
-    here is the same shape."""
-    pairs = semantic_dedup_pairs(emb, k_cells, threshold, centroids)
+    here is the same shape. The cell assignment is materialized ONCE
+    (localCheckpoint) and shared by the pair stage and the anti-join
+    base — the old plan recomputed it per use."""
+    assigned = _semdedup_assigned(emb, k_cells, centroids).localCheckpoint(
+        eager=True
+    )
+    pairs = semantic_dedup_pairs(
+        emb, k_cells, threshold, centroids, assigned=assigned
+    )
     pruned = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
     return (
-        _semdedup_assigned(emb, k_cells, centroids)
+        assigned
         .join(pruned, "vec_id", "left_anti")
         .select("vec_id", "cell")
     )
@@ -531,9 +590,14 @@ def semantic_dedup_summary(
 ) -> DataFrame:
     """(cell, n_vecs, n_pruned): per-cell dedup pressure — the
     monitoring table a pipeline run reports (how semantically redundant
-    is each region of the embedding space)."""
-    assigned = _semdedup_assigned(emb, k_cells, centroids)
-    pairs = semantic_dedup_pairs(emb, k_cells, threshold, centroids)
+    is each region of the embedding space). Assignment runs once and is
+    shared with the pair stage (localCheckpoint)."""
+    assigned = _semdedup_assigned(emb, k_cells, centroids).localCheckpoint(
+        eager=True
+    )
+    pairs = semantic_dedup_pairs(
+        emb, k_cells, threshold, centroids, assigned=assigned
+    )
     pruned = (
         pairs.select("cell", F.col("vec_b").alias("vec_id"))
         .distinct()
