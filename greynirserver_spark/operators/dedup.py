@@ -270,17 +270,43 @@ def minhash_lsh_pairs(
     (band, bucket). The band count sets the S-curve: 16 bands x 4 rows
     crosses ~0.5, 8 bands x 8 rows ~0.75 — choose bands to match the
     threshold so the candidate join stays linear in docs.
+
+    The whole quadratic section runs at DISTINCT-TOKEN-SET level, not
+    doc level: docs with identical token sets have identical signatures,
+    identical band buckets, and identical pairwise jaccards, so every
+    gate (band collision, signature estimate, exact jaccard) is decided
+    ONCE per set pair and the result expanded to doc pairs with a cheap
+    explode at the very end. On duplicate-heavy corpora this collapses
+    the band join's hot buckets (an m-doc identical-set group alone is
+    m^2/2 join rows per band otherwise) — the classic decide-on-proxy /
+    move-heavy-rows-once shape, and exactly output-equivalent:
+    within-group pairs always collide (identical buckets), always pass
+    the estimate (est = 1), and score jaccard = 1.0; cross-group pairs
+    inherit the set pair's gates verbatim.
     """
     from pyspark import StorageLevel
 
     bands = bands or bands_for_threshold(threshold)
-    # ONE tokenize pass feeds both the signature job and the exact
-    # verify join (round-1 recomputed document_tokens twice — measured
-    # as the dominant cost of the whole pipeline)
-    ths = token_hash_sets(docs).persist(StorageLevel.DISK_ONLY)
-    # sigs feed banding + both sides of the pair prefilter: cache so the
-    # signature job runs once
-    sigs = minhash_signatures(docs, ths=ths).cache()
+    # ONE tokenize pass; identical sets collapsed to a representative
+    # (min doc_id) with the member list carried for final expansion
+    groups = (
+        token_hash_sets(docs)
+        .groupBy("ths")
+        .agg(
+            F.min("doc_id").alias("set_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+        )
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    # set-level signatures: the signature depends only on the token set
+    sigs = minhash_signatures(
+        docs, ths=groups.select(F.col("set_id").alias("doc_id"), "ths")
+    ).cache()
+    # one eager pass materializes groups + sigs so the joins below see
+    # real cached-relation sizes (the set-level side tables are small —
+    # broadcast — while a Python-node output defaults to "unknown/huge"
+    # and would force a sort-merge shuffle of every candidate pair)
+    sigs.count()
     rows_per_band = _MINHASH_H // bands
     # band bucket = md5 of the comma-joined band slice: engine-portable
     # (Spark's hash() is murmur3 with Spark-specific seeding — not
@@ -316,55 +342,100 @@ def minhash_lsh_pairs(
         .join(band_rows.alias("b"), ["band", "bucket"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.doc_id").alias("set_a"),
+            F.col("b.doc_id").alias("set_b"),
         )
         .distinct()
     )
-    # signature-estimate prefilter AFTER pair dedup (one evaluation per
-    # pair, not per colliding band): matching-component fraction is an
-    # unbiased Jaccard estimate, so pairs far below threshold skip the
-    # exact-verify join entirely
     est = F.size(
         F.filter(
             F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
             lambda m: m,
         )
     ) / F.lit(float(_MINHASH_H))
-    cands = (
-        cands.join(
-            sigs.select(F.col("doc_id").alias("doc_a"),
-                        F.col("sig").alias("sig_a")), "doc_a")
-        .join(
-            sigs.select(F.col("doc_id").alias("doc_b"),
-                        F.col("sig").alias("sig_b")), "doc_b")
-        .where(est >= F.lit(max(0.0, threshold - 0.15)))
-        .select("doc_a", "doc_b")
-    )
-    if not verify:
-        return cands
 
-    # Exact verify as pure JVM set arithmetic: join each candidate pair
-    # with the two hash-set ARRAYS (one row per doc, not one per token)
-    # and intersect in-place — no token-level explode join, no extra
-    # shuffle of O(pairs x tokens) rows.
+    def with_sigs(pairs):
+        return (
+            pairs.join(
+                sigs.select(F.col("doc_id").alias("set_a"),
+                            F.col("sig").alias("sig_a")), "set_a")
+            .join(
+                sigs.select(F.col("doc_id").alias("set_b"),
+                            F.col("sig").alias("sig_b")), "set_b")
+        )
+
+    def expand(set_pairs, cols):
+        """Set pairs -> doc pairs: cross product of the two member
+        lists (all such doc pairs share the set pair's gate results),
+        plus every within-group pair (jaccard exactly 1.0, est 1,
+        guaranteed band collision)."""
+        ga = groups.select(F.col("set_id").alias("set_a"),
+                           F.col("members").alias("ma"))
+        gb = groups.select(F.col("set_id").alias("set_b"),
+                           F.col("members").alias("mb"))
+        cross = (
+            set_pairs.join(ga, "set_a").join(gb, "set_b")
+            .select(F.explode("ma").alias("da"), "mb", *cols)
+            .select("da", F.explode("mb").alias("db"), *cols)
+            .select(
+                F.least("da", "db").alias("doc_a"),
+                F.greatest("da", "db").alias("doc_b"),
+                *cols,
+            )
+        )
+        within = (
+            groups.where(F.size("members") >= 2)
+            .select(F.explode("members").alias("da"), "members")
+            .select("da", F.explode("members").alias("db"))
+            .where(F.col("da") < F.col("db"))
+            .select(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"))
+        )
+        if "jaccard" in cols:
+            within = within.withColumn(
+                "jaccard", F.round(F.lit(1.0), 4)
+            )
+        # identical sets pass every gate iff 1.0 itself passes the
+        # jaccard threshold (est = 1 >= threshold - 0.15 follows)
+        if not (1.0 >= threshold):
+            return cross
+        return cross.unionByName(within.select("doc_a", "doc_b", *cols))
+
+    if not verify:
+        est_pairs = (
+            with_sigs(cands)
+            .where(est >= F.lit(max(0.0, threshold - 0.15)))
+            .select("set_a", "set_b")
+        )
+        return expand(est_pairs, [])
+
+    # Exact verify FIRST (pure JVM set arithmetic on the two hash-set
+    # ARRAYS), then the signature-estimate gate on the far smaller
+    # jaccard-passing set: both gates are conjunctive, and the 25-element
+    # array_intersect is cheaper per pair than the 64-component
+    # signature compare, so the expensive gate sees fewer rows.
     inter = F.size(F.array_intersect("ths_a", "ths_b")).cast("long")
     sz_a = F.size("ths_a").cast("long")
     sz_b = F.size("ths_b").cast("long")
-    return (
+    jpairs = (
         cands.join(
-            ths.select(F.col("doc_id").alias("doc_a"),
-                       F.col("ths").alias("ths_a")), "doc_a")
+            groups.select(F.col("set_id").alias("set_a"),
+                          F.col("ths").alias("ths_a")), "set_a")
         .join(
-            ths.select(F.col("doc_id").alias("doc_b"),
-                       F.col("ths").alias("ths_b")), "doc_b")
+            groups.select(F.col("set_id").alias("set_b"),
+                          F.col("ths").alias("ths_b")), "set_b")
         .withColumn(
             "jaccard",
             F.round(inter.cast("double") / (sz_a + sz_b - inter), 4),
         )
         .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .select("set_a", "set_b", "jaccard")
     )
+    verified = (
+        with_sigs(jpairs)
+        .where(est >= F.lit(max(0.0, threshold - 0.15)))
+        .select("set_a", "set_b", "jaccard")
+    )
+    return expand(verified, ["jaccard"])
 
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
