@@ -232,11 +232,30 @@ def minhash_signatures(
     def sig_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_ids = pdf["doc_id"].to_numpy()
-            sigs = np.empty((len(pdf), _MINHASH_H), dtype=np.int64)
-            for i, ths in enumerate(pdf["ths"]):
-                x = np.asarray(ths, dtype=np.uint64)[:, None]   # (T,1)
-                h = x * a[None, :] + b[None, :]                  # mod 2^64 wrap
-                sigs[i] = (h.min(axis=0) >> np.uint64(1)).astype(np.int64)
+            if not len(pdf):
+                yield pd.DataFrame({"doc_id": out_ids, "sig": []})
+                continue
+            # one flat (Σ tokens, 64) hash matrix + segmented min via
+            # minimum.reduceat: the same arithmetic as the per-row loop
+            # (identical uint64 wraparound), without 2 array allocations
+            # and a Python-level iteration per document
+            lens = np.fromiter(
+                (len(t) for t in pdf["ths"]), dtype=np.int64, count=len(pdf)
+            )
+            # empty sets never reach here (token_hash_sets emits a row
+            # only for docs with >= 1 token); reduceat would silently
+            # mis-aggregate them, where the old loop raised — keep the
+            # fail-fast contract
+            assert lens.min() > 0, "minhash over an empty token set"
+            flat = np.concatenate(
+                [np.asarray(t, dtype=np.uint64) for t in pdf["ths"]]
+            )
+            h = flat[:, None] * a[None, :] + b[None, :]   # mod 2^64 wrap
+            starts = np.zeros(len(pdf), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            sigs = (
+                np.minimum.reduceat(h, starts, axis=0) >> np.uint64(1)
+            ).astype(np.int64)
             yield pd.DataFrame(
                 {"doc_id": out_ids, "sig": [row.tolist() for row in sigs]}
             )
@@ -413,9 +432,11 @@ def minhash_lsh_pairs(
     # jaccard-passing set: both gates are conjunctive, and the 25-element
     # array_intersect is cheaper per pair than the 64-component
     # signature compare, so the expensive gate sees fewer rows.
-    inter = F.size(F.array_intersect("ths_a", "ths_b")).cast("long")
     sz_a = F.size("ths_a").cast("long")
     sz_b = F.size("ths_b").cast("long")
+    # `inter` lands in its own projection so the hash-set intersection
+    # runs ONCE per candidate pair — inlining it into the jaccard
+    # formula evaluates it twice (numerator + union term)
     jpairs = (
         cands.join(
             groups.select(F.col("set_id").alias("set_a"),
@@ -424,8 +445,15 @@ def minhash_lsh_pairs(
             groups.select(F.col("set_id").alias("set_b"),
                           F.col("ths").alias("ths_b")), "set_b")
         .withColumn(
+            "inter", F.size(F.array_intersect("ths_a", "ths_b")).cast("long")
+        )
+        .withColumn(
             "jaccard",
-            F.round(inter.cast("double") / (sz_a + sz_b - inter), 4),
+            F.round(
+                F.col("inter").cast("double")
+                / (sz_a + sz_b - F.col("inter")),
+                4,
+            ),
         )
         .where(F.col("jaccard") >= threshold)
         .select("set_a", "set_b", "jaccard")
