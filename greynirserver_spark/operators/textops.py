@@ -152,8 +152,17 @@ def _bm25_term_parts(
     # materialized segments instead (bm25_wand_documents_topk / wand.py)
     if postings is None:
         postings = document_postings(docs).cache()
-    doclen = postings.groupBy("doc_id").agg(
-        F.sum("tf").cast("long").alias("doclen")
+    # doclen feeds BOTH the corpus stats and the scoring join; without a
+    # materialization the two subtrees differ by a join-injected
+    # isnotnull filter, Spark's exchange reuse misses, and the full
+    # postings aggregation runs twice per query (plan-verified). One
+    # eager localCheckpoint = one aggregation, and the ~n_docs result
+    # gets exact size stats so the scoring join broadcasts it.
+    doclen = (
+        postings.groupBy("doc_id").agg(
+            F.sum("tf").cast("long").alias("doclen")
+        )
+        .localCheckpoint(eager=True)
     )
     corpus = doclen.agg(
         F.count("*").alias("n_docs"),
