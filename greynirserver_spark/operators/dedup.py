@@ -483,18 +483,34 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     )
 
     def sim_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # whole-batch form of the per-document accumulation: one flat
+        # (Σ tokens, 64) ±tf bit matrix, per-document column sums via
+        # add.reduceat. Scores are sums of ±tf — exact integers in
+        # float64 — so the summation order change cannot flip the sign
+        # threshold; outputs are bit-identical to the row loop.
         bitpos = np.arange(64, dtype=np.uint64)
+        fpw = np.uint64(1) << np.arange(63, dtype=np.uint64)  # bits 1..63
         for pdf in batches:
-            out = np.empty(len(pdf), dtype=np.int64)
-            for i, (ths, tfs) in enumerate(zip(pdf["ths"], pdf["tfs"])):
-                h = np.asarray(ths, dtype=np.uint64)[:, None]
-                w = np.asarray(tfs, dtype=np.float64)[:, None]
-                bits = ((h >> bitpos[None, :]) & np.uint64(1)).astype(np.float64)
-                score = (w * (2.0 * bits - 1.0)).sum(axis=0)
-                fp = np.uint64(0)
-                for j in np.nonzero(score > 0)[0]:
-                    fp |= np.uint64(1) << np.uint64(j)
-                out[i] = np.int64(fp >> np.uint64(1))  # keep sign-safe 63 bits
+            if not len(pdf):
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": []})
+                continue
+            lens = np.fromiter(
+                (len(t) for t in pdf["ths"]), dtype=np.int64, count=len(pdf)
+            )
+            assert lens.min() > 0, "simhash over an empty token set"
+            h = np.concatenate(
+                [np.asarray(t, dtype=np.uint64) for t in pdf["ths"]]
+            )[:, None]
+            w = np.concatenate(
+                [np.asarray(t, dtype=np.float64) for t in pdf["tfs"]]
+            )[:, None]
+            bits = ((h >> bitpos[None, :]) & np.uint64(1)).astype(np.float64)
+            starts = np.zeros(len(pdf), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            score = np.add.reduceat(w * (2.0 * bits - 1.0), starts, axis=0)
+            # fp >> 1 keeps sign bits 1..63 (sign-safe 63-bit fingerprint)
+            pos = (score > 0)[:, 1:].astype(np.uint64)
+            out = (pos * fpw[None, :]).sum(axis=1).astype(np.int64)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
 
     return tok.mapInPandas(sim_batches, "doc_id long, simhash long")

@@ -23,7 +23,7 @@ RESULTS per store. A term's federated df is gated on the (shared)
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 from pyspark.sql import SparkSession, functions as F
 
@@ -37,13 +37,20 @@ def federated_term_stats(
     spark: SparkSession,
     stores: Sequence[IndexStore],
     terms: Sequence[str],
+    per_store_df: Optional[list] = None,
 ) -> Tuple[Dict[str, float], int, float]:
     """(term -> GLOBAL idf, global n_docs, global avgdl) across
     *stores* — the query-open stats exchange. Per store this is a
     term-pruned point read on the log-structured term_counts view plus
     the 1-row corpus; cost is O(stores × query terms), never O(vocab).
     Terms whose SUMMED df stays below the shared min_df are omitted
-    (the merged store would never bake blocks for them)."""
+    (the merged store would never bake blocks for them).
+
+    *per_store_df* (optional, caller-supplied empty list) receives one
+    ``{term: local_df}`` dict per store, in store order — the signal
+    :func:`federated_search` uses to detect local-pruning skew (a term
+    under a store's LOCAL floor has no baked blocks there even when its
+    global df qualifies it)."""
     import math
 
     from ..operators.postings import load_term_counts
@@ -66,9 +73,23 @@ def federated_term_stats(
         n_docs += int(crow["n_docs"])
         if "total_doclen" in crow.asDict():
             total_dl += int(crow["total_doclen"])
-        else:  # legacy corpus row: reconstruct from the rounded mean
-            total_dl += int(round(float(crow["avgdl"]) * int(crow["n_docs"])))
+        else:
+            # legacy corpus row (no total_doclen): recover the EXACT
+            # integer total from doc_stats — reconstructing it from the
+            # rounded avgdl double drifts the federated avgdl away from
+            # the physically merged store's integer-sum value and
+            # quietly voids rank identity for mixed-vintage store sets
+            # (advice r5). One sum over the store's doc_stats, paid
+            # only by legacy stores at query open.
+            total_dl += int(
+                spark.read.parquet(s.doc_stats)
+                .agg(F.sum("doclen"))
+                .collect()[0][0]
+                or 0
+            )
         if not terms_u:
+            if per_store_df is not None:
+                per_store_df.append({})
             continue
         tc = (
             load_term_counts(spark, s.term_counts)
@@ -76,6 +97,8 @@ def federated_term_stats(
             .select("term", "df")
             .collect()
         )
+        if per_store_df is not None:
+            per_store_df.append({r["term"]: int(r["df"]) for r in tc})
         for r in tc:
             df_sum[r["term"]] = df_sum.get(r["term"], 0) + int(r["df"])
     if n_docs == 0:
@@ -107,18 +130,45 @@ def federated_search(
     identical anyway — same global stats, same text ⇒ same score).
     Tombstones are excluded per store via the anti-joined doc_map with
     the capped-overfetch discipline (k + min(n_tomb, 3k) per store).
+
+    Local-pruning skew (advice r5): a term whose LOCAL df in one store
+    is below min_df has no baked blocks there even when its global
+    (summed) df qualifies it, so that store's WAND sweep would silently
+    drop the term's contribution while the physical merge re-bakes and
+    scores it. Such stores are detected from the stats exchange's
+    per-store counts and routed through the exact raw-postings scorer
+    (``bm25_score_exact`` with the federated idf/avgdl — the same
+    mechanism the boolean path always uses), whose term-sorted float64
+    fold is bit-identical to the WAND scorer; all other stores keep the
+    fast pruned sweep.
     """
+    from ..operators.bm25 import bm25_score_exact
     from ..operators.wand import wand_topk
 
-    idfs, n_docs, avgdl = federated_term_stats(spark, stores, terms)
+    local_dfs: list = []
+    idfs, n_docs, avgdl = federated_term_stats(
+        spark, stores, terms, per_store_df=local_dfs
+    )
     if not idfs:
         return []
+    min_df = int(read_store_meta(stores[0])["min_df"])
     corpus = spark.createDataFrame(
         [(n_docs, float(avgdl))], "n_docs long, avgdl double"
     )
     terms_u = sorted(idfs)
+    # store index -> True when some globally-qualified term is present
+    # locally (df > 0) but under the store's baked floor (df < min_df)
+    exposed = [
+        any(0 < ld.get(t, 0) < min_df for t in terms_u)
+        for ld in local_dfs
+    ]
+    tstats = spark.createDataFrame(
+        [(t, float(v)) for t, v in sorted(idfs.items())],
+        "term string, idf double",
+    )
 
-    def one_store(s: IndexStore):
+    def one_store(si_s):
+        si, s = si_s
         n_tomb = 0
         tomb = None
         if s.has("tombstones"):
@@ -126,9 +176,19 @@ def federated_search(
             n_tomb = t.count()
             tomb = t if n_tomb else None
         kk = k + min(n_tomb, 3 * k)
-        hits = wand_topk(
-            s.load_segments(spark), terms_u, corpus, kk, term_idf=idfs
-        )
+        if exposed[si]:
+            scored = bm25_score_exact(
+                spark.read.parquet(s.postings), tstats,
+                spark.read.parquet(s.doc_stats), corpus, terms_u,
+            )
+            hits = (
+                scored.orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(kk)
+            )
+        else:
+            hits = wand_topk(
+                s.load_segments(spark), terms_u, corpus, kk, term_idf=idfs
+            )
         dm = spark.read.parquet(s.doc_map).select("doc_id", "url")
         if tomb is not None:
             dm = dm.join(tomb, "doc_id", "left_anti")
@@ -138,7 +198,7 @@ def federated_search(
     # job chain, so federated latency is max(store), not sum(stores) —
     # on a real cluster the slices' executors work in parallel anyway
     merged: Dict[str, float] = {}
-    for rows in _scatter(one_store, stores):
+    for rows in _scatter(one_store, list(enumerate(stores))):
         for r in rows:
             u, sc = r["url"], float(r["score"])
             if u not in merged or sc > merged[u]:

@@ -975,8 +975,11 @@ class Searcher:
 
         matched = self._segments.where(F.col("term").isin(members))
         pdf = matched.limit(self._max_fetch_blocks + 1).toPandas()
-        if len(pdf) == 0:
-            return []
+        # NOTE: an empty fetch does NOT short-circuit to [] — every
+        # member could be present-but-pruned (term df < min_df while
+        # the group's fold over raw postings still scores), which the
+        # coverage guard below routes to the distributed exact path,
+        # same as any other uncovered member (advice r5).
         # coverage guard: segments are df-pruned at bake time but the
         # group fold's semantics (and the distributed path) include
         # sub-min_df member terms from the RAW postings. A member with

@@ -147,3 +147,39 @@ def test_federated_excludes_tombstones_per_store(spark, fed):
     after = federated_search(spark, stores, terms, k=8)
     assert victim_url not in [u for u, _ in after]
     assert len(after) == 8
+
+
+def test_federated_handles_local_pruning_skew(spark, tmp_path):
+    """A term locally pruned in one store (0 < local df < min_df) but
+    globally qualified must still contribute that store's postings to
+    the federated ranking — the skew-exposed store routes through the
+    exact raw-postings scorer (advice r5); result stays rank-identical
+    to the physical merge. The fixture splits UNEVENLY (a 4-page slice)
+    so rare stems' local dfs in the small store sit under min_df=3."""
+    from greynirserver_spark.corpus import indexable_stems_by_rank
+
+    pages = generate_pages(spark, 120).cache()
+    big = pages.where(F.col("url").substr(-1, 1) != "7")
+    small = pages.where(F.col("url").substr(-1, 1) == "7").limit(4)
+    sa = build_index_checkpointed(
+        spark, big, str(tmp_path / "sa"), n_shards=3)
+    sb = build_index_checkpointed(
+        spark, small, str(tmp_path / "sb"), n_shards=3)
+    merged = merge_stores(spark, sa, sb, str(tmp_path / "m"))
+    stores = [sa, sb]
+    # pick a term the SMALL store holds but under its floor (df 1-2)
+    cands = [query_to_terms(s)[0]
+             for s in indexable_stems_by_rank(24, start_rank=40)]
+    local = []
+    idfs, _, _ = federated_term_stats(
+        spark, stores, cands, per_store_df=local
+    )
+    skewed = [t for t in cands
+              if t in idfs and 0 < local[1].get(t, 0) < 3]
+    assert skewed, "fixture no longer produces a locally-pruned term"
+    t = skewed[0]
+    common = query_to_terms(indexable_stems_by_rank(1)[0])[0]
+    for terms in ([t], sorted({t, common})):
+        got = [(u, round(sc, 6))
+               for u, sc in federated_search(spark, stores, terms, k=12)]
+        assert got == _merged_ranked(spark, merged, terms, 12)
