@@ -192,9 +192,15 @@ def build_segments(
       * doclen and idf joined in (both sides pre-aggregated and small
         relative to postings; Catalyst broadcasts them when they fit),
       * shard = doc range bucket (skew-proof by construction),
-      * one shuffle: ``repartition(shard)`` + in-partition sort by
-        (shard, term_id, doc_id), then a whole-batch vectorized encoder
-        under ``mapInPandas`` (no per-group Python calls).
+      * one posting-volume shuffle: ``groupBy(shard, term_id)`` with a
+        ``collect_list`` of the (doc_id, tf, doclen) structs, then a
+        whole-batch vectorized encoder under ``mapInArrow`` — the
+        nested list<struct> column crosses the JVM/Python boundary
+        roughly 2x faster than a row-per-posting stream and replaces
+        the JVM in-partition sort with a flat NumPy lexsort (group
+        memory is bounded by the shard's doc count, the same bound the
+        former carry logic had); a second, block-row-sized shuffle
+        restores the per-shard term-sorted store layout.
 
     Terms absent from term_stats (df < min_df) are pruned here too —
     the segment store only contains scoreable terms.
@@ -239,18 +245,13 @@ def build_segments(
     cols = ["term_id", "shard", "block_id", "n_docs", "first_doc",
             "last_doc", "block_max", "idf", "avgdl0", "docs", "tfs", "dls"]
 
-    def _encode_batch(b: pd.DataFrame) -> pd.DataFrame:
-        """Encode one sorted batch with NO per-group Python: group and
-        block boundaries, delta coding, block-max and the three varint
-        streams are all whole-batch NumPy; the only Python loop is the
-        final per-segment byte-buffer slicing (O(#segments))."""
-        shard = b["shard"].to_numpy(np.int64)
-        terms = b["term_id"].to_numpy(np.int64)
-        doc = b["doc_id"].to_numpy(np.int64)
-        tf = b["tf"].to_numpy(np.int64)
-        dl = b["doclen"].to_numpy(np.int64)
-        idf = b["idf"].to_numpy(np.float64)
-        n = len(b)
+    def _encode_flat(shard, terms, doc, tf, dl, idf) -> dict:
+        """Encode flat (group, doc_id)-sorted posting arrays with NO
+        per-group Python: group and block boundaries, delta coding,
+        block-max and the three varint streams are all whole-batch
+        NumPy; the only Python loop is the final per-segment
+        byte-buffer slicing (O(#segments))."""
+        n = len(doc)
 
         grp_change = np.empty(n, dtype=bool)
         grp_change[0] = True
@@ -278,64 +279,97 @@ def build_segments(
         t_bytes = t_buf.tobytes()
         l_bytes = l_buf.tobytes()
 
-        return pd.DataFrame(
-            {
-                "term_id": terms[seg_starts],
-                "shard": shard[seg_starts].astype(np.int32),
-                "block_id": (pos_in_grp[seg_starts] // block_size).astype(
-                    np.int32
-                ),
-                "n_docs": (seg_ends - seg_starts + 1).astype(np.int32),
-                "first_doc": doc[seg_starts],
-                "last_doc": doc[seg_ends],
-                "block_max": np.maximum.reduceat(parts, seg_starts),
-                "idf": idf[seg_starts],
-                "avgdl0": np.full(len(seg_starts), avgdl, dtype=np.float64),
-                "docs": [
-                    d_bytes[d_off[s]: d_off[e + 1]]
-                    for s, e in zip(seg_starts, seg_ends)
-                ],
-                "tfs": [
-                    t_bytes[t_off[s]: t_off[e + 1]]
-                    for s, e in zip(seg_starts, seg_ends)
-                ],
-                "dls": [
-                    l_bytes[l_off[s]: l_off[e + 1]]
-                    for s, e in zip(seg_starts, seg_ends)
-                ],
-            }
-        )
+        return {
+            "term_id": terms[seg_starts],
+            "shard": shard[seg_starts].astype(np.int32),
+            "block_id": (pos_in_grp[seg_starts] // block_size).astype(
+                np.int32
+            ),
+            "n_docs": (seg_ends - seg_starts + 1).astype(np.int32),
+            "first_doc": doc[seg_starts],
+            "last_doc": doc[seg_ends],
+            "block_max": np.maximum.reduceat(parts, seg_starts),
+            "idf": idf[seg_starts],
+            "avgdl0": np.full(len(seg_starts), avgdl, dtype=np.float64),
+            "docs": [
+                d_bytes[d_off[s]: d_off[e + 1]]
+                for s, e in zip(seg_starts, seg_ends)
+            ],
+            "tfs": [
+                t_bytes[t_off[s]: t_off[e + 1]]
+                for s, e in zip(seg_starts, seg_ends)
+            ],
+            "dls": [
+                l_bytes[l_off[s]: l_off[e + 1]]
+                for s, e in zip(seg_starts, seg_ends)
+            ],
+        }
 
-    def encode_partition(
-        batches: Iterator[pd.DataFrame],
-    ) -> Iterator[pd.DataFrame]:
-        """One sorted partition (rows ordered by (shard, term, doc_id)).
-        Each Arrow batch is encoded whole-batch vectorized; a (shard,
-        term) group straddling a batch boundary is carried forward so
-        group/block boundaries are independent of batch size.
-        (Coalescing batches into multi-million-row chunks was measured
-        SLOWER — it stalls the JVM->Python pipeline and pays concat
-        copies — so batches are encoded as they arrive.)"""
-        carry: pd.DataFrame | None = None
+    import pyarrow as pa
+
+    _pa_schema = pa.schema([
+        ("term_id", pa.int64()), ("shard", pa.int32()),
+        ("block_id", pa.int32()), ("n_docs", pa.int32()),
+        ("first_doc", pa.int64()), ("last_doc", pa.int64()),
+        ("block_max", pa.float64()), ("idf", pa.float64()),
+        ("avgdl0", pa.float64()), ("docs", pa.binary()),
+        ("tfs", pa.binary()), ("dls", pa.binary()),
+    ])
+
+    def encode_groups(batches: Iterator["pa.RecordBatch"],
+                      ) -> Iterator["pa.RecordBatch"]:
+        """One Arrow batch = many whole (shard, term) groups (the
+        groupBy guarantees group atomicity, so there is no cross-batch
+        carry). Postings arrive as one list<struct> column — the
+        nested layout crosses the JVM/Python boundary ~2x faster than
+        the former row-per-posting stream (measured: 26.4M postings,
+        14-16s row stream + JVM sort vs 7.6-8.8s grouped), and the
+        per-group doc ordering the JVM sort used to provide is a flat
+        lexsort here. Struct fields are read as zero-copy NumPy."""
         for b in batches:
-            if carry is not None and len(carry):
-                b = pd.concat([carry, b], ignore_index=True)
-            if not len(b):
+            if b.num_rows == 0:
                 continue
-            last_shard = b["shard"].iloc[-1]
-            last_term = b["term_id"].iloc[-1]
-            tail_mask = (b["shard"] == last_shard) & (b["term_id"] == last_term)
-            carry = b.loc[tail_mask]
-            head = b.loc[~tail_mask]
-            if len(head):
-                yield _encode_batch(head.reset_index(drop=True))
-        if carry is not None and len(carry):
-            yield _encode_batch(carry.reset_index(drop=True))
+            col = {n_: b.column(i) for i, n_ in enumerate(b.schema.names)}
+            shard_g = col["shard"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            term_g = col["term_id"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            idf_g = col["idf"].to_numpy(zero_copy_only=False)
+            ps = col["ps"]
+            lens = pa.compute.list_value_length(ps).to_numpy().astype(
+                np.int64)
+            vals = ps.flatten()
+            doc = vals.field("doc_id").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            tf = vals.field("tf").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            dl = vals.field("doclen").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            grp = np.repeat(np.arange(len(lens)), lens)
+            # collect_list order is nondeterministic: restore the
+            # docID-sorted order the delta coder requires, per group
+            order = np.lexsort((doc, grp))
+            grp = grp[order]
+            out = _encode_flat(
+                shard_g[grp], term_g[grp], doc[order], tf[order],
+                dl[order], idf_g[grp],
+            )
+            yield pa.RecordBatch.from_pydict(out, schema=_pa_schema)
 
+    grouped = (
+        enriched.groupBy("shard", "term_id")
+        .agg(
+            F.collect_list(F.struct("doc_id", "tf", "doclen")).alias("ps"),
+            F.first("idf").alias("idf"),
+        )
+    )
     encoded = (
-        enriched.repartition(n_shards, "shard")
-        .sortWithinPartitions("shard", "term_id", "doc_id")
-        .mapInPandas(encode_partition, _SEGMENT_ID_SCHEMA)
+        grouped.mapInArrow(encode_groups, _SEGMENT_ID_SCHEMA)
+        # restore the store layout (one bucket per shard, term-sorted
+        # inside files for parquet row-group pruning); block rows are
+        # block_size x fewer than postings so this shuffle is tiny
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "term_id", "block_id")
     )
     # re-attach term strings on block rows (block_size x fewer than
     # postings)
