@@ -1095,7 +1095,13 @@ class Searcher:
             del self._cache[key]
         from ..sources.pages import host_of
 
-        fetch = max(k, 10)
+        # generous first prefix (advice r5): every escalation is a COLD
+        # search (the result cache keys on (terms, k)), so starting at
+        # 2x the target instead of k halves the expected escalation
+        # count on host-concentrated result sets. The greedy cap over a
+        # ranked prefix is schedule-independent — any prefix with k
+        # survivors yields the same k — so results are unchanged.
+        fetch = 2 * max(k, 10)
         result: List[Tuple[int, str, float]] = []
         hosts: dict = {}  # resolved once per id across fetch doublings
         while True:
