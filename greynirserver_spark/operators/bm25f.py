@@ -127,6 +127,7 @@ def bm25f_documents_topk(
     body_weight: float = 1.0,
     b_title: float = 0.75,
     b_body: float = 0.75,
+    lazy: bool = False,
 ) -> DataFrame:
     """BM25F top-k ``(rank, doc_id, score)`` over the documents table —
     oracle-safe (score rounded to 4 decimals, ordering on the rounded
@@ -204,12 +205,25 @@ def bm25f_documents_topk(
             ).alias("score")
         )
     )
+    # top-k FIRST (TakeOrderedAndProject), window only the <= k
+    # survivors — the global unpartitioned row_number over the full
+    # scored match set funnelled a head-term query through one
+    # partition at scale (round-5 verdict's one named scale-killer);
+    # (score desc, doc_id asc) is a total order, so ranking the k
+    # survivors is identical to rank <= k over the full set. Same
+    # pattern as textops/bm25/ann/hybrid top-ks.
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     out = (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .select("rank", "doc_id", "score")
     )
+    if lazy:
+        # plan-audit seam: hand back the uncollected top-k plan (the
+        # caller must unpersist `post` itself via the plan's deps —
+        # tests only explain() it, never execute)
+        return out
     rows = out.collect()
     post.unpersist()
     return docs.sparkSession.createDataFrame(

@@ -196,3 +196,15 @@ def test_round5_serving_ops_plans(spark, docs):
     assert "BroadcastHashJoin" in plans["synonym"]
     # the per-source window sorts within key partitions, not globally
     assert "source" in plans["collapsed"]
+
+
+def test_bm25f_topk_is_take_ordered(spark, docs):
+    """BM25F's final cut must be TakeOrderedAndProject over the scored
+    match set, not a global unpartitioned row_number window (round-5
+    verdict's named scale-killer: a head-term query would funnel the
+    whole match set through one partition)."""
+    from greynirserver_spark.operators.bm25f import bm25f_documents_topk
+
+    out = bm25f_documents_topk(docs, ["spark", "join"], k=20, lazy=True)
+    plan = _plan(out)
+    assert "TakeOrderedAndProject" in plan, plan
