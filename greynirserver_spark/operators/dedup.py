@@ -120,49 +120,96 @@ def ngram_jaccard_pairs(
 
     sh = ngram_shingles(docs, n).persist(StorageLevel.DISK_ONLY)
     sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
+    # hot set materialized ONCE: it feeds two consumers (the rare
+    # anti-join and the hot re-expansion) whose subtrees would each
+    # re-run the full shingle-df aggregation, and its row count decides
+    # the plan below. Bounded by total_rows / max_shingle_df.
     hot = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("df"))
         .where(F.col("df") > max_shingle_df)
         .select("shingle")
+        .persist(StorageLevel.DISK_ONLY)
     )
-    rare = sh.join(hot, "shingle", "left_anti")
+    n_hot = hot.count()
+    rare = sh if n_hot == 0 else sh.join(hot, "shingle", "left_anti")
+    # candidate-pair aggregation key packed into ONE long when ids fit
+    # 31 bits (guide §2.3 "narrower types"): the (doc_a, doc_b) group
+    # key over ~sum(df^2) candidate rows becomes a single fixed-width
+    # column — fewer shuffle bytes, single-key hash fast path. The
+    # probe is one column-stats scan; ids outside the range keep the
+    # two-column key (identical output either way).
+    bounds = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).first()
+    packable = (
+        bounds["lo"] is not None
+        and bounds["lo"] >= 0
+        and bounds["hi"] < (1 << 31)
+    )
     # rare-shingle intersection counts come straight out of the
     # candidate self-join (one aggregation, no candidate re-expansion);
     # shared HOT shingles are added back from a join against the hot
     # rows only, so the exact intersection is (rare + hot) while the
     # quadratic join never touches a hot shingle
-    inter_rare = (
+    cand = (
         rare.alias("a")
         .join(rare.alias("b"), "shingle")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
+    )
+    if packable:
+        inter_rare = (
+            cand.select(
+                (
+                    F.shiftleft(F.col("a.doc_id"), 32) + F.col("b.doc_id")
+                ).alias("pk")
+            )
+            .groupBy("pk")
+            .agg(F.count("*").cast("long").alias("inter_r"))
+            .select(
+                F.shiftright(F.col("pk"), 32).alias("doc_a"),
+                F.col("pk").bitwiseAND(F.lit((1 << 32) - 1)).alias("doc_b"),
+                "inter_r",
+            )
+        )
+    else:
+        inter_rare = cand.groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
+        ).agg(F.count("*").cast("long").alias("inter_r"))
+    if n_hot == 0:
+        # no shingle exceeded the cap: every shared shingle is already
+        # counted in inter_r — skip the hot re-expansion AND the
+        # pair-table left join it would force (the common case on
+        # non-boilerplate corpora; the branch is decided by the
+        # materialized hot count, so it adapts per corpus)
+        inter = inter_rare.withColumnRenamed("inter_r", "inter")
+    else:
+        # the pair table feeds two consumers (hot re-expansion + the
+        # final merge): materialize it once instead of re-running the
+        # candidate self-join + aggregation per consumer
+        inter_rare = inter_rare.persist(StorageLevel.DISK_ONLY)
+        hot_sh = sh.join(hot, "shingle")
+        inter_hot = (
+            inter_rare.select("doc_a", "doc_b")
+            .join(hot_sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+            .join(
+                hot_sh.withColumnRenamed("doc_id", "doc_b"),
+                ["doc_b", "shingle"],
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").cast("long").alias("inter_h"))
         )
-        .agg(F.count("*").cast("long").alias("inter_r"))
-    )
-    hot_sh = sh.join(hot, "shingle")
-    inter_hot = (
-        inter_rare.select("doc_a", "doc_b")
-        .join(hot_sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .join(
-            hot_sh.withColumnRenamed("doc_id", "doc_b"),
-            ["doc_b", "shingle"],
+        inter = (
+            inter_rare.join(inter_hot, ["doc_a", "doc_b"], "left")
+            .select(
+                "doc_a",
+                "doc_b",
+                (F.col("inter_r") + F.coalesce(F.col("inter_h"), F.lit(0)))
+                .cast("long")
+                .alias("inter"),
+            )
         )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").cast("long").alias("inter_h"))
-    )
-    inter = (
-        inter_rare.join(inter_hot, ["doc_a", "doc_b"], "left")
-        .select(
-            "doc_a",
-            "doc_b",
-            (F.col("inter_r") + F.coalesce(F.col("inter_h"), F.lit(0)))
-            .cast("long")
-            .alias("inter"),
-        )
-    )
     return (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .withColumnRenamed("sz", "sz_a")
@@ -356,16 +403,43 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
 
-    cands = (
+    raw_cands = (
         band_rows.alias("a")
         .join(band_rows.alias("b"), ["band", "bucket"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
+    )
+    # the candidate dedup shuffles every raw band collision — pack the
+    # (set_a, set_b) key into ONE long when ids fit 31 bits (guide §2.3
+    # "narrower types"): half the key bytes and the single-column
+    # fixed-width hash fast path. Bounds come from the already
+    # materialized groups table; out-of-range ids keep the two-column
+    # key (identical output either way).
+    id_bounds = groups.agg(
+        F.min("set_id").alias("lo"), F.max("set_id").alias("hi")
+    ).first()
+    packable = (
+        id_bounds["lo"] is not None
+        and id_bounds["lo"] >= 0
+        and id_bounds["hi"] < (1 << 31)
+    )
+    if packable:
+        cands = (
+            raw_cands.select(
+                (
+                    F.shiftleft(F.col("a.doc_id"), 32) + F.col("b.doc_id")
+                ).alias("pk")
+            )
+            .distinct()
+            .select(
+                F.shiftright(F.col("pk"), 32).alias("set_a"),
+                F.col("pk").bitwiseAND(F.lit((1 << 32) - 1)).alias("set_b"),
+            )
+        )
+    else:
+        cands = raw_cands.select(
             F.col("a.doc_id").alias("set_a"),
             F.col("b.doc_id").alias("set_b"),
-        )
-        .distinct()
-    )
+        ).distinct()
     est = F.size(
         F.filter(
             F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
@@ -427,37 +501,102 @@ def minhash_lsh_pairs(
         )
         return expand(est_pairs, [])
 
-    # Exact verify FIRST (pure JVM set arithmetic on the two hash-set
-    # ARRAYS), then the signature-estimate gate on the far smaller
-    # jaccard-passing set: both gates are conjunctive, and the 25-element
-    # array_intersect is cheaper per pair than the 64-component
-    # signature compare, so the expensive gate sees fewer rows.
-    sz_a = F.size("ths_a").cast("long")
-    sz_b = F.size("ths_b").cast("long")
-    # `inter` lands in its own projection so the hash-set intersection
-    # runs ONCE per candidate pair — inlining it into the jaccard
-    # formula evaluates it twice (numerator + union term)
-    jpairs = (
-        cands.join(
-            groups.select(F.col("set_id").alias("set_a"),
-                          F.col("ths").alias("ths_a")), "set_a")
-        .join(
-            groups.select(F.col("set_id").alias("set_b"),
-                          F.col("ths").alias("ths_b")), "set_b")
-        .withColumn(
-            "inter", F.size(F.array_intersect("ths_a", "ths_b")).cast("long")
-        )
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter").cast("double")
-                / (sz_a + sz_b - F.col("inter")),
-                4,
-            ),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("set_a", "set_b", "jaccard")
+    # Exact verify FIRST (pure JVM set arithmetic), then the
+    # signature-estimate gate on the far smaller jaccard-passing set:
+    # both gates are conjunctive, and the exact-intersect is cheaper
+    # per pair than the 64-component signature compare, so the
+    # expensive gate sees fewer rows.
+    #
+    # Dense fast path: when the distinct-token universe of the
+    # collapsed sets fits 64 values, each set is EXACTLY a 64-bit
+    # bitmask and the intersection is a codegen'd
+    # bit_count(mask_a & mask_b) — per-pair cost drops from a per-row
+    # hash-set build (array_intersect allocates and boxes per
+    # candidate) to three primitive ops. The probe is a
+    # limit-65-distinct job that short-circuits on large-vocab
+    # corpora, which then keep the sparse array path — same output
+    # both ways (the mask is a lossless encoding of the set).
+    u65 = (
+        groups.select(F.explode("ths").alias("th"))
+        .distinct()
+        .limit(65)
+        .collect()
     )
+    if len(u65) <= 64:
+        ddf = docs.sparkSession.createDataFrame(
+            # bit 63 in two's complement (a Python 1 << 63 overflows
+            # the signed long); SUM of distinct signed bit values still
+            # reproduces the exact 64-bit pattern
+            [(int(r["th"]), (1 << i) if i < 63 else -(1 << 63))
+             for i, r in enumerate(sorted(u65, key=lambda r: r["th"]))],
+            "th long, bit long",
+        )
+        gm = (
+            groups.select(
+                "set_id",
+                F.size("ths").cast("long").alias("sz"),
+                F.explode("ths").alias("th"),
+            )
+            .join(F.broadcast(ddf), "th")
+            # th values are distinct within a set, so each bit occurs
+            # at most once and SUM == bitwise OR
+            .groupBy("set_id", "sz")
+            .agg(F.sum("bit").alias("mask"))
+        )
+        jpairs = (
+            cands.join(
+                F.broadcast(gm.select(F.col("set_id").alias("set_a"),
+                                      F.col("mask").alias("mask_a"),
+                                      F.col("sz").alias("sz_a"))), "set_a")
+            .join(
+                F.broadcast(gm.select(F.col("set_id").alias("set_b"),
+                                      F.col("mask").alias("mask_b"),
+                                      F.col("sz").alias("sz_b"))), "set_b")
+            .withColumn(
+                "inter",
+                F.bit_count(
+                    F.col("mask_a").bitwiseAND(F.col("mask_b"))
+                ).cast("long"),
+            )
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("inter").cast("double")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                    4,
+                ),
+            )
+            .where(F.col("jaccard") >= threshold)
+            .select("set_a", "set_b", "jaccard")
+        )
+    else:
+        sz_a = F.size("ths_a").cast("long")
+        sz_b = F.size("ths_b").cast("long")
+        # `inter` lands in its own projection so the hash-set
+        # intersection runs ONCE per candidate pair — inlining it into
+        # the jaccard formula evaluates it twice (numerator + union)
+        jpairs = (
+            cands.join(
+                groups.select(F.col("set_id").alias("set_a"),
+                              F.col("ths").alias("ths_a")), "set_a")
+            .join(
+                groups.select(F.col("set_id").alias("set_b"),
+                              F.col("ths").alias("ths_b")), "set_b")
+            .withColumn(
+                "inter",
+                F.size(F.array_intersect("ths_a", "ths_b")).cast("long")
+            )
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("inter").cast("double")
+                    / (sz_a + sz_b - F.col("inter")),
+                    4,
+                ),
+            )
+            .where(F.col("jaccard") >= threshold)
+            .select("set_a", "set_b", "jaccard")
+        )
     verified = (
         with_sigs(jpairs)
         .where(est >= F.lit(max(0.0, threshold - 0.15)))
