@@ -543,8 +543,19 @@ def minhash_lsh_pairs(
             .groupBy("set_id", "sz")
             .agg(F.sum("bit").alias("mask"))
         )
+        # gate FIRST, dedup the survivors: the popcount gate is three
+        # primitive ops behind broadcast joins (no shuffle), so running
+        # it on every RAW band collision and deduplicating only the
+        # jaccard-passing pairs replaces the full-candidate distinct
+        # shuffle with one over the far smaller survivor set. Gates are
+        # deterministic per pair, so duplicates pass identically and
+        # the post-filter distinct yields the exact same pair set.
         jpairs = (
-            cands.join(
+            raw_cands.select(
+                F.col("a.doc_id").alias("set_a"),
+                F.col("b.doc_id").alias("set_b"),
+            )
+            .join(
                 F.broadcast(gm.select(F.col("set_id").alias("set_a"),
                                       F.col("mask").alias("mask_a"),
                                       F.col("sz").alias("sz_a"))), "set_a")
@@ -568,6 +579,7 @@ def minhash_lsh_pairs(
             )
             .where(F.col("jaccard") >= threshold)
             .select("set_a", "set_b", "jaccard")
+            .distinct()
         )
     else:
         sz_a = F.size("ths_a").cast("long")
