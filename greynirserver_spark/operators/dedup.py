@@ -371,8 +371,14 @@ def minhash_lsh_pairs(
     # one eager pass materializes groups + sigs so the joins below see
     # real cached-relation sizes (the set-level side tables are small —
     # broadcast — while a Python-node output defaults to "unknown/huge"
-    # and would force a sort-merge shuffle of every candidate pair)
-    sigs.count()
+    # and would force a sort-merge shuffle of every candidate pair).
+    # The same pass carries the set-id bounds for the pair-key packing
+    # decision below, so no separate probe job runs.
+    id_bounds = sigs.agg(
+        F.count("*").alias("n"),
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+    ).first()
     rows_per_band = _MINHASH_H // bands
     # band bucket = md5 of the comma-joined band slice: engine-portable
     # (Spark's hash() is murmur3 with Spark-specific seeding — not
@@ -411,12 +417,9 @@ def minhash_lsh_pairs(
     # the candidate dedup shuffles every raw band collision — pack the
     # (set_a, set_b) key into ONE long when ids fit 31 bits (guide §2.3
     # "narrower types"): half the key bytes and the single-column
-    # fixed-width hash fast path. Bounds come from the already
-    # materialized groups table; out-of-range ids keep the two-column
+    # fixed-width hash fast path. Bounds rode along on the sigs
+    # materialization pass above; out-of-range ids keep the two-column
     # key (identical output either way).
-    id_bounds = groups.agg(
-        F.min("set_id").alias("lo"), F.max("set_id").alias("hi")
-    ).first()
     packable = (
         id_bounds["lo"] is not None
         and id_bounds["lo"] >= 0
